@@ -1,0 +1,200 @@
+"""Kernel-level conformance tests — ports of the reference's inline unit
+tests (FIXTURES.md F01-F15; reference test locations cited per test)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from fasta_windows_ray import kernels as K
+
+
+# --- entropy (entropy.rs:162-208; F01-F06) ---------------------------------
+
+def test_entropy_uniform():  # entropy.rs:162-168
+    assert abs(K.entropy_fast("ACGTACGTACGTACGT") - 2.0) < 1e-10
+    assert abs(K.shannon_entropy_256("ACGTACGTACGTACGT") - 2.0) < 1e-10
+    assert abs(K.text_char_entropy("ACGTACGTACGTACGT") - 2.0) < 1e-10
+
+
+def test_entropy_homopolymer():  # entropy.rs:170-175
+    assert K.entropy_fast("AAAAAAAAAAAAAAAA") == 0.0
+    assert K.text_char_entropy("A" * 16) == 0.0
+
+
+def test_entropy_case_folding():  # entropy.rs:177-185
+    assert abs(K.entropy_fast("ACGTACGT") - K.entropy_fast("acgtacgt")) < 1e-10
+    assert abs(K.shannon_entropy_256("ACGTACGT") - K.shannon_entropy_256("acgtacgt")) < 1e-10
+    assert abs(K.text_char_entropy("AbCd") - K.text_char_entropy("aBcD")) < 1e-10
+
+
+def test_entropy_masked_excludes_lowercase():  # entropy.rs:187-194 (F04)
+    assert K.entropy_fast("acgtacgt", masked=True) == 0.0
+
+
+def test_entropy_empty_and_all_n():  # entropy.rs:196-208 (F05, F06)
+    assert K.entropy_fast("") == 0.0
+    assert K.entropy_fast("NNNNNNNN") == 0.0
+    assert K.shannon_entropy_256("") == 0.0
+    assert K.text_char_entropy("") == 0.0
+
+
+def test_entropy_binning_divergence():  # F25: seq_statsu8 256-bin vs 6-bin
+    text = "ACGTWSAC"
+    h256 = K.shannon_entropy_256(text)   # W, S distinct classes
+    h6 = K.entropy_fast(text)            # W, S -> one "other" bin
+    assert h256 > h6
+    # exact: 256-bin classes {A:3,C:2,G:1,T:1,W:1,S:1}? A=2,C=2,G=1,T=1,W=1,S=1
+    counts = [2, 2, 1, 1, 1, 1]
+    assert abs(h256 - K.entropy_from_counts(counts)) < 1e-12
+    # 6-bin: {A:2,C:2,G:1,T:1,other:2}
+    assert abs(h6 - K.entropy_from_counts([2, 2, 1, 1, 2])) < 1e-12
+
+
+# --- counts / proportions / skews (seq_statsu8.rs tests; F07-F10) -----------
+
+def test_nucleotide_counts():  # seq_statsu8.rs:136-147 (F07)
+    stats = K.seq_stats_dna("AACCTTGG")
+    assert stats["nuc_counts"] == [2, 2, 2, 2, 0]
+
+
+def test_masked_proportion():  # seq_statsu8.rs:149-157 (F08)
+    stats = K.seq_stats_dna("AAaCCcTTtGGg", masked=False)
+    assert stats["masked"] == pytest.approx(1.0 / 3.0, abs=1e-7)
+
+
+def test_ambiguous_gc_proportion():  # seq_statsu8.rs:159-167 (F09)
+    stats = K.seq_stats_dna("AASCTTGsWw", masked=False)
+    assert stats["gc_proportion"] == pytest.approx(0.4, abs=1e-7)
+
+
+def test_skew_nan():  # seq_statsu8.rs:110-111 (F10)
+    stats = K.seq_stats_dna("AATT")  # G+C == 0
+    assert math.isnan(stats["gc_skew"])
+    assert stats["at_skew"] == 0.0
+    rs = K.role_stats({"user": 2, "tool": 2})  # no system/assistant turns
+    assert math.isnan(rs["sys_asst_skew"])
+    assert rs["user_tool_skew"] == 0.0
+
+
+def test_role_stats_entropy():  # F01 role analogue
+    rs = K.role_stats({"user": 4, "assistant": 4, "system": 4, "tool": 4})
+    assert abs(rs["role_entropy"] - 2.0) < 1e-12
+    assert rs["n_turns"] == 16
+    assert rs["sys_asst_share"] == pytest.approx(0.5)
+
+
+# --- k-grams (kmeru8.rs / kmer_maps.rs; F11) --------------------------------
+
+def test_kgram_vocab_order():  # kmer_maps.rs:30-36
+    v2 = K.gen_all_kgrams("ACGT", 2)
+    assert len(v2) == 16 and v2[0] == "AA" and v2[6] == "CG"
+    assert len(K.gen_all_kgrams("ACGT", 3)) == 64
+    assert len(K.gen_all_kgrams("ACGT", 4)) == 256
+
+
+def test_kgram_spectrum():  # F11: kmeru8.rs:42-62,113-123; fw.rs:120
+    res = K.kgram_diversity_dna("ACGTACGTACGT")
+    assert len(res["di_freq"]) == 16
+    assert len(res["tri_freq"]) == 64
+    assert len(res["tetra_freq"]) == 256
+    # "ACGTACGTACGT": dimers AC x3? windows: AC,CG,GT,TA x cyclic — AC=3,CG=3,GT=3,TA=2
+    assert res["di_freq"][K.gen_all_kgrams("ACGT", 2).index("AC")] == 3
+    assert res["di_freq"][6] == 3  # CG at index 6
+    assert res["di_freq"].sum() == 11
+    # diversity over [3,3,3,2]
+    assert res["di_diversity"] == pytest.approx(
+        K.entropy_from_counts([3, 3, 3, 2]), abs=1e-12)
+
+
+def test_kgram_skips_n():  # kmeru8.rs:47-49 (F06)
+    counts = K.kgram_counts("ANAN", 2)
+    assert counts == {}  # every bigram contains N
+    counts = K.kgram_counts("AANAA", 2)
+    assert counts == {"AA": 2}
+
+
+def test_kgram_case_fold():  # kmeru8.rs:46
+    assert K.kgram_counts("acgt", 2) == K.kgram_counts("ACGT", 2)
+
+
+def test_kgram_out_of_vocab_counts_toward_diversity():
+    # reference or_inserts non-ACGT (non-N) k-mers into the map feeding
+    # shannon_diversity (kmeru8.rs:50-55)
+    counts = K.kgram_counts("WWWW", 2)
+    assert counts == {"WW": 3}
+    div = K.shannon_diversity([counts[k] for k in sorted(counts)])
+    assert div == 0.0
+    vec = K.dense_kgram_vector(counts, K.gen_all_kgrams("ACGT", 2))
+    assert vec.sum() == 0  # out-of-vocab not in the dense vector
+
+
+def test_kgram_vectorized_matches_scalar():
+    texts = ['{"k": 87}', '{"key": 12}', "abcabc"]
+    for k in (2, 3, 4):
+        merged: dict = {}
+        for t in texts:
+            for kg, c in K.kgram_counts(t, k, skip_char=None).items():
+                merged[kg] = merged.get(kg, 0) + c
+        assert K.kgram_counts_vectorized(texts, k) == merged
+
+
+def test_specific_kgram_rate():  # fw.rs:120 CpG analogue
+    assert K.specific_kgram_rate(["ACGCGT"], "CG", 6) == pytest.approx(2 / 6)
+    assert K.specific_kgram_rate([], "CG", 0) == 0.0
+
+
+# --- CTW (kmeru8.rs:346-492 tests; F12-F15) ---------------------------------
+
+def test_ctw_depth0_equals_kt0():  # kmeru8.rs:415-422 (F12)
+    s = "ACGTACGTACGTGGGGCCCCAAAATTTTACGT"
+    assert abs(K.ctw_bits_per_base(s, 0) - K.kt0_bits_per_base(s)) < 1e-12
+
+
+def test_ctw_context_improves_periodic():  # kmeru8.rs:424-441 (F13)
+    s = "AC" * 16
+    d0 = K.ctw_bits_per_base(s, 0)
+    d1 = K.ctw_bits_per_base(s, 1)
+    d2 = K.ctw_bits_per_base(s, 2)
+    assert d1 <= d0
+    assert d2 <= d1 + 1e-12
+
+
+def test_ctw_skips_ns_depth0():  # kmeru8.rs:443-457 (F14)
+    with_ns = "ACGTNNNNACGTNNAC"
+    no_ns = with_ns.replace("N", "")
+    assert abs(K.ctw_bits_per_base(with_ns, 0) - K.ctw_bits_per_base(no_ns, 0)) < 1e-12
+    assert abs(K.ctw_bits_per_base(no_ns, 0) - K.kt0_bits_per_base(no_ns)) < 1e-12
+
+
+def test_ctw_empty_and_all_non_acgt():  # kmeru8.rs:459-468 (F05)
+    assert K.ctw_bits_per_base("", 6) == 0.0
+    assert K.ctw_bits_per_base("NNNNNNNN", 6) == 0.0
+    assert K.ctw_bits_per_base("nnnnxxxxNNNN", 6) == 0.0
+
+
+def test_ctw_reasonable_ranges():  # kmeru8.rs:470-492 (F15)
+    same = "A" * 32
+    d0 = K.ctw_bits_per_base(same, 0)
+    d4 = K.ctw_bits_per_base(same, 4)
+    assert d0 < 0.5
+    assert d4 <= d0 + 1e-12
+    iid = "ACGT" * 8
+    b = K.ctw_bits_per_base(iid, 0)
+    # exact KT0 of this string is 2.21574774892929…; the reference test's
+    # stated <2.2 bound is violated by its own math (its suite contains a
+    # todo!() at kmeru8.rs:363-366 and so never ran green) — we pin the
+    # true value instead.
+    assert b == pytest.approx(2.215747748929294, abs=1e-12)
+
+
+def test_ctw_roles():  # transcript analogue: roles as the 4-symbol alphabet
+    roles = ["user", "assistant"] * 16
+    d0 = K.ctw_roles(roles, 0)
+    d2 = K.ctw_roles(roles, 2)
+    assert d2 <= d0
+    # 'other' flushes context like N
+    assert K.ctw_roles(["other"] * 8) == 0.0
+    # depth-6 default used at call sites (fw.rs:92, entropy.rs:131)
+    mixed = ["user", "tool", "system", "assistant"] * 8
+    assert 0.0 < K.ctw_roles(mixed, 6) < 2.2
