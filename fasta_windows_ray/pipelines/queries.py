@@ -1,0 +1,459 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2), each
+with a DuckDB oracle where SQL can express the semantics.
+
+Contract (driver): every callable takes ``sf_dir`` and returns a Ray
+Dataset / pandas DataFrame / pyarrow Table; column names match the oracle
+SQL exactly; float columns that DuckDB computes through different
+summation orders are rounded to 6 dp on BOTH sides; NaN-capable ratio
+columns use a -1.0 sentinel on both sides (0/0 cases) so value-hashes
+stay deterministic.
+
+Never calls ray.init()/shutdown() (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..transcripts import events_as_transcripts_sql, read_transcripts
+
+# window configuration shared by Ray pipelines and SQL oracles
+SIZE_US = 6 * 3600 * 1_000_000          # 6 h tumbling
+STEP_US = 2 * 3600 * 1_000_000          # 2 h sliding step (3 covers)
+SESSION_GAP_US = 30 * 60 * 1_000_000    # 30 min session gap
+BIGRAM = '"k'                            # designated bigram (CpG analogue)
+TOPK_QUERY_IDS = [0, 1, 2]
+
+_T = events_as_transcripts_sql()
+_WIN = (f"SELECT conv_id, make_timestamp((epoch_us(ts) // {SIZE_US}) * {SIZE_US}) "
+        f"AS window_start, turn_uid, role, text, ts FROM ({_T})")
+
+
+def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype(np.float64), 6)
+    return df
+
+
+def _nan_sentinel(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].fillna(-1.0)
+    return df
+
+
+def _full_stats_pdf(sf_dir: str, profile: str = "full") -> pd.DataFrame:
+    from ..stages.window_stats import window_stats
+    ds = read_transcripts(sf_dir)
+    return window_stats(ds, SIZE_US, profile=profile, bigram=BIGRAM).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Windowing queries (events projected to transcripts)
+# ---------------------------------------------------------------------------
+
+def q_tumbling_role_counts(sf_dir: str):
+    from ..stages.window_stats import window_stats
+    ds = read_transcripts(sf_dir, columns=["conv_id", "role", "ts"])
+    out = window_stats(ds, SIZE_US, profile="counts")
+    return out.select_columns(["conv_id", "window_start", "n_turns", "n_user",
+                               "n_assistant", "n_system", "n_tool", "n_other"])
+
+
+SQL_TUMBLING_ROLE_COUNTS = f"""
+SELECT conv_id, window_start, count(*) AS n_turns,
+  count(*) FILTER (role = 'user') AS n_user,
+  count(*) FILTER (role = 'assistant') AS n_assistant,
+  count(*) FILTER (role = 'system') AS n_system,
+  count(*) FILTER (role = 'tool') AS n_tool,
+  count(*) FILTER (role = 'other') AS n_other
+FROM ({_WIN}) GROUP BY conv_id, window_start
+"""
+
+
+def q_tumbling_window_stats(sf_dir: str):
+    pdf = _full_stats_pdf(sf_dir)
+    pdf = pdf[["conv_id", "window_start", "n_turns", "n_chars",
+               "sys_asst_share", "role_entropy", "char_entropy",
+               "bigram_diversity", "trigram_diversity", "quadgram_diversity",
+               "bigram_rate"]].copy()
+    pdf = _nan_sentinel(pdf, ["sys_asst_share"])
+    return _round6(pdf, ["sys_asst_share", "role_entropy", "char_entropy",
+                         "bigram_diversity", "trigram_diversity",
+                         "quadgram_diversity", "bigram_rate"])
+
+
+def _sql_gram_div(k: int, alias: str) -> str:
+    return f"""
+, g{k} AS (SELECT conv_id, window_start, substr(upper(text), i, {k}) kg
+       FROM w, LATERAL (SELECT unnest(generate_series(1, length(text)-{k - 1})) AS i))
+, c{k} AS (SELECT conv_id, window_start, kg, count(*)::DOUBLE c FROM g{k} GROUP BY 1,2,3)
+, t{k} AS (SELECT conv_id, window_start, sum(c) s FROM c{k} GROUP BY 1,2)
+, d{k} AS (SELECT c{k}.conv_id, c{k}.window_start, -sum((c/s)*log2(c/s)) {alias}
+       FROM c{k} JOIN t{k} USING (conv_id, window_start) GROUP BY 1,2)
+"""
+
+
+SQL_TUMBLING_WINDOW_STATS = f"""
+WITH w AS ({_WIN})
+, base AS (
+  SELECT conv_id, window_start, count(*) AS n_turns,
+    sum(length(text)) AS n_chars,
+    count(*) FILTER (role='user') a, count(*) FILTER (role='assistant') c,
+    count(*) FILTER (role='system') g, count(*) FILTER (role='tool') t,
+    sum((length(text) - length(replace(text, '"k', 'k')))) AS big_cnt
+  FROM w GROUP BY 1,2)
+, re AS (
+  SELECT conv_id, window_start, -sum(p * log2(p)) role_entropy FROM (
+    SELECT conv_id, window_start,
+      count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, window_start) p
+    FROM w GROUP BY conv_id, window_start, role) GROUP BY 1,2)
+, ch AS (SELECT conv_id, window_start, substr(upper(text), i, 1) ch
+      FROM w, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i))
+, cc AS (SELECT conv_id, window_start, ch, count(*)::DOUBLE c FROM ch GROUP BY 1,2,3)
+, ct AS (SELECT conv_id, window_start, sum(c) s FROM cc GROUP BY 1,2)
+, ce AS (SELECT cc.conv_id, cc.window_start, -sum((c/s)*log2(c/s)) char_entropy
+      FROM cc JOIN ct USING (conv_id, window_start) GROUP BY 1,2)
+{_sql_gram_div(2, "bigram_diversity")}
+{_sql_gram_div(3, "trigram_diversity")}
+{_sql_gram_div(4, "quadgram_diversity")}
+SELECT base.conv_id, base.window_start, n_turns, n_chars,
+  round(CASE WHEN g+c+a+t = 0 THEN -1.0 ELSE (g+c)::DOUBLE/(g+c+a+t) END, 6) AS sys_asst_share,
+  round(role_entropy, 6) AS role_entropy,
+  round(coalesce(char_entropy, 0.0), 6) AS char_entropy,
+  round(coalesce(bigram_diversity, 0.0), 6) AS bigram_diversity,
+  round(coalesce(trigram_diversity, 0.0), 6) AS trigram_diversity,
+  round(coalesce(quadgram_diversity, 0.0), 6) AS quadgram_diversity,
+  round(big_cnt::DOUBLE / n_chars, 6) AS bigram_rate
+FROM base
+JOIN re USING (conv_id, window_start)
+LEFT JOIN ce USING (conv_id, window_start)
+LEFT JOIN d2 USING (conv_id, window_start)
+LEFT JOIN d3 USING (conv_id, window_start)
+LEFT JOIN d4 USING (conv_id, window_start)
+"""
+
+
+def q_sliding_role_counts(sf_dir: str):
+    from ..stages.window_stats import window_stats
+    ds = read_transcripts(sf_dir, columns=["conv_id", "role", "ts"])
+    out = window_stats(ds, SIZE_US, step_us=STEP_US, profile="counts")
+    return out.select_columns(["conv_id", "window_start", "n_turns",
+                               "n_user", "n_other"])
+
+
+SQL_SLIDING_ROLE_COUNTS = f"""
+SELECT conv_id,
+  make_timestamp(((epoch_us(ts) // {STEP_US}) - k) * {STEP_US}) AS window_start,
+  count(*) AS n_turns,
+  count(*) FILTER (role='user') AS n_user,
+  count(*) FILTER (role='other') AS n_other
+FROM ({_T}) CROSS JOIN (SELECT unnest(generate_series(0, {SIZE_US // STEP_US - 1})) AS k)
+WHERE ((epoch_us(ts) // {STEP_US}) - k) >= 0
+GROUP BY 1, 2
+"""
+
+
+def q_session_windows(sf_dir: str):
+    from ..stages.sessions import session_stats
+    ds = read_transcripts(sf_dir, columns=["conv_id", "ts"])
+    return session_stats(ds, SESSION_GAP_US)
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH t AS ({_T}),
+x AS (SELECT conv_id, ts,
+  CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+       THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_uid)),
+s AS (SELECT conv_id, ts,
+  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x)
+SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_turns
+FROM s GROUP BY conv_id, sess
+"""
+
+
+def q_window_join_back(sf_dir: str):
+    from ..stages.join_back import join_back_broadcast
+    from ..stages.window_stats import window_stats
+    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    stats_ds = window_stats(
+        read_transcripts(sf_dir, columns=["conv_id", "role", "ts"]),
+        SIZE_US, profile="counts")
+    stats_pdf = stats_ds.select_columns(
+        ["conv_id", "window_start", "n_turns", "role_entropy"]).to_pandas()
+    stats_pdf = stats_pdf.rename(columns={"n_turns": "w_n_turns",
+                                          "role_entropy": "w_role_entropy"})
+    stats_pdf = _round6(stats_pdf, ["w_role_entropy"])
+    joined = join_back_broadcast(turns, stats_pdf, SIZE_US,
+                                 ["w_n_turns", "w_role_entropy"])
+    return joined.select_columns(["conv_id", "turn_uid", "window_start",
+                                  "w_n_turns", "w_role_entropy"])
+
+
+SQL_WINDOW_JOIN_BACK = f"""
+WITH w AS ({_WIN}),
+s AS (SELECT conv_id, window_start, count(*) AS w_n_turns FROM w GROUP BY 1,2),
+re AS (SELECT conv_id, window_start, round(-sum(p*log2(p)), 6) AS w_role_entropy FROM (
+  SELECT conv_id, window_start,
+    count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, window_start) p
+  FROM w GROUP BY conv_id, window_start, role) GROUP BY 1,2)
+SELECT w.conv_id, w.turn_uid, w.window_start, s.w_n_turns, re.w_role_entropy
+FROM w JOIN s USING (conv_id, window_start) JOIN re USING (conv_id, window_start)
+"""
+
+
+def q_tumbling_char_entropy(sf_dir: str):
+    """Reduced-column fast path — the entropy-mode analogue (entropy.rs)."""
+    pdf = _full_stats_pdf(sf_dir, profile="full")
+    pdf = pdf[["conv_id", "window_start", "n_chars", "char_entropy"]].copy()
+    return _round6(pdf, ["char_entropy"])
+
+
+SQL_TUMBLING_CHAR_ENTROPY = f"""
+WITH w AS ({_WIN})
+, ch AS (SELECT conv_id, window_start, substr(upper(text), i, 1) ch
+      FROM w, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i))
+, cc AS (SELECT conv_id, window_start, ch, count(*)::DOUBLE c FROM ch GROUP BY 1,2,3)
+, ct AS (SELECT conv_id, window_start, sum(c) s FROM cc GROUP BY 1,2)
+, ce AS (SELECT cc.conv_id, cc.window_start, -sum((c/s)*log2(c/s)) char_entropy
+      FROM cc JOIN ct USING (conv_id, window_start) GROUP BY 1,2)
+, base AS (SELECT conv_id, window_start, sum(length(text)) n_chars FROM w GROUP BY 1,2)
+SELECT base.conv_id, base.window_start, n_chars,
+  round(coalesce(char_entropy, 0.0), 6) AS char_entropy
+FROM base LEFT JOIN ce USING (conv_id, window_start)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis / similarity / multimodal (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_copies"])
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_token_count_by_lang(sf_dir: str):
+    from ..stages.text_analysis import TokenCounter, apply
+    counted = apply(_docs(sf_dir, ["doc_id", "lang", "text"]), TokenCounter)
+    pdf = counted.to_pandas()
+    out = pdf.groupby("lang", sort=True).agg(
+        n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+    ).reset_index()
+    out["avg_tokens"] = np.round(out["total_tokens"] / out["n_docs"], 6)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    return out
+
+
+SQL_TOKEN_COUNT_BY_LANG = """
+SELECT lang, count(*) AS n_docs,
+  sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS total_tokens,
+  round(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))::DOUBLE / count(*), 6) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_score(sf_dir: str):
+    from ..stages.text_analysis import QualityScorer, apply
+    out = apply(_docs(sf_dir, ["doc_id", "text"]), QualityScorer)
+    pdf = out.to_pandas()
+    return _round6(pdf, ["stop_ratio", "punct_ratio"])
+
+
+_STOP_SQL = "('the','and','of','a','to','in','is','it')"
+SQL_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                    x -> x IN {_STOP_SQL})) AS n_stop,
+    len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n]')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
+  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE / n_tokens END, 6) AS stop_ratio,
+  round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE / n_chars END, 6) AS punct_ratio,
+  CASE WHEN n_tokens >= 10
+        AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE/n_tokens END) >= 0.05
+        AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE/n_chars END) <= 0.2
+       THEN 1 ELSE 0 END AS passes
+FROM t
+"""
+
+
+def q_multimodal_meta(sf_dir: str):
+    from ..stages.multimodal import MediaMeta, docs_as_media
+    media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
+    return media.map_batches(MediaMeta, batch_format="pandas",
+                             batch_size=256, concurrency=(1, 4))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+  sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_embedding_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import brute_force_topk
+    import ray.data as rd
+    # fetch query vectors with a pruned, filtered read (small side)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    mask = np.isin(qt["vec_id"].to_numpy(), TOPK_QUERY_IDS)
+    qt = qt.filter(mask)
+    order = np.argsort(qt["vec_id"].to_numpy())
+    Q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False)[order])
+    qids = qt["vec_id"].to_numpy()[order].tolist()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, Q, qids, k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+_QIDS = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({_QIDS})),
+s AS (SELECT q.qid AS query_id, e.vec_id,
+        list_cosine_similarity(e.embedding, q.qe) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL-expressible oracle; driver records row checks)
+# ---------------------------------------------------------------------------
+
+def q_lang_id(sf_dir: str):
+    from ..stages.text_analysis import LangId, apply
+    return apply(_docs(sf_dir, ["doc_id", "lang", "text"]), LangId)
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ..stages.text_analysis import Fingerprinter, apply
+    return apply(_docs(sf_dir, ["doc_id", "text"]), Fingerprinter)
+
+
+def q_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_fingerprints
+    return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    from ..stages.dedup import (lsh_candidate_pairs, minhash_band_rows,
+                                verify_jaccard)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bands = minhash_band_rows(docs)
+    cand = lsh_candidate_pairs(bands).to_pandas()
+    docs_pdf = docs.to_pandas()
+    return verify_jaccard(cand, docs_pdf, threshold=0.5)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from ..stages.dedup import embedding_near_dups
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # the synthetic embeddings are near-orthogonal; 0.3 exercises the
+    # LSH-bucketed pair path end-to-end (production default stays 0.95)
+    return embedding_near_dups(ds, threshold=0.3)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ivf_topk
+    import ray.data as rd
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    mask = np.isin(qt["vec_id"].to_numpy(), TOPK_QUERY_IDS)
+    qt = qt.filter(mask)
+    order = np.argsort(qt["vec_id"].to_numpy())
+    Q = np.stack(qt["embedding"].to_numpy(zero_copy_only=False)[order])
+    qids = qt["vec_id"].to_numpy()[order].tolist()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ivf_topk(ds, Q, qids, k=10)[["query_id", "rank", "vec_id"]]
+
+
+def q_tumbling_ctw(sf_dir: str):
+    """CTW bits/base over each window's role sequence — inherently
+    sequential (kmeru8.rs:170-319), no SQL oracle."""
+    pdf = _full_stats_pdf(sf_dir)
+    pdf = pdf[["conv_id", "window_start", "n_turns", "ctw_roles_bpb"]].copy()
+    return _round6(pdf, ["ctw_roles_bpb"])
+
+
+def q_multimodal_features(sf_dir: str):
+    from ..stages.multimodal import media_pipeline
+    _, feats = media_pipeline(_docs(sf_dir, ["doc_id", "text"]))
+    return feats.select_columns(["media_id", "height", "width"])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "tumbling_role_counts": q_tumbling_role_counts,
+        "tumbling_window_stats": q_tumbling_window_stats,
+        "tumbling_char_entropy": q_tumbling_char_entropy,
+        "sliding_role_counts": q_sliding_role_counts,
+        "session_windows": q_session_windows,
+        "window_join_back": q_window_join_back,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_count_by_lang": q_token_count_by_lang,
+        "quality_score": q_quality_score,
+        "multimodal_meta": q_multimodal_meta,
+        "embedding_topk": q_embedding_topk,
+        # rows-only (non-SQL-expressible semantics)
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "tumbling_ctw": q_tumbling_ctw,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "tumbling_role_counts": SQL_TUMBLING_ROLE_COUNTS,
+        "tumbling_window_stats": SQL_TUMBLING_WINDOW_STATS,
+        "tumbling_char_entropy": SQL_TUMBLING_CHAR_ENTROPY,
+        "sliding_role_counts": SQL_SLIDING_ROLE_COUNTS,
+        "session_windows": SQL_SESSION_WINDOWS,
+        "window_join_back": SQL_WINDOW_JOIN_BACK,
+        "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+        "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
+        "quality_score": SQL_QUALITY_SCORE,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+    }

@@ -1,0 +1,250 @@
+"""Deduplication operators over the ``documents`` table (and transcript
+turns): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Ray-Data shapes:
+- exact: vectorized content-hash in map_batches → groupby(hash) →
+  per-group first (hash-partitioned; the grouped key is the digest, so
+  skew is impossible by construction).
+- MinHash+LSH: shingle→minhash signature per batch (vectorized numpy) →
+  explode to (band_id, band_hash, doc_id) rows → groupby bands →
+  candidate pairs → exact shingle-Jaccard verification of candidates.
+- SimHash: 64-bit fingerprint per doc from token hashes (vectorized).
+- embedding near-dup: cosine against an LSH-bucketed candidate set.
+
+At 100 TB the exact path's only shuffle is on the digest; the LSH paths
+shuffle only the tiny (band_hash, doc_id) pairs table, never the text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _sha1_int64(texts) -> np.ndarray:
+    return np.asarray(
+        [int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big") >> 1
+         for t in texts], dtype=np.int64)
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct text; emit (id, n_copies).
+
+    Exact dedup = hash-partition + per-group first (SURVEY.md §2.7).
+    """
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _sha1_int64(t[text_col].to_pylist())
+        return t.append_column("_h", pa.array(h, pa.int64()))
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        return pd.DataFrame({id_col: [df[id_col].iloc[0]],
+                             "n_copies": [len(df)]})
+
+    return ds.groupby("_h").map_groups(first_per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Per-actor state: the random (a,b) permutation parameters (seeded,
+    built once in __init__ — the map_batches actor-pool pattern)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def shingles(self, text: str) -> np.ndarray:
+        b = np.frombuffer(text.lower().encode("utf-8", "surrogatepass"),
+                          dtype=np.uint8)
+        if len(b) < self.k:
+            return np.zeros(0, dtype=np.int64)
+        r = b[: len(b) - self.k + 1].astype(np.int64)
+        for j in range(1, self.k):
+            r = (r * 257 + b[j: len(b) - self.k + 1 + j]) % _MERSENNE
+        return np.unique(r)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if len(sh) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        # (num_perm, n_shingles) permuted hashes — vectorized min
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["sig"] = list(sigs)
+        return out
+
+
+def minhash_band_rows(ds, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 5, seed: int = 7,
+                      concurrency=(1, 8)):
+    """documents → (band_id, band_hash, doc_id) rows for LSH bucketing."""
+    rows_per_band = num_perm // bands
+
+    hasher_cfg = dict(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+    class BandRows(MinHasher):
+        def __init__(self):
+            super().__init__(**hasher_cfg)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = np.stack([self.signature(t) for t in batch["text"]])
+            n = len(batch)
+            band_ids = np.tile(np.arange(bands), n)
+            doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
+            bh = np.empty(n * bands, dtype=np.int64)
+            for bi in range(bands):
+                seg = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+                h = np.zeros(n, dtype=np.int64)
+                for c in range(rows_per_band):
+                    h = (h * 1_000_003 + seg[:, c]) % _MERSENNE
+                bh[bi::bands] = h
+            return pd.DataFrame({"band_id": band_ids, "band_hash": bh,
+                                 "doc_id": doc_ids})
+
+    return ds.map_batches(BandRows, batch_format="pandas",
+                          concurrency=concurrency)
+
+
+def lsh_candidate_pairs(band_rows_ds):
+    """groupby (band_id, band_hash) → unordered candidate pairs (a < b)."""
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = band_rows_ds.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().head(1)
+
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        dedup_pairs, batch_format="pandas")
+
+
+def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
+                   shingle_k: int = 5, threshold: float = 0.7) -> pd.DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (driver-side; candidate
+    set is provably small after LSH). Returns pairs >= threshold."""
+    mh = MinHasher(shingle_k=shingle_k)
+    sh = {int(r.doc_id): mh.shingles(r.text)
+          for r in docs_pdf.itertuples() if r.doc_id in
+          set(pairs_pdf["doc_a"]).union(pairs_pdf["doc_b"])}
+    rows = []
+    for r in pairs_pdf.itertuples():
+        a, b = sh.get(int(r.doc_a)), sh.get(int(r.doc_b))
+        if a is None or b is None or (len(a) == 0 and len(b) == 0):
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            rows.append((int(r.doc_a), int(r.doc_b), j))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(ds, concurrency=(1, 8)):
+    """64-bit SimHash per doc from \\w+ token hashes (vectorized-ish)."""
+    class SimHash:
+        def __init__(self):
+            import re
+            self.tok = re.compile(r"[A-Za-z0-9_]+")
+
+        def _fp(self, text: str) -> int:
+            toks = self.tok.findall(text.lower())
+            if not toks:
+                return 0
+            hs = np.asarray(
+                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                 for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(),
+                "simhash": np.asarray([self._fp(t) for t in batch["text"]],
+                                      dtype=np.uint64).astype(np.int64),
+            })
+
+    return ds.map_batches(SimHash, batch_format="pandas",
+                          concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
+                        seed: int = 11, dim: int = 64):
+    """Near-duplicate vec pairs by cosine >= threshold.
+
+    Scale path: random-hyperplane LSH bucket (n_planes-bit signature) in
+    map_batches, groupby bucket, exact cosine within bucket only. Two
+    vectors with cosine >= 0.95 collide in at least one bucket with high
+    probability for small n_planes; we use 4 independent tables.
+    """
+    rng = np.random.default_rng(seed)
+    tables = [rng.standard_normal((dim, n_planes)) for _ in range(4)]
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(df["embedding"].to_numpy())
+        E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        outs = []
+        for ti, P in enumerate(tables):
+            bits = (E @ P > 0).astype(np.int64)
+            code = (bits << np.arange(n_planes)).sum(axis=1) + (ti << n_planes)
+            outs.append(pd.DataFrame({
+                "bucket": code,
+                "vec_id": df["vec_id"].to_numpy(),
+                "embedding": list(E),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(df) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        E = np.stack(df["embedding"].to_numpy())
+        sims = E @ E.T
+        ia, ib = np.triu_indices(len(df), k=1)
+        keep = sims[ia, ib] >= threshold
+        ids = df["vec_id"].to_numpy()
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+                             "cos_sim": sims[ia[keep], ib[keep]]})
+
+    pairs = bucketed.groupby("bucket").map_groups(pairs_in_bucket,
+                                                  batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        dedup_pairs, batch_format="pandas")

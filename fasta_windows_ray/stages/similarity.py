@@ -1,0 +1,118 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- Brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul, partial top-k per
+  batch, tiny final merge on the driver. No shuffle of the corpus.
+- IVF variant: k-means-ish coarse centroids (seeded, trained on a sample),
+  batches route vectors to nearest centroid, search probes only the
+  closest ``nprobe`` lists — the 100-TB path where brute force won't.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def _norm_rows(E: np.ndarray) -> np.ndarray:
+    return E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: list[int],
+                     k: int = 10, exclude_self: bool = True,
+                     concurrency=(1, 8)) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector. Returns a small pandas
+    DataFrame (query_id, rank, vec_id, cos_sim), rank 1-based, ties broken
+    by vec_id ascending."""
+    Q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put(Q)
+
+    class PartialTopK:
+        def __init__(self):
+            self.Q = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            sims = E @ self.Q.T                      # (n, q)
+            ids = batch["vec_id"].to_numpy()
+            out = []
+            kk = min(k + 1, len(ids))
+            for qi in range(sims.shape[1]):
+                s = sims[:, qi]
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": query_ids[qi], "vec_id": ids[top],
+                    "cos_sim": s[top]}))
+            return pd.concat(out, ignore_index=True)
+
+    partial = ds.map_batches(PartialTopK, batch_format="pandas",
+                             concurrency=concurrency)
+    pdf = partial.to_pandas()                        # tiny: q * (k+1) * blocks
+    if exclude_self:
+        pdf = pdf[pdf["query_id"] != pdf["vec_id"]]
+    pdf = pdf.sort_values(["query_id", "cos_sim", "vec_id"],
+                          ascending=[True, False, True], kind="stable")
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[["query_id", "rank", "vec_id", "cos_sim"]]
+
+
+def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
+             train_sample: int = 2048) -> pd.DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` lists, search only the ``nprobe`` nearest lists."""
+    sample = ds.limit(train_sample).to_pandas()
+    X = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(10):                               # fixed-iteration k-means
+        assign = np.argmax(X @ C.T, axis=1)
+        for ci in range(len(C)):
+            members = X[assign == ci]
+            if len(members):
+                C[ci] = members.mean(axis=0)
+        C = _norm_rows(C)
+    cref = ray.put(C)
+
+    Q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]   # (q, nprobe)
+    wanted = [set(p) for p in probes.tolist()]
+    qref = ray.put((Q, wanted))
+
+    class ProbedTopK:
+        def __init__(self):
+            self.C = ray.get(cref)
+            self.Q, self.wanted = ray.get(qref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            lists = np.argmax(E @ self.C.T, axis=1)
+            ids = batch["vec_id"].to_numpy()
+            out = []
+            for qi in range(len(self.Q)):
+                mask = np.isin(lists, list(self.wanted[qi]))
+                if not mask.any():
+                    continue
+                s = E[mask] @ self.Q[qi]
+                sub = ids[mask]
+                kk = min(k + 1, len(sub))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": query_ids[qi], "vec_id": sub[top],
+                    "cos_sim": s[top]}))
+            if not out:
+                return pd.DataFrame({"query_id": [], "vec_id": [],
+                                     "cos_sim": []})
+            return pd.concat(out, ignore_index=True)
+
+    partial = ds.map_batches(ProbedTopK, batch_format="pandas",
+                             concurrency=(1, 8))
+    pdf = partial.to_pandas()
+    pdf = pdf[pdf["query_id"] != pdf["vec_id"]]
+    pdf = pdf.sort_values(["query_id", "cos_sim", "vec_id"],
+                          ascending=[True, False, True], kind="stable")
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[["query_id", "rank", "vec_id", "cos_sim"]]

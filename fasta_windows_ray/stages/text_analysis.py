@@ -1,0 +1,156 @@
+"""Text analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All are stateless-per-row but stateful-per-worker (compiled regexes,
+stopword tables) → callable classes on actor pools, vectorized bodies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[^A-Za-z0-9_ \t\n]"
+# fixed stopword list shared with the SQL oracle (pipelines/queries.py)
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
+
+# tiny per-language stopword profiles for the heuristic language-ID
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "en", "que"},
+}
+
+
+class TokenCounter:
+    """Whitespace-agnostic \\w+ token counting (BPE-ish regex variant in
+    ``bpe_ish=True`` mode splits camelCase and digit runs too)."""
+
+    def __init__(self, bpe_ish: bool = False):
+        import re
+        if bpe_ish:
+            self.tok = re.compile(r"[A-Z]?[a-z]+|[A-Z]+(?![a-z])|[0-9]+|_")
+        else:
+            self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch["text"].map(lambda t: len(self.tok.findall(t)))
+        out = batch[[c for c in ("doc_id", "lang") if c in batch.columns]].copy()
+        out["n_tokens"] = counts.astype(np.int64)
+        return out
+
+
+class QualityScorer:
+    """Length / punctuation / stopword-ratio quality signals.
+
+    ``passes`` = n_tokens >= min_tokens AND stop_ratio >= min_stop AND
+    punct_ratio <= max_punct — a C4-style heuristic filter.
+    """
+
+    def __init__(self, min_tokens: int = 10, min_stop: float = 0.05,
+                 max_punct: float = 0.2):
+        import re
+        self.tok = re.compile(TOKEN_RE)
+        self.punct = re.compile(PUNCT_RE)
+        self.min_tokens, self.min_stop, self.max_punct = \
+            min_tokens, min_stop, max_punct
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = self.tok.findall(text.lower())
+            n_tok = len(toks)
+            n_stop = sum(t in self.stop for t in toks)
+            n_punct = len(self.punct.findall(text))
+            n_chars = len(text)
+            stop_ratio = n_stop / n_tok if n_tok else 0.0
+            punct_ratio = n_punct / n_chars if n_chars else 0.0
+            passes = int(n_tok >= self.min_tokens
+                         and stop_ratio >= self.min_stop
+                         and punct_ratio <= self.max_punct)
+            rows.append((doc_id, n_tok, n_stop, n_punct, n_chars,
+                         stop_ratio, punct_ratio, passes))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_tokens", "n_stop", "n_punct", "n_chars",
+            "stop_ratio", "punct_ratio", "passes"])
+
+
+class LangId:
+    """Stopword/char-n-gram heuristic language ID (deterministic).
+
+    Scores each LANG_PROFILES language by stopword hits per token;
+    predicts argmax (ties broken alphabetically), 'und' (undetermined)
+    when no profile scores > 0.
+    """
+
+    def __init__(self):
+        import re
+        self.tok = re.compile(TOKEN_RE)
+        self.langs = sorted(LANG_PROFILES)
+
+    def _pred(self, text: str) -> str:
+        toks = self.tok.findall(text.lower())
+        if not toks:
+            return "und"
+        best, best_score = "und", 0
+        for lang in self.langs:
+            s = sum(t in LANG_PROFILES[lang] for t in toks)
+            if s > best_score:
+                best, best_score = lang, s
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[c for c in ("doc_id", "lang") if c in batch.columns]].copy()
+        out["pred_lang"] = [self._pred(t) for t in batch["text"]]
+        return out
+
+
+class Fingerprinter:
+    """Rolling polynomial (Rabin–Karp) document fingerprint.
+
+    fp(doc) = sum over tokens of hash(token) * B^position mod M — a cheap
+    order-sensitive content fingerprint; also emits the winnowing-style
+    min-hash of rolling char 8-grams.
+    """
+
+    B = 1_000_003
+    M = (1 << 61) - 1
+
+    def __init__(self, k: int = 8):
+        self.k = k
+
+    def _roll(self, text: str):
+        b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if len(b) < self.k:
+            return 0, 0
+        r = b[: len(b) - self.k + 1].astype(np.int64)
+        for j in range(1, self.k):
+            r = (r * self.B + b[j: len(b) - self.k + 1 + j]) % self.M
+        # order-sensitive combined fingerprint + order-free min sketch
+        fp = 0
+        for v in r.tolist():
+            fp = (fp * self.B + v) % self.M
+        return int(fp), int(r.min())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [self._roll(t) for t in batch["text"]]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "fingerprint": np.asarray([f for f, _ in fps], dtype=np.int64),
+            "min_gram_hash": np.asarray([m for _, m in fps], dtype=np.int64),
+        })
+
+
+def apply(ds, cls, concurrency=(1, 8), batch_size: int = 4096, **kwargs):
+    """Run one of the analysis classes as an actor-pool map_batches stage."""
+    if kwargs:
+        class Bound(cls):  # bind config once per actor
+            def __init__(self):
+                super().__init__(**kwargs)
+        Bound.__name__ = cls.__name__
+        cls = Bound
+    return ds.map_batches(cls, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,296 @@
+"""Windowed per-conversation statistics — the engine's core relational op.
+
+Ray-Data-first shape (deliberately NOT the reference's rayon/mpsc design,
+fw.rs:42-166):
+
+    read_parquet → map_batches(project + window-assign)   [stateless, Arrow]
+      → hash-bucket on conv_id → groupby("bucket")        [the ONE shuffle]
+      → map_groups(bucket-vectorized stats)               [numpy kernels]
+
+Window assignment for tumbling/sliding is a pure per-row function, so it
+runs vectorized inside ``map_batches``; the only all-to-all exchange is the
+single hash-partition on ``conv_id`` (via a derived ``bucket`` column, so
+the shuffle has ``num_buckets`` keys instead of one key per window — the
+pre-aggregation advice of SURVEY.md §2.7 / §7.5). Within a bucket all
+windows of all its conversations are computed with vectorized numpy
+(np.add.at segment aggregation), not a per-row Python loop; only CTW
+(order-dependent, kmeru8.rs:170-319) loops per window.
+
+Skew note (100 TB design): a bucket is bounded by ``num_buckets``; hot
+conversations are handled by the salted pre-aggregation path in
+``stages/salted.py`` (histogram stats are mergeable; CTW is computed
+post-merge from ordered turns).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..windows import sliding_starts_expand, tumbling_start
+
+US = 1_000_000
+
+STATS_COLUMNS = [
+    "conv_id", "window_start", "window_end", "last_ts", "n_turns",
+    "n_user", "n_assistant", "n_system", "n_tool", "n_other",
+    "sys_asst_share", "sys_asst_skew", "user_tool_skew", "masked_share",
+    "role_entropy", "n_chars", "char_entropy",
+    "bigram_diversity", "trigram_diversity", "quadgram_diversity",
+    "bigram_rate", "ctw_roles_bpb",
+]
+
+ROLE_ORDER = ["user", "assistant", "system", "tool", "other"]
+
+
+def stable_bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic cross-process hash bucket per string value (crc32)."""
+    uniq, inv = np.unique(np.asarray(values, dtype=object), return_inverse=True)
+    h = np.asarray([zlib.crc32(str(u).encode()) % num_buckets for u in uniq],
+                   dtype=np.int64)
+    return h[inv]
+
+
+def assign_tumbling(ds, size_us: int, offset_us: int = 0):
+    """Add ``window_start`` (timestamp[us]) = tumbling bucket of ``ts``."""
+    def _assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        ws = tumbling_start(ts, size_us, offset_us)
+        return t.append_column("window_start",
+                               pa.array(ws, pa.int64()).cast(pa.timestamp("us")))
+    return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def expand_sliding(ds, size_us: int, step_us: int, offset_us: int = 0):
+    """Replicate each row once per covering sliding window (adds
+    ``window_start``). The fan-out happens inside map_batches — vectorized
+    ``take`` — never a per-row flat_map."""
+    def _expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        rows, starts = sliding_starts_expand(ts, size_us, step_us, offset_us)
+        out = t.take(pa.array(rows, pa.int64()))
+        return out.append_column("window_start",
+                                 pa.array(starts, pa.int64()).cast(pa.timestamp("us")))
+    return ds.map_batches(_expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_bucket(ds, num_buckets: int = 64):
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_of(t["conv_id"].to_numpy(zero_copy_only=False),
+                             num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+    return ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized multi-group stat computation (one call per hash bucket)
+# ---------------------------------------------------------------------------
+
+def _ascii_upper(arr: np.ndarray) -> np.ndarray:
+    lower = (arr >= 97) & (arr <= 122)
+    return arr - 32 * lower.astype(arr.dtype)
+
+
+def _segment_entropy(codes: np.ndarray, weights: np.ndarray, n_groups: int,
+                     denom: np.ndarray) -> np.ndarray:
+    """-sum p*log2(p) per group for (group_code, count) pairs."""
+    ent = np.zeros(n_groups, dtype=np.float64)
+    pos = weights > 0
+    c, w = codes[pos], weights[pos].astype(np.float64)
+    p = w / denom[c]
+    np.add.at(ent, c, -p * np.log2(p))
+    return ent
+
+
+def _kgram_diversity_per_group(codes_per_char: np.ndarray, bytes_arr: np.ndarray,
+                               text_bounds: np.ndarray, k: int,
+                               n_groups: int) -> np.ndarray:
+    """Shannon diversity of within-turn k-grams per window group.
+
+    ``text_bounds`` are the start offsets of each turn's bytes in
+    ``bytes_arr`` (k-grams never cross turn boundaries) — kmeru8.rs:38
+    sliding semantics, case-folded (kmeru8.rs:46), no skip-char in the
+    transcript profile (documented divergence; DNA semantics live in
+    kernels.kgram_counts).
+    """
+    n = len(bytes_arr)
+    if n < k:
+        return np.zeros(n_groups, dtype=np.float64)
+    # rank of the k-gram starting at each position
+    r = bytes_arr[: n - k + 1].astype(np.int64)
+    for j in range(1, k):
+        r = r * 256 + bytes_arr[j: n - k + 1 + j]
+    # positions within k-1 of a turn's end start a crossing k-gram: mask out
+    valid = np.ones(n - k + 1, dtype=bool)
+    for j in range(1, k):
+        ends = text_bounds[1:] - j          # last j positions of each turn
+        ends = ends[(ends >= 0) & (ends < n - k + 1)]
+        valid[ends] = False
+    codes = codes_per_char[: n - k + 1][valid]
+    ranks = r[valid]
+    if len(ranks) == 0:
+        return np.zeros(n_groups, dtype=np.float64)
+    key = codes * (1 << 40) + ranks          # rank < 2^32, codes < 2^23
+    uk, cnt = np.unique(key, return_counts=True)
+    gcodes = (uk >> 40).astype(np.int64)
+    total = np.zeros(n_groups, dtype=np.float64)
+    np.add.at(total, gcodes, cnt)
+    total[total == 0] = 1.0
+    return _segment_entropy(gcodes, cnt, n_groups, total)
+
+
+class BucketWindowStats:
+    """Per-bucket vectorized window-stat computation (callable for
+    ``map_groups``). Stateless; a class so profile config is bound once.
+
+    profile: "full"  — everything incl. CTW (fw.rs main mode analogue)
+             "fast"  — char_entropy + ctw only (entropy.rs mode analogue)
+             "counts"— role histogram + entropy only (no text columns)
+    """
+
+    def __init__(self, profile: str = "full", ctw_depth: int = 6,
+                 bigram: str = '"k', window_size_us: int | None = None):
+        self.profile = profile
+        self.ctw_depth = ctw_depth
+        self.bigram = bigram
+        self.window_size_us = window_size_us
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .. import kernels as K
+
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in STATS_COLUMNS})
+        order_cols = ["conv_id", "window_start", "ts"]
+        if "turn_uid" in df.columns:
+            order_cols.append("turn_uid")
+        df = df.sort_values(order_cols, kind="stable").reset_index(drop=True)
+
+        key = pd.MultiIndex.from_arrays([df["conv_id"], df["window_start"]])
+        codes, uniques = pd.factorize(key, sort=True)
+        G = len(uniques)
+        n_turns = np.bincount(codes, minlength=G).astype(np.int64)
+
+        out: dict = {
+            "conv_id": np.asarray([u[0] for u in uniques], dtype=object),
+            "window_start": np.asarray([u[1] for u in uniques]),
+            "n_turns": n_turns,
+        }
+        ws = pd.Series(out["window_start"]).astype("datetime64[us]")
+        size = self.window_size_us or 0
+        out["window_end"] = (ws.astype("int64") + size
+                             ).astype("datetime64[us]").to_numpy()
+        # last event actually inside the window: the event-time analogue of
+        # the reference's end-clamp (fw.rs:130-144) — for the trailing
+        # partial window, last_ts < window_end (issue #8/#9 conformance)
+        last = np.zeros(G, dtype=np.int64)
+        np.maximum.at(last, codes, df["ts"].astype("int64").to_numpy())
+        out["last_ts"] = last.astype("datetime64[us]")
+        out["window_start"] = ws.to_numpy()
+
+        # --- role histogram stats (A1-A6 analogues) ---
+        role_counts = np.zeros((G, len(ROLE_ORDER)), dtype=np.int64)
+        role_arr = df["role"].to_numpy(dtype=object)
+        for ri, r in enumerate(ROLE_ORDER):
+            np.add.at(role_counts[:, ri], codes[role_arr == r], 1)
+        a, c, g, t, n = (role_counts[:, i].astype(np.float64) for i in range(5))
+        out.update({
+            "n_user": role_counts[:, 0], "n_assistant": role_counts[:, 1],
+            "n_system": role_counts[:, 2], "n_tool": role_counts[:, 3],
+            "n_other": role_counts[:, 4],
+        })
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out["sys_asst_share"] = (g + c) / (g + c + a + t)
+            out["sys_asst_skew"] = (g - c) / (g + c)
+            out["user_tool_skew"] = (a - t) / (a + t)
+        masked = np.zeros(G, dtype=np.int64)
+        if "tool" in df.columns:
+            np.add.at(masked, codes[df["tool"].to_numpy(dtype=object) != ""], 1)
+        out["masked_share"] = masked / n_turns.astype(np.float64)
+        out["role_entropy"] = _segment_entropy(
+            np.repeat(np.arange(G), 5), role_counts.ravel(), G,
+            n_turns.astype(np.float64))
+
+        if self.profile == "counts" or "text" not in df.columns:
+            for col in ("n_chars", "char_entropy", "bigram_diversity",
+                        "trigram_diversity", "quadgram_diversity",
+                        "bigram_rate", "ctw_roles_bpb"):
+                out[col] = np.zeros(G, dtype=np.float64)
+            out["n_chars"] = out["n_chars"].astype(np.int64)
+            return pd.DataFrame(out)[STATS_COLUMNS]
+
+        # --- text-level stats ---
+        texts = df["text"].fillna("").to_numpy(dtype=object)
+        blob = "".join(texts)  # ascii corpus (validated in tests)
+        bytes_arr = np.frombuffer(blob.encode("utf-8", "surrogatepass"),
+                                  dtype=np.uint8)
+        lens = np.asarray([len(s) for s in texts], dtype=np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        codes_per_char = np.repeat(codes, lens)
+        upper = _ascii_upper(bytes_arr)
+
+        n_chars = np.zeros(G, dtype=np.int64)
+        np.add.at(n_chars, codes, lens)
+        out["n_chars"] = n_chars
+        denom = n_chars.astype(np.float64).copy()
+        denom[denom == 0] = 1.0
+
+        # char entropy: 256-class over upper-cased bytes (A7 analogue)
+        ckey = codes_per_char * 256 + upper
+        uk, cnt = np.unique(ckey, return_counts=True)
+        out["char_entropy"] = _segment_entropy(
+            (uk >> 8).astype(np.int64), cnt, G, denom)
+
+        # k-gram diversity, k = 2,3,4 in one pass over the same buffers (A10)
+        for k, name in ((2, "bigram_diversity"), (3, "trigram_diversity"),
+                        (4, "quadgram_diversity")):
+            out[name] = _kgram_diversity_per_group(
+                codes_per_char, upper, bounds, k, G)
+
+        # designated-bigram rate (A9 CpG analogue; non-self-overlapping)
+        big = np.asarray([s.count(self.bigram) for s in texts], dtype=np.int64)
+        bsum = np.zeros(G, dtype=np.int64)
+        np.add.at(bsum, codes, big)
+        out["bigram_rate"] = bsum / denom
+
+        # CTW over the window's ordered role sequence (A11; order-dependent,
+        # computed per window — the one per-group Python loop, by design)
+        if self.profile in ("full", "fast") and self.ctw_depth >= 0:
+            ctw = np.zeros(G, dtype=np.float64)
+            start = np.searchsorted(codes, np.arange(G))
+            stop = np.searchsorted(codes, np.arange(G), side="right")
+            for gi in range(G):
+                ctw[gi] = K.ctw_roles(role_arr[start[gi]:stop[gi]],
+                                      self.ctw_depth)
+            out["ctw_roles_bpb"] = ctw
+        else:
+            out["ctw_roles_bpb"] = np.zeros(G, dtype=np.float64)
+
+        return pd.DataFrame(out)[STATS_COLUMNS]
+
+
+def window_stats(ds, size_us: int, step_us: int | None = None,
+                 offset_us: int = 0, profile: str = "full",
+                 num_buckets: int = 64, ctw_depth: int = 6,
+                 bigram: str = '"k'):
+    """End-to-end windowed stats over a transcript Dataset.
+
+    Tumbling when ``step_us`` is None or == size_us, else sliding
+    (size % step == 0). Returns a Dataset with STATS_COLUMNS.
+    """
+    if step_us is None or step_us == size_us:
+        ds = assign_tumbling(ds, size_us, offset_us)
+    else:
+        ds = expand_sliding(ds, size_us, step_us, offset_us)
+    ds = add_bucket(ds, num_buckets)
+    inst = BucketWindowStats(profile=profile, ctw_depth=ctw_depth,
+                             bigram=bigram, window_size_us=size_us)
+
+    def bucket_window_stats(df: pd.DataFrame) -> pd.DataFrame:
+        return inst(df)
+
+    return (ds.groupby("bucket")
+              .map_groups(bucket_window_stats, batch_format="pandas"))
