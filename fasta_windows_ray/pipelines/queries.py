@@ -348,6 +348,30 @@ SELECT query_id, rank, vec_id FROM (
 # Rows-only queries (no SQL-expressible oracle; driver records row checks)
 # ---------------------------------------------------------------------------
 
+def q_stateful_tumbling_counts(sf_dir: str):
+    """The stateful watermark engine over the same rows — with unbounded
+    lateness its committed output must equal the plain tumbling GROUP BY,
+    so the SQL oracle gates the whole stateful path (ring buffers,
+    watermark heap, flush)."""
+    from ..state.engine import WindowConfig
+    from ..state.runner import stateful_window_run
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "role", "ts"])
+    cfg = WindowConfig(kind="tumbling", size_us=SIZE_US, profile="counts")
+    out = stateful_window_run(ds, cfg, num_buckets=16)
+    return out.select_columns(["conv_id", "window_start", "n_turns", "n_user",
+                               "n_assistant", "n_system", "n_tool", "n_other"])
+
+
+def q_stateful_session_windows(sf_dir: str):
+    """Session windows via the stateful engine — same oracle as the
+    map_groups sessions stage."""
+    from ..state.engine import WindowConfig
+    from ..state.runner import stateful_window_run
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    cfg = WindowConfig(kind="session", gap_us=SESSION_GAP_US)
+    return stateful_window_run(ds, cfg, num_buckets=16)
+
+
 def q_lang_id(sf_dir: str):
     from ..stages.text_analysis import LangId, apply
     return apply(_docs(sf_dir, ["doc_id", "lang", "text"]), LangId)
@@ -431,6 +455,8 @@ def build_queries() -> dict:
         "quality_score": q_quality_score,
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
+        "stateful_tumbling_counts": q_stateful_tumbling_counts,
+        "stateful_session_windows": q_stateful_session_windows,
         # rows-only (non-SQL-expressible semantics)
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -456,4 +482,6 @@ def build_oracle_sql() -> dict:
         "quality_score": SQL_QUALITY_SCORE,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "stateful_tumbling_counts": SQL_TUMBLING_ROLE_COUNTS,
+        "stateful_session_windows": SQL_SESSION_WINDOWS,
     }

@@ -1,0 +1,144 @@
+"""Execution wrappers for the stateful StreamEngine.
+
+Two paths, same state machine, pytest-gated to agree with each other and
+with the stateless groupby path:
+
+1. ``stateful_window_run`` — Dataset-native: the single conv_id
+   hash-bucket shuffle, then each bucket's rows are replayed in event-log
+   order through a StreamEngine inside ``map_groups``. Fully distributed;
+   this is the batch-over-log shape that scales to 100 TB (a bucket is
+   1/num_buckets of the input; skew-bounded because buckets hold many
+   conversations).
+
+2. ``StreamingJob`` — raw Ray actors (the one place the Dataset API
+   genuinely can't express the semantics: long-lived shared mutable
+   state + mid-stream checkpoints). P partition actors each own a
+   StreamEngine and an ExactlyOnceSink; the driver routes replayable
+   input splits; checkpoints commit (rows, snapshot, offset) atomically;
+   ``resume=True`` restores from the last committed checkpoint and skips
+   the consumed prefix — kill-and-resume equals fresh-run (pytest gate).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..sinks import ExactlyOnceSink, read_output
+from ..stages.window_stats import add_bucket
+from .engine import StreamEngine, WindowConfig, emitted_to_frame
+
+
+def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64):
+    """Dataset path: bucket shuffle → per-bucket stream replay."""
+    ds = add_bucket(ds, num_buckets)
+
+    def replay_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        order = ["ts"] + [c for c in ("turn_uid", "turn_idx")
+                          if c in df.columns]
+        df = df.sort_values(order, kind="stable").reset_index(drop=True)
+        eng = StreamEngine(cfg)
+        eng.process_rows(df)
+        eng.flush()
+        out = emitted_to_frame(eng.emitted, cfg.kind)
+        return out
+
+    return ds.groupby("bucket").map_groups(replay_bucket,
+                                           batch_format="pandas")
+
+
+@ray.remote
+class PartitionActor:
+    """Owns one partition's StreamEngine + sink. Raw actor by design —
+    documented Dataset-API escape hatch (SURVEY.md §4)."""
+
+    def __init__(self, out_dir: str, cfg: WindowConfig, pid: int,
+                 resume: bool):
+        self.sink = ExactlyOnceSink(out_dir, pid)
+        self.cfg = cfg
+        self.pid = pid
+        self.seq, self.consumed, snap = (self.sink.resume_point()
+                                         if resume else (0, 0, None))
+        self.engine = (StreamEngine.restore(snap) if snap
+                       else StreamEngine(cfg, pid))
+        self.pending: list[dict] = []
+        self.batch_no = 0
+
+    def consumed_rows(self) -> int:
+        return self.consumed
+
+    def process(self, df: pd.DataFrame, n_input_rows: int) -> int:
+        self.pending.extend(self.engine.process_rows(df))
+        self.consumed += n_input_rows
+        self.batch_no += 1
+        return len(self.pending)
+
+    def checkpoint(self) -> int:
+        rows = emitted_to_frame(self.pending, self.cfg.kind)
+        self.sink.commit_interval(self.seq, rows, self.engine.snapshot(),
+                                  self.consumed,
+                                  self.engine.metrics.as_dict())
+        self.pending = []
+        self.seq += 1
+        return self.seq
+
+    def finish(self) -> dict:
+        self.pending.extend(self.engine.flush())
+        self.checkpoint()
+        self.sink.mark_done()
+        return self.engine.metrics.as_dict()
+
+
+class StreamingJob:
+    """Streaming emulation over a replayable, ordered input log."""
+
+    def __init__(self, out_dir: str, cfg: WindowConfig,
+                 num_partitions: int = 4, resume: bool = False):
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.P = num_partitions
+        self.actors = [PartitionActor.remote(out_dir, cfg, p, resume)
+                       for p in range(self.P)]
+        self.start_offsets = ray.get(
+            [a.consumed_rows.remote() for a in self.actors])
+
+    def run(self, table: pd.DataFrame, batch_rows: int = 4096,
+            checkpoint_every: int = 4, crash_after_batches: int | None = None):
+        """Feed the log in order; route rows to partition actors by
+        conv_id hash; checkpoint every N batches per partition.
+
+        ``crash_after_batches`` aborts mid-run WITHOUT flushing — used by
+        the kill-and-resume test.
+        """
+        conv = table["conv_id"].astype(str).to_numpy()
+        part = np.asarray([zlib.crc32(c.encode()) % self.P for c in conv])
+        n = len(table)
+        consumed = [0] * self.P
+        batches_fed = 0
+        for lo in range(0, n, batch_rows):
+            hi = min(lo + batch_rows, n)
+            chunk = table.iloc[lo:hi]
+            cpart = part[lo:hi]
+            futs = []
+            for p in range(self.P):
+                sub = chunk[cpart == p]
+                consumed[p] += hi - lo
+                # resume skip: this partition already consumed the prefix
+                if consumed[p] <= self.start_offsets[p]:
+                    continue
+                futs.append(self.actors[p].process.remote(sub, hi - lo))
+            ray.get(futs)
+            batches_fed += 1
+            if crash_after_batches is not None and \
+                    batches_fed >= crash_after_batches:
+                return None          # simulate a crash: no flush, no commit
+            if batches_fed % checkpoint_every == 0:
+                ray.get([a.checkpoint.remote() for a in self.actors])
+        metrics = ray.get([a.finish.remote() for a in self.actors])
+        return metrics
+
+    def output(self) -> pd.DataFrame:
+        return read_output(self.out_dir)

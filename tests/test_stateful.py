@@ -1,0 +1,202 @@
+"""Stateful engine gates: watermark/late data (F21), dedup (F22),
+stateless-vs-stateful agreement (F23/F24 structure), checkpoint/resume and
+exactly-once rerun idempotence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fasta_windows_ray.state.engine import StreamEngine, WindowConfig, \
+    emitted_to_frame
+from fasta_windows_ray.synth import EPOCH_US, make_transcripts
+
+S = 1_000_000
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_f21_late_rows_dropped_and_counted():
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, lateness_us=5 * S)
+    eng = StreamEngine(cfg)
+    rows = pd.DataFrame({
+        "conv_id": ["c"] * 4,
+        "turn_idx": np.arange(4, dtype=np.int32),
+        "role": ["user"] * 4,
+        "text": ["x"] * 4,
+        "tool": [""] * 4,
+        # in-order, then a jump to t=30s (watermark -> 25s), then t=7s (late)
+        "ts": pd.to_datetime(
+            (EPOCH_US + np.array([0, 3, 30, 7]) * S), unit="us"),
+    })
+    eng.process_rows(rows)
+    eng.flush()
+    assert eng.metrics.late_dropped == 1
+    assert eng.metrics.rows_in == 4
+    out = emitted_to_frame(eng.emitted, "tumbling")
+    # the late row is NOT in any window
+    assert out["n_turns"].sum() == 3
+    # in-bound disorder lands in the correct window
+    w0 = out[out["window_start"] == pd.Timestamp(EPOCH_US, unit="us")]
+    assert w0["n_turns"].iloc[0] == 2
+
+
+def test_f21_bounded_disorder_equals_ordered():
+    t = make_transcripts(n_convs=6, mean_turns=30, seed=5,
+                         shuffle_within_us=3 * S)
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, lateness_us=5 * S)
+    eng = StreamEngine(cfg)
+    eng.process_rows(t.to_pandas())   # jittered arrival order
+    eng.flush()
+    assert eng.metrics.late_dropped == 0
+    a = canon(emitted_to_frame(eng.emitted, "tumbling"))
+
+    ordered = t.to_pandas().sort_values(["ts", "conv_id", "turn_idx"])
+    eng2 = StreamEngine(cfg)
+    eng2.process_rows(ordered)
+    eng2.flush()
+    b = canon(emitted_to_frame(eng2.emitted, "tumbling"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_f22_duplicate_turns_dropped():
+    t = make_transcripts(n_convs=4, mean_turns=20, seed=9)
+    pdf = t.to_pandas()
+    dup = pd.concat([pdf, pdf.iloc[5:15]], ignore_index=True)
+    dup = dup.sort_values(["ts", "conv_id", "turn_idx"], kind="stable")
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S)
+    eng_dup, eng_clean = StreamEngine(cfg), StreamEngine(cfg)
+    eng_dup.process_rows(dup)
+    eng_dup.flush()
+    eng_clean.process_rows(pdf.sort_values(["ts", "conv_id", "turn_idx"]))
+    eng_clean.flush()
+    assert eng_dup.metrics.dup_dropped == 10
+    pd.testing.assert_frame_equal(
+        canon(emitted_to_frame(eng_dup.emitted, "tumbling")),
+        canon(emitted_to_frame(eng_clean.emitted, "tumbling")))
+
+
+def test_stateful_matches_stateless_groupby(ray_session):
+    """F24 agreement: stateful replay == vectorized groupby path, bit-for-
+    bit on every float column."""
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import window_stats
+    from fasta_windows_ray.state.runner import stateful_window_run
+
+    t = make_transcripts(n_convs=10, mean_turns=50, seed=3)
+    ds1 = rd.from_arrow(t)
+    stateless = canon(window_stats(ds1, 20 * S, num_buckets=8).to_pandas())
+    cfg = WindowConfig(kind="tumbling", size_us=20 * S)
+    stateful = canon(stateful_window_run(rd.from_arrow(t), cfg,
+                                         num_buckets=8).to_pandas())
+    pd.testing.assert_frame_equal(
+        stateless.drop(columns=["last_ts"]),
+        stateful.drop(columns=["last_ts"]), check_dtype=False)
+
+
+def test_sliding_stateful_matches_stateless(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import window_stats
+    from fasta_windows_ray.state.runner import stateful_window_run
+
+    t = make_transcripts(n_convs=8, mean_turns=40, seed=4)
+    stateless = canon(window_stats(rd.from_arrow(t), 30 * S, step_us=10 * S,
+                                   num_buckets=8).to_pandas())
+    cfg = WindowConfig(kind="sliding", size_us=30 * S, step_us=10 * S)
+    stateful = canon(stateful_window_run(rd.from_arrow(t), cfg,
+                                         num_buckets=8).to_pandas())
+    pd.testing.assert_frame_equal(
+        stateless.drop(columns=["last_ts"]),
+        stateful.drop(columns=["last_ts"]), check_dtype=False)
+
+
+def test_session_stateful_matches_sessions_stage(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.sessions import session_stats
+    from fasta_windows_ray.state.runner import stateful_window_run
+
+    t = make_transcripts(n_convs=10, mean_turns=30, seed=8,
+                         turn_gap_us=40 * S)   # gaps straddle the threshold
+    a = canon(session_stats(rd.from_arrow(t), 60 * S,
+                            num_buckets=4).to_pandas())
+    cfg = WindowConfig(kind="session", gap_us=60 * S)
+    b = canon(stateful_window_run(rd.from_arrow(t), cfg,
+                                  num_buckets=4).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_checkpoint_resume_equals_fresh(ray_session, tmp_path):
+    """Kill mid-run, resume from the committed checkpoint: output equals
+    an uninterrupted run (exactly-once)."""
+    from fasta_windows_ray.state.runner import StreamingJob
+
+    t = make_transcripts(n_convs=12, mean_turns=60, seed=11).to_pandas()
+    t = t.sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
+    cfg = WindowConfig(kind="tumbling", size_us=20 * S)
+
+    fresh_dir = str(tmp_path / "fresh")
+    job = StreamingJob(fresh_dir, cfg, num_partitions=3)
+    job.run(t, batch_rows=97, checkpoint_every=2)
+    fresh = canon(job.output())
+    assert len(fresh) > 0
+
+    crash_dir = str(tmp_path / "crash")
+    job1 = StreamingJob(crash_dir, cfg, num_partitions=3)
+    r = job1.run(t, batch_rows=97, checkpoint_every=2, crash_after_batches=5)
+    assert r is None                      # crashed, no flush
+    job2 = StreamingJob(crash_dir, cfg, num_partitions=3, resume=True)
+    job2.run(t, batch_rows=97, checkpoint_every=2)
+    resumed = canon(job2.output())
+    pd.testing.assert_frame_equal(fresh, resumed)
+
+
+def test_rerun_idempotence(ray_session, tmp_path):
+    """Re-running a completed job overwrites the same files with the same
+    rows — observational exactly-once."""
+    from fasta_windows_ray.state.runner import StreamingJob
+
+    t = make_transcripts(n_convs=5, mean_turns=30, seed=13).to_pandas()
+    t = t.sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
+    cfg = WindowConfig(kind="tumbling", size_us=15 * S)
+    out_dir = str(tmp_path / "out")
+    a_job = StreamingJob(out_dir, cfg, num_partitions=2)
+    a_job.run(t, batch_rows=64, checkpoint_every=3)
+    a = canon(a_job.output())
+    b_job = StreamingJob(out_dir, cfg, num_partitions=2)   # rerun from scratch
+    b_job.run(t, batch_rows=64, checkpoint_every=3)
+    b = canon(b_job.output())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_snapshot_roundtrip():
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, lateness_us=2 * S)
+    t = make_transcripts(n_convs=3, mean_turns=25, seed=21).to_pandas()
+    t = t.sort_values(["ts", "conv_id", "turn_idx"])
+    half = len(t) // 2
+    eng = StreamEngine(cfg)
+    eng.process_rows(t.iloc[:half])
+    blob = eng.snapshot()
+    eng.process_rows(t.iloc[half:])
+    eng.flush()
+    full = canon(emitted_to_frame(eng.emitted, "tumbling"))
+
+    eng2 = StreamEngine.restore(blob)
+    emitted_before = list(eng2.emitted)
+    eng2.process_rows(t.iloc[half:])
+    eng2.flush()
+    resumed_rows = emitted_before + [r for r in eng2.emitted
+                                     if r not in emitted_before]
+    # emissions before the snapshot plus post-restore emissions == full run
+    eng3 = StreamEngine(cfg)
+    eng3.process_rows(t.iloc[:half])
+    pre = eng3.emitted
+    restored_total = pre + eng2.emitted
+    assert canon(emitted_to_frame(restored_total, "tumbling")).equals(full)
