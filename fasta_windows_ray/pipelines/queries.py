@@ -348,6 +348,62 @@ SELECT query_id, rank, vec_id FROM (
 # Rows-only queries (no SQL-expressible oracle; driver records row checks)
 # ---------------------------------------------------------------------------
 
+def q_salted_window_counts(sf_dir: str):
+    """Skew-safe salted pre-aggregation path (F23) — must equal the
+    straight GROUP BY oracle bit-for-bit on histogram stats."""
+    from ..stages.salted import salted_window_counts
+    ds = read_transcripts(sf_dir, columns=["conv_id", "role", "tool", "ts"])
+    out = salted_window_counts(ds, SIZE_US).to_pandas()
+    out = out[["conv_id", "window_start", "n_turns", "n_user", "n_assistant",
+               "n_system", "n_tool", "n_other", "role_entropy"]].copy()
+    return _round6(out, ["role_entropy"])
+
+
+SQL_SALTED_WINDOW_COUNTS = f"""
+WITH w AS ({_WIN}),
+base AS (
+  SELECT conv_id, window_start, count(*) AS n_turns,
+    count(*) FILTER (role = 'user') AS n_user,
+    count(*) FILTER (role = 'assistant') AS n_assistant,
+    count(*) FILTER (role = 'system') AS n_system,
+    count(*) FILTER (role = 'tool') AS n_tool,
+    count(*) FILTER (role = 'other') AS n_other
+  FROM w GROUP BY 1, 2),
+re AS (
+  SELECT conv_id, window_start, round(-sum(p * log2(p)), 6) AS role_entropy
+  FROM (SELECT conv_id, window_start,
+          count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, window_start) p
+        FROM w GROUP BY conv_id, window_start, role) GROUP BY 1, 2)
+SELECT base.*, re.role_entropy FROM base JOIN re USING (conv_id, window_start)
+"""
+
+
+def q_turn_window_counts(sf_dir: str):
+    """Turn-position tumbling windows — the direct fw.rs:83 chunks
+    analogue with clamped ends (issues #8/#9)."""
+    from ..stages.window_stats import turn_window_counts
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "role", "ts"])
+    return turn_window_counts(ds, w_turns=20)
+
+
+SQL_TURN_WINDOW_COUNTS = f"""
+WITH t AS ({_T}),
+r AS (SELECT conv_id, role,
+        row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_uid) - 1 AS rk,
+        count(*) OVER (PARTITION BY conv_id) AS conv_len
+      FROM t)
+SELECT conv_id, (rk // 20) * 20 AS win_start,
+  least((rk // 20) * 20 + 20, max(conv_len)) AS win_end,
+  count(*) AS n_turns,
+  count(*) FILTER (role = 'user') AS n_user,
+  count(*) FILTER (role = 'assistant') AS n_assistant,
+  count(*) FILTER (role = 'system') AS n_system,
+  count(*) FILTER (role = 'tool') AS n_tool,
+  count(*) FILTER (role = 'other') AS n_other
+FROM r GROUP BY conv_id, rk // 20
+"""
+
+
 def q_stateful_tumbling_counts(sf_dir: str):
     """The stateful watermark engine over the same rows — with unbounded
     lateness its committed output must equal the plain tumbling GROUP BY,
@@ -457,6 +513,8 @@ def build_queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "stateful_tumbling_counts": q_stateful_tumbling_counts,
         "stateful_session_windows": q_stateful_session_windows,
+        "salted_window_counts": q_salted_window_counts,
+        "turn_window_counts": q_turn_window_counts,
         # rows-only (non-SQL-expressible semantics)
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -484,4 +542,6 @@ def build_oracle_sql() -> dict:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "stateful_tumbling_counts": SQL_TUMBLING_ROLE_COUNTS,
         "stateful_session_windows": SQL_SESSION_WINDOWS,
+        "salted_window_counts": SQL_SALTED_WINDOW_COUNTS,
+        "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
     }

@@ -1,0 +1,111 @@
+"""Skew handling: salted pre-aggregation of hot conversations.
+
+A single million-turn conversation must not serialise the job (the
+reference's main mode has exactly this straggler: one chromosome = one
+rayon task, fw.rs:68-145; its entropy mode fixed it with par_chunks,
+entropy.rs:78-85). Every histogram-backed stat (SURVEY.md §2.3) is a
+function of mergeable count vectors, so:
+
+    map_batches:  partial histograms per (conv_id, window_start, salt)
+                  — salt = row-index-derived, splits a hot key's rows
+                  across many partials, all computed batch-locally
+    groupby:      merge partials per (conv_id, window_start) — the
+                  shuffle moves only small count rows, never turns
+
+CTW (order-dependent, §2.3 A11) cannot be salted; the full-stats path
+computes it post-merge from ordered turns (window_stats), and this salted
+path serves the counts/entropy profile where hot keys matter most.
+
+The pytest gate (F23) asserts the salted result is bit-equal to the
+unsalted groupby path on a hot-key corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .window_stats import ROLE_ORDER, tumbling_start
+
+PARTIAL_COLS = ["conv_id", "window_start", "n_user", "n_assistant",
+                "n_system", "n_tool", "n_other", "n_masked"]
+
+
+def salted_window_counts(ds, size_us: int, offset_us: int = 0,
+                         num_merge_buckets: int = 64):
+    """Tumbling role-histogram stats with salted partial aggregation.
+
+    Returns the same columns as the counts profile of ``window_stats``:
+    (conv_id, window_start, n_turns, n_user..n_other, sys_asst_share,
+    sys_asst_skew, user_tool_skew, masked_share, role_entropy).
+    """
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        # batch-local partial histogram per (conv, window): the "salt" is
+        # the batch itself — a hot conversation spread over B batches
+        # yields B partial rows, each computed in parallel
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        ws = tumbling_start(ts, size_us, offset_us)
+        role = (t["role"].to_numpy(zero_copy_only=False)
+                if "role" in t.column_names else np.full(len(t), "user"))
+        tool = (t["tool"].to_numpy(zero_copy_only=False)
+                if "tool" in t.column_names else np.full(len(t), ""))
+
+        cid, cu = pd.factorize(conv)
+        wsu, wsi = np.unique(ws, return_inverse=True)
+        key = cid.astype(np.int64) * len(wsu) + wsi
+        uk, codes = np.unique(key, return_inverse=True)
+        G = len(uk)
+        role_idx = np.asarray(
+            [ROLE_ORDER.index(r) if r in ROLE_ORDER else 4 for r in role])
+        rc = np.bincount(codes * 5 + role_idx, minlength=G * 5).reshape(G, 5)
+        masked = np.bincount(codes, weights=(tool != "").astype(np.int64),
+                             minlength=G).astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": np.asarray(cu, dtype=object).take(uk // len(wsu)),
+            "window_start": wsu.take(uk % len(wsu)).astype("datetime64[us]"),
+            "n_user": rc[:, 0], "n_assistant": rc[:, 1], "n_system": rc[:, 2],
+            "n_tool": rc[:, 3], "n_other": rc[:, 4], "n_masked": masked,
+        })
+
+    part = ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def add_merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+        df = df.copy()
+        df["_mb"] = [zlib.crc32(c.encode()) % num_merge_buckets
+                     for c in df["conv_id"]]
+        return df
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["conv_id", "window_start"], sort=True).sum(
+            numeric_only=True).reset_index()
+        rc = g[["n_user", "n_assistant", "n_system", "n_tool",
+                "n_other"]].to_numpy(dtype=np.int64)
+        n_turns = rc.sum(axis=1)
+        a, c, gg, t = (rc[:, i].astype(np.float64) for i in range(4))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = (gg + c) / (gg + c + a + t)
+            skew_gc = (gg - c) / (gg + c)
+            skew_at = (a - t) / (a + t)
+        pr = rc.astype(np.float64) / n_turns[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(rc > 0, -pr * np.log2(np.where(pr > 0, pr, 1.0)),
+                             0.0)
+        out = g[["conv_id", "window_start"]].copy()
+        out["n_turns"] = n_turns
+        for i, name in enumerate(["n_user", "n_assistant", "n_system",
+                                  "n_tool", "n_other"]):
+            out[name] = rc[:, i]
+        out["sys_asst_share"] = share
+        out["sys_asst_skew"] = skew_gc
+        out["user_tool_skew"] = skew_at
+        out["masked_share"] = g["n_masked"].to_numpy() / n_turns
+        out["role_entropy"] = terms.sum(axis=1)
+        return out
+
+    return (part.map_batches(add_merge_bucket, batch_format="pandas")
+                .groupby("_mb").map_groups(merge, batch_format="pandas"))

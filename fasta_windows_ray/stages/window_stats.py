@@ -333,6 +333,56 @@ class BucketWindowStats:
         return pd.DataFrame(out)[STATS_COLUMNS]
 
 
+def turn_window_counts(ds, w_turns: int, num_buckets: int = 64):
+    """Windows over TURN POSITION — the direct reference analogue
+    (fw.rs:83 ``seq.chunks(window_size)``): per conversation, tumbling
+    chunks of ``w_turns`` turns ordered by (ts, turn_uid); the trailing
+    partial chunk is emitted with its true clamped end
+    (fw.rs:73-79,130-144 — issues #8/#9).
+
+    Output: conv_id, win_start, win_end (int turn offsets; win_end ==
+    min(win_start + w, conv_len)), n_turns, per-role counts.
+    """
+    ds = add_bucket(ds, num_buckets)
+
+    def bucket_turn_windows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: [] for c in
+                                 ("conv_id", "win_start", "win_end",
+                                  "n_turns", "n_user", "n_assistant",
+                                  "n_system", "n_tool", "n_other")})
+        order = ["conv_id", "ts"] + [c for c in ("turn_uid", "turn_idx")
+                                     if c in df.columns]
+        df = df.sort_values(order, kind="stable").reset_index(drop=True)
+        cid, cu = pd.factorize(df["conv_id"].to_numpy(dtype=object))
+        # rank within conversation (cid blocks are contiguous post-sort)
+        starts = np.searchsorted(cid, np.arange(len(cu)))
+        rank = np.arange(len(df)) - starts[cid]
+        conv_len = np.bincount(cid)
+        wstart = rank // w_turns * w_turns
+        key = cid.astype(np.int64) * (rank.max() + 1) + wstart
+        uk, codes = np.unique(key, return_inverse=True)
+        G = len(uk)
+        ucid = (uk // (rank.max() + 1)).astype(np.int64)
+        uws = (uk % (rank.max() + 1)).astype(np.int64)
+        role_idx = np.asarray(
+            [ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
+             for r in df["role"].to_numpy(dtype=object)]) \
+            if "role" in df.columns else np.zeros(len(df), dtype=np.int64)
+        rc = np.bincount(codes * 5 + role_idx, minlength=G * 5).reshape(G, 5)
+        return pd.DataFrame({
+            "conv_id": np.asarray(cu, dtype=object).take(ucid),
+            "win_start": uws,
+            "win_end": np.minimum(uws + w_turns, conv_len[ucid]),
+            "n_turns": np.bincount(codes, minlength=G).astype(np.int64),
+            "n_user": rc[:, 0], "n_assistant": rc[:, 1],
+            "n_system": rc[:, 2], "n_tool": rc[:, 3], "n_other": rc[:, 4],
+        })
+
+    return ds.groupby("bucket").map_groups(bucket_turn_windows,
+                                           batch_format="pandas")
+
+
 def window_stats(ds, size_us: int, step_us: int | None = None,
                  offset_us: int = 0, profile: str = "full",
                  num_buckets: int = 64, ctw_depth: int = 6,

@@ -55,6 +55,7 @@ class WindowConfig:
     bigram: str = '"k'
     ctw_depth: int = 6
     profile: str = "full"
+    custom_aggs: tuple = ()             # functions.registry names
 
     def starts_for(self, ts: int) -> list[int]:
         if self.kind == "tumbling":
@@ -72,7 +73,7 @@ class _WindowAcc:
     """Rolling accumulation for one open (conv_id, window_start)."""
 
     __slots__ = ("role_counts", "masked", "char_counts", "kgram", "big_cnt",
-                 "n_chars", "turns")
+                 "n_chars", "turns", "custom")
 
     def __init__(self):
         self.role_counts = [0] * 5
@@ -82,6 +83,7 @@ class _WindowAcc:
         self.big_cnt = 0
         self.n_chars = 0
         self.turns: list[tuple] = []    # (ts, turn_uid, role) ordered by arrival
+        self.custom: dict | None = None # custom-aggregate states (lazy)
 
     def add(self, ts: int, turn_uid, role: str, text: str, tool: str,
             cfg: WindowConfig):
@@ -89,6 +91,15 @@ class _WindowAcc:
         if tool:
             self.masked += 1
         self.turns.append((ts, turn_uid, role))
+        if cfg.custom_aggs:
+            from ..functions import registry
+            if self.custom is None:
+                self.custom = {n: registry.get(n).init()
+                               for n in cfg.custom_aggs}
+            row = {"ts": ts, "turn_uid": turn_uid, "role": role,
+                   "text": text, "tool": tool}
+            for n in cfg.custom_aggs:
+                registry.get(n).add(self.custom[n], row)
         if cfg.profile == "counts":
             return
         up = text.upper()
@@ -111,6 +122,12 @@ class _WindowAcc:
         if tool:
             self.masked -= 1
         self.turns.remove((ts, turn_uid, role))
+        if cfg.custom_aggs and self.custom is not None:
+            from ..functions import registry
+            row = {"ts": ts, "turn_uid": turn_uid, "role": role,
+                   "text": text, "tool": tool}
+            for n in cfg.custom_aggs:
+                registry.get(n).evict(self.custom[n], row)
         if cfg.profile == "counts":
             return
         up = text.upper()
@@ -168,6 +185,12 @@ class _WindowAcc:
         row["ctw_roles_bpb"] = (K.ctw_roles([r for _, _, r in turns],
                                             cfg.ctw_depth)
                                 if cfg.profile in ("full", "fast") else 0.0)
+        if cfg.custom_aggs:
+            from ..functions import registry
+            for n in cfg.custom_aggs:
+                row[n] = (registry.get(n).emit(self.custom[n])
+                          if self.custom is not None
+                          else registry.get(n).emit(registry.get(n).init()))
         return row
 
 
@@ -340,11 +363,12 @@ class StreamEngine:
         return eng
 
 
-def emitted_to_frame(rows: list[dict], kind: str) -> pd.DataFrame:
+def emitted_to_frame(rows: list[dict], kind: str,
+                     extra_cols: tuple = ()) -> pd.DataFrame:
     if kind == "session":
         cols = ["conv_id", "session_start", "session_end", "n_turns"]
     else:
-        cols = STATS_COLUMNS
+        cols = STATS_COLUMNS + list(extra_cols)
     if not rows:
         return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
     df = pd.DataFrame(rows)[cols]

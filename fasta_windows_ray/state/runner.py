@@ -43,7 +43,8 @@ def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64):
         eng = StreamEngine(cfg)
         eng.process_rows(df)
         eng.flush()
-        out = emitted_to_frame(eng.emitted, cfg.kind)
+        out = emitted_to_frame(eng.emitted, cfg.kind,
+                               tuple(cfg.custom_aggs))
         return out
 
     return ds.groupby("bucket").map_groups(replay_bucket,
@@ -77,7 +78,8 @@ class PartitionActor:
         return len(self.pending)
 
     def checkpoint(self) -> int:
-        rows = emitted_to_frame(self.pending, self.cfg.kind)
+        rows = emitted_to_frame(self.pending, self.cfg.kind,
+                                tuple(self.cfg.custom_aggs))
         self.sink.commit_interval(self.seq, rows, self.engine.snapshot(),
                                   self.consumed,
                                   self.engine.metrics.as_dict())

@@ -1,0 +1,61 @@
+"""F23: salted pre-aggregation on a hot-key corpus must be bit-equal to
+the unsalted groupby path; turn-window boundary semantics."""
+
+import numpy as np
+import pandas as pd
+
+from fasta_windows_ray.synth import make_transcripts
+
+S = 1_000_000
+
+
+def canon(df):
+    df = df.copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_f23_salted_equals_unsalted(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.salted import salted_window_counts
+    from fasta_windows_ray.stages.window_stats import window_stats
+
+    # one 20k-turn hot conversation + many small ones
+    t = make_transcripts(n_convs=30, mean_turns=30, seed=17,
+                         hot_conv_turns=20_000)
+    cols = ["conv_id", "window_start", "n_turns", "n_user", "n_assistant",
+            "n_system", "n_tool", "n_other", "sys_asst_share",
+            "masked_share", "role_entropy"]
+    salted = canon(salted_window_counts(
+        rd.from_arrow(t), 60 * S, num_merge_buckets=8).to_pandas()[cols])
+    plain = canon(window_stats(rd.from_arrow(t), 60 * S, profile="counts",
+                               num_buckets=8).to_pandas()[cols])
+    pd.testing.assert_frame_equal(salted, plain, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_turn_window_clamped_ends(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import turn_window_counts
+    from fasta_windows_ray.synth import conv_from_string
+
+    t = pa.concat_tables([
+        conv_from_string("c16", "ACGTACG"),            # 7 turns  (F16)
+        conv_from_string("c17", "ACGTACGTAC" * 2),     # 20 turns (F17)
+        conv_from_string("c18", "ACGTACGTAC" * 2 + "ACGTA"),  # 25 (F18)
+    ])
+    out = turn_window_counts(rd.from_arrow(t), w_turns=10,
+                             num_buckets=4).to_pandas()
+    out = out.sort_values(["conv_id", "win_start"]).reset_index(drop=True)
+    got = {(r.conv_id, int(r.win_start), int(r.win_end), int(r.n_turns))
+           for r in out.itertuples()}
+    assert got == {
+        ("c16", 0, 7, 7),                       # shorter than window
+        ("c17", 0, 10, 10), ("c17", 10, 20, 10),  # exact multiple
+        ("c18", 0, 10, 10), ("c18", 10, 20, 10), ("c18", 20, 25, 5),
+    }
