@@ -35,10 +35,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     Exact dedup = hash-partition + per-group first (SURVEY.md §2.7).
     """
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = _sha1_int64(t[text_col].to_pylist())
-        return t.append_column("_h", pa.array(h, pa.int64()))
-
     def add_hash_bucket(t: pa.Table) -> pa.Table:
         h = _sha1_int64(t[text_col].to_pylist())
         t = t.append_column("_h", pa.array(h, pa.int64()))
@@ -243,7 +239,7 @@ def simhash_fingerprints(ds, concurrency=(1, 8)):
 # ---------------------------------------------------------------------------
 
 def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
-                        seed: int = 11, dim: int = 64):
+                        seed: int = 11):
     """Near-duplicate vec pairs by cosine >= threshold.
 
     Scale path: random-hyperplane LSH bucket (n_planes-bit signature) in
@@ -251,11 +247,14 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
     vectors with cosine >= 0.95 collide in at least one bucket with high
     probability for small n_planes; we use 4 independent tables.
     """
-    rng = np.random.default_rng(seed)
-    tables = [rng.standard_normal((dim, n_planes)) for _ in range(4)]
+    def _tables(d: int) -> list[np.ndarray]:
+        # seeded per-dim so every batch derives identical hyperplanes
+        rng = np.random.default_rng(seed)
+        return [rng.standard_normal((d, n_planes)) for _ in range(4)]
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         E = np.stack(df["embedding"].to_numpy())
+        tables = _tables(E.shape[1])
         E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
         outs = []
         for ti, P in enumerate(tables):

@@ -58,7 +58,6 @@ def join_back_bucketed(turns_ds, stats_ds, size_us: int,
     import pyarrow as pa
 
     def _assign(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
         ws = tumbling_start(ts, size_us, offset_us)
         return t.append_column("window_start",

@@ -29,7 +29,6 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..windows import sliding_starts_expand, tumbling_start
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 import heapq
 import math
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

@@ -1,0 +1,93 @@
+"""Dedup operator correctness on corpora with injected duplicates."""
+
+import numpy as np
+import pandas as pd
+
+
+def make_docs(n=60, seed=5, with_near_dups=True):
+    rng = np.random.default_rng(seed)
+    words = ["stream", "window", "state", "batch", "arrow", "shuffle",
+             "actor", "join", "entropy", "kgram", "watermark", "parquet"]
+    texts, ids = [], []
+    for i in range(n):
+        w = rng.choice(words, 30)
+        texts.append(" ".join(w))
+        ids.append(i)
+    # exact duplicates of docs 0 and 1
+    texts += [texts[0], texts[1], texts[0]]
+    ids += [100, 101, 102]
+    if with_near_dups:
+        # near-duplicate of doc 2: one word changed
+        t = texts[2].split()
+        t[5] = "changed"
+        texts.append(" ".join(t))
+        ids.append(200)
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.dedup import exact_dedup
+
+    docs = make_docs(with_near_dups=False)
+    out = exact_dedup(rd.from_pandas(docs)).to_pandas()
+    # doc 0 has 3 copies (0, 100, 102), doc 1 has 2 (1, 101)
+    assert int(out.loc[out["doc_id"] == 0, "n_copies"].iloc[0]) == 3
+    assert int(out.loc[out["doc_id"] == 1, "n_copies"].iloc[0]) == 2
+    assert out["n_copies"].sum() == len(docs)
+    # min-id kept: 100/101/102 absent
+    assert not set(out["doc_id"]) & {100, 101, 102}
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.dedup import (lsh_candidate_pairs,
+                                                minhash_band_rows,
+                                                verify_jaccard)
+
+    docs = make_docs()
+    bands = minhash_band_rows(rd.from_pandas(docs))
+    cand = lsh_candidate_pairs(bands).to_pandas()
+    verified = verify_jaccard(cand, docs, threshold=0.7)
+    pairs = set(map(tuple, verified[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 100) in pairs or (0, 102) in pairs   # exact dups collide
+    assert (2, 200) in pairs                         # near-dup found
+    jac = verified.set_index(["doc_a", "doc_b"])["jaccard"]
+    assert jac[(0, 100)] == 1.0
+    assert 0.7 <= jac[(2, 200)] < 1.0
+
+
+def test_simhash_near_dups_close(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.dedup import simhash_fingerprints
+
+    docs = make_docs()
+    out = simhash_fingerprints(rd.from_pandas(docs)).to_pandas()
+    fp = out.set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert hamming(fp[0], fp[100]) == 0             # exact dup
+    assert hamming(fp[2], fp[200]) <= 12            # near dup: small distance
+    rng_pairs = [(3, 4), (5, 6), (7, 8)]
+    assert min(hamming(fp[a], fp[b]) for a, b in rng_pairs) > 12
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(9)
+    E = rng.standard_normal((40, 32)).astype(np.float32)
+    E[7] = E[3] + 0.01 * rng.standard_normal(32)    # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(40),
+                       "embedding": list(E)})
+    out = embedding_near_dups(rd.from_pandas(df), threshold=0.95).to_pandas()
+    pairs = set(map(tuple, out[["vec_a", "vec_b"]].to_numpy())) if len(out) else set()
+    assert (3, 7) in pairs
+    assert all(c >= 0.95 for c in out["cos_sim"])

@@ -3,7 +3,6 @@ tests (FIXTURES.md F01-F15; reference test locations cited per test)."""
 
 import math
 
-import numpy as np
 import pytest
 
 from fasta_windows_ray import kernels as K

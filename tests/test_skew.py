@@ -1,7 +1,6 @@
 """F23: salted pre-aggregation on a hot-key corpus must be bit-equal to
 the unsalted groupby path; turn-window boundary semantics."""
 
-import numpy as np
 import pandas as pd
 
 from fasta_windows_ray.synth import make_transcripts

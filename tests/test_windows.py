@@ -2,7 +2,6 @@
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from fasta_windows_ray.state.engine import StreamEngine, WindowConfig, \
     emitted_to_frame
