@@ -461,3 +461,35 @@ def ctw_roles(roles: Sequence[str], max_depth: int = 6) -> float:
     syms = [ROLE_TO_SYM.get(r) for r in roles]
     return ctw_bits_per_base(syms, max_depth=max_depth,
                              symbol_map={i: i for i in range(4)}, m=4)
+
+
+# char-class CTW: the reference's CTW runs over the window's full byte
+# sequence (fw.rs:92 on the window seq); the transcript analogue maps each
+# text byte to a 4-class alphabet (alpha/digit/space/other) and codes the
+# window's concatenated class stream. m=4, beta=0.5, same node math.
+_TEXT_CLASS_LUT = {}
+for _b in range(256):
+    if (65 <= _b <= 90) or (97 <= _b <= 122):
+        _TEXT_CLASS_LUT[_b] = 0      # alpha
+    elif 48 <= _b <= 57:
+        _TEXT_CLASS_LUT[_b] = 1      # digit
+    elif _b in (32, 9, 10, 13):
+        _TEXT_CLASS_LUT[_b] = 2      # whitespace
+    else:
+        _TEXT_CLASS_LUT[_b] = 3      # other
+
+
+def text_class_symbols(text: str) -> bytes:
+    """4-class symbol bytes for a text (alpha/digit/space/other)."""
+    return bytes(_TEXT_CLASS_LUT[b]
+                 for b in text.encode("utf-8", "surrogatepass"))
+
+
+def ctw_text_classes(texts, max_depth: int = 6) -> float:
+    """CTW bits/char over the concatenated 4-class stream of ``texts``
+    (ordered). Empty input -> 0.0."""
+    syms: list[int] = []
+    for t in texts:
+        syms.extend(text_class_symbols(t))
+    return ctw_bits_per_base(syms, max_depth=max_depth,
+                             symbol_map={i: i for i in range(4)}, m=4)

@@ -488,6 +488,30 @@ def q_tumbling_ctw(sf_dir: str):
     return _round6(pdf, ["ctw_roles_bpb"])
 
 
+def q_tumbling_ctw_text(sf_dir: str):
+    """Char-class CTW over each window's ordered text — the reference's
+    per-character dominant cost (fw.rs:92); order-dependent, no SQL."""
+    from ..stages.window_stats import window_stats
+    ds = read_transcripts(sf_dir)
+    out = window_stats(ds, SIZE_US, profile="full", ctw_depth=-1,
+                       ctw_text=True).to_pandas()
+    out = out[["conv_id", "window_start", "n_chars", "ctw_text_bpb"]].copy()
+    return _round6(out, ["ctw_text_bpb"])
+
+
+def q_stream_metrics(sf_dir: str):
+    """Per-partition streaming metrics (rows_in, late/dup drops, windows
+    emitted) from the stateful engine replay."""
+    from ..state.engine import WindowConfig
+    from ..state.runner import stateful_metrics
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "role", "ts"])
+    cfg = WindowConfig(kind="tumbling", size_us=SIZE_US, profile="counts",
+                       lateness_us=3600 * 1_000_000)
+    out = stateful_metrics(ds, cfg, num_buckets=16)
+    return out.select_columns(["partition", "rows_in", "late_dropped",
+                               "dup_dropped", "windows_emitted"])
+
+
 def q_multimodal_features(sf_dir: str):
     from ..stages.multimodal import media_pipeline
     _, feats = media_pipeline(_docs(sf_dir, ["doc_id", "text"]))
@@ -523,6 +547,8 @@ def build_queries() -> dict:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         "tumbling_ctw": q_tumbling_ctw,
+        "tumbling_ctw_text": q_tumbling_ctw_text,
+        "stream_metrics": q_stream_metrics,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -40,7 +40,7 @@ STATS_COLUMNS = [
     "sys_asst_share", "sys_asst_skew", "user_tool_skew", "masked_share",
     "role_entropy", "n_chars", "char_entropy",
     "bigram_diversity", "trigram_diversity", "quadgram_diversity",
-    "bigram_rate", "ctw_roles_bpb",
+    "bigram_rate", "ctw_roles_bpb", "ctw_text_bpb",
 ]
 
 ROLE_ORDER = ["user", "assistant", "system", "tool", "other"]
@@ -158,8 +158,10 @@ class BucketWindowStats:
 
     def __init__(self, profile: str = "full", ctw_depth: int = 6,
                  bigram: str = '"k', window_size_us: int | None = None,
-                 step_us: int | None = None, offset_us: int = 0):
+                 step_us: int | None = None, offset_us: int = 0,
+                 ctw_text: bool = False):
         self.profile = profile
+        self.ctw_text = ctw_text
         self.ctw_depth = ctw_depth
         self.bigram = bigram
         self.window_size_us = window_size_us
@@ -255,7 +257,7 @@ class BucketWindowStats:
         if self.profile == "counts" or "text" not in df.columns:
             for col in ("char_entropy", "bigram_diversity",
                         "trigram_diversity", "quadgram_diversity",
-                        "bigram_rate", "ctw_roles_bpb"):
+                        "bigram_rate", "ctw_roles_bpb", "ctw_text_bpb"):
                 out[col] = np.zeros(G, dtype=np.float64)
             out["n_chars"] = np.zeros(G, dtype=np.int64)
             return pd.DataFrame(out)[STATS_COLUMNS]
@@ -329,6 +331,34 @@ class BucketWindowStats:
         else:
             out["ctw_roles_bpb"] = np.zeros(G, dtype=np.float64)
 
+        # char-class CTW over ordered window text (opt-in; the reference's
+        # per-character dominant cost, fw.rs:92 over the window sequence)
+        if self.ctw_text:
+            order = np.lexsort(
+                ((df["turn_uid"].to_numpy() if "turn_uid" in df.columns
+                  else np.arange(len(df))), ts_int, codes))
+            codes_s = codes[order]
+            texts_s = texts[order]
+            start = np.searchsorted(codes_s, np.arange(G))
+            stop = np.searchsorted(codes_s, np.arange(G), side="right")
+            tctw = np.zeros(G, dtype=np.float64)
+            tcache: dict[bytes, float] = getattr(self, "_tctw_cache", None) or {}
+            self._tctw_cache = tcache
+            for gi in range(G):
+                blob = "".join(texts_s[start[gi]:stop[gi]])
+                skey = K.text_class_symbols(blob)
+                v = tcache.get(skey)
+                if v is None:
+                    v = K.ctw_bits_per_base(
+                        list(skey), max_depth=self.ctw_depth,
+                        symbol_map={i: i for i in range(4)}, m=4)
+                    if len(tcache) < 1_000_000:
+                        tcache[skey] = v
+                tctw[gi] = v
+            out["ctw_text_bpb"] = tctw
+        else:
+            out["ctw_text_bpb"] = np.zeros(G, dtype=np.float64)
+
         return pd.DataFrame(out)[STATS_COLUMNS]
 
 
@@ -385,7 +415,7 @@ def turn_window_counts(ds, w_turns: int, num_buckets: int = 64):
 def window_stats(ds, size_us: int, step_us: int | None = None,
                  offset_us: int = 0, profile: str = "full",
                  num_buckets: int = 64, ctw_depth: int = 6,
-                 bigram: str = '"k'):
+                 bigram: str = '"k', ctw_text: bool = False):
     """End-to-end windowed stats over a transcript Dataset.
 
     Tumbling when ``step_us`` is None or == size_us, else sliding
@@ -398,7 +428,8 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
     ds = add_bucket(ds, num_buckets)
     inst = BucketWindowStats(profile=profile, ctw_depth=ctw_depth,
                              bigram=bigram, window_size_us=size_us,
-                             step_us=step_us or size_us, offset_us=offset_us)
+                             step_us=step_us or size_us, offset_us=offset_us,
+                             ctw_text=ctw_text)
 
     def bucket_window_stats(df: pd.DataFrame) -> pd.DataFrame:
         return inst(df)

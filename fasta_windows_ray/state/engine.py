@@ -56,6 +56,7 @@ class WindowConfig:
     ctw_depth: int = 6
     profile: str = "full"
     custom_aggs: tuple = ()             # functions.registry names
+    ctw_text: bool = False              # char-class CTW over window text
 
     def starts_for(self, ts: int) -> list[int]:
         if self.kind == "tumbling":
@@ -73,7 +74,7 @@ class _WindowAcc:
     """Rolling accumulation for one open (conv_id, window_start)."""
 
     __slots__ = ("role_counts", "masked", "char_counts", "kgram", "big_cnt",
-                 "n_chars", "turns", "custom")
+                 "n_chars", "turns", "texts", "custom")
 
     def __init__(self):
         self.role_counts = [0] * 5
@@ -83,6 +84,7 @@ class _WindowAcc:
         self.big_cnt = 0
         self.n_chars = 0
         self.turns: list[tuple] = []    # (ts, turn_uid, role) ordered by arrival
+        self.texts: dict = {}           # (ts, turn_uid) -> text (ctw_text only)
         self.custom: dict | None = None # custom-aggregate states (lazy)
 
     def add(self, ts: int, turn_uid, role: str, text: str, tool: str,
@@ -91,6 +93,8 @@ class _WindowAcc:
         if tool:
             self.masked += 1
         self.turns.append((ts, turn_uid, role))
+        if cfg.ctw_text:
+            self.texts[(ts, turn_uid)] = text
         if cfg.custom_aggs:
             from ..functions import registry
             if self.custom is None:
@@ -122,6 +126,8 @@ class _WindowAcc:
         if tool:
             self.masked -= 1
         self.turns.remove((ts, turn_uid, role))
+        if cfg.ctw_text:
+            self.texts.pop((ts, turn_uid), None)
         if cfg.custom_aggs and self.custom is not None:
             from ..functions import registry
             row = {"ts": ts, "turn_uid": turn_uid, "role": role,
@@ -185,6 +191,9 @@ class _WindowAcc:
         row["ctw_roles_bpb"] = (K.ctw_roles([r for _, _, r in turns],
                                             cfg.ctw_depth)
                                 if cfg.profile in ("full", "fast") else 0.0)
+        row["ctw_text_bpb"] = (K.ctw_text_classes(
+            [self.texts[(t0, t1)] for t0, t1, _ in turns], cfg.ctw_depth)
+            if cfg.ctw_text else 0.0)
         if cfg.custom_aggs:
             from ..functions import registry
             for n in cfg.custom_aggs:

@@ -51,6 +51,27 @@ def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64):
                                            batch_format="pandas")
 
 
+def stateful_metrics(ds, cfg: WindowConfig, num_buckets: int = 64):
+    """Per-partition engine metrics (rows_in, late_dropped, dup_dropped,
+    windows/sessions emitted) — the north rule's per-partition metrics
+    surface, computed by the same bucket replay."""
+    ds = add_bucket(ds, num_buckets)
+
+    def replay_metrics(df: pd.DataFrame) -> pd.DataFrame:
+        order = ["ts"] + [c for c in ("turn_uid", "turn_idx")
+                          if c in df.columns]
+        df = df.sort_values(order, kind="stable").reset_index(drop=True)
+        eng = StreamEngine(cfg, int(df["bucket"].iloc[0]) if len(df) else 0)
+        eng.process_rows(df)
+        eng.flush()
+        m = eng.metrics.as_dict()
+        m["partition"] = eng.partition_id
+        return pd.DataFrame([m])
+
+    return ds.groupby("bucket").map_groups(replay_metrics,
+                                           batch_format="pandas")
+
+
 @ray.remote
 class PartitionActor:
     """Owns one partition's StreamEngine + sink. Raw actor by design —

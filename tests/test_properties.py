@@ -1,0 +1,78 @@
+"""Hypothesis property tests for the core invariants."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from fasta_windows_ray import kernels as K
+from fasta_windows_ray.state.engine import WindowConfig, _WindowAcc
+from fasta_windows_ray.windows import session_ids, sliding_starts_expand, \
+    tumbling_start
+
+texts = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0, max_size=40)
+
+
+@given(st.lists(texts, min_size=0, max_size=8), st.integers(2, 4))
+@settings(max_examples=50, deadline=None)
+def test_kgram_vectorized_equals_scalar(ts, k):
+    merged: dict = {}
+    for t in ts:
+        for kg, c in K.kgram_counts(t, k, skip_char=None).items():
+            merged[kg] = merged.get(kg, 0) + c
+    assert K.kgram_counts_vectorized(ts, k) == merged
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), texts), min_size=1, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_add_evict_roundtrip(rows):
+    """Adding then evicting any turn leaves the accumulator bit-identical
+    (the rolling-update validity invariant, F19 generalised)."""
+    cfg = WindowConfig(custom_aggs=("total_text_chars",))
+    roles = ["user", "assistant", "system", "tool"]
+    base = [(1_000 + i, i, roles[r], t, "") for i, (r, t) in enumerate(rows)]
+    a, b = _WindowAcc(), _WindowAcc()
+    for r in base:
+        a.add(*r, cfg)
+        b.add(*r, cfg)
+    extra = (9_999, 99, "tool", "EXTRA turn text 123", "grep")
+    b.add(*extra, cfg)
+    b.evict(*extra, cfg)
+    assert a.finalize("c", 0, 10_000, cfg) == b.finalize("c", 0, 10_000, cfg)
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=50),
+       st.integers(1, 1000))
+@settings(max_examples=50, deadline=None)
+def test_tumbling_assignment_invariant(xs, size):
+    ws = tumbling_start(np.asarray(xs), size)
+    assert ((ws <= xs) & (np.asarray(xs) < ws + size)).all()
+    assert (ws % size == 0).all()
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30),
+       st.integers(1, 500), st.integers(1, 4))
+@settings(max_examples=50, deadline=None)
+def test_sliding_covers_exactly(xs, step, c):
+    size = step * c
+    rows, starts = sliding_starts_expand(np.asarray(xs), size, step)
+    # every emitted (row, start) covers the row's value
+    vals = np.asarray(xs)[rows]
+    assert ((starts <= vals) & (vals < starts + size)).all()
+    # every row appears in at most c windows, and in exactly c when far
+    # enough from the origin
+    counts = np.bincount(rows, minlength=len(xs))
+    assert (counts <= c).all()
+    far = np.asarray(xs) >= size
+    assert (counts[far] == c).all()
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+       st.integers(1, 10**5))
+@settings(max_examples=50, deadline=None)
+def test_session_ids_gap_invariant(ts, gap):
+    t = np.sort(np.asarray(ts))
+    sid = session_ids(t, gap)
+    assert sid[0] == 0
+    d = np.diff(t)
+    brk = np.diff(sid)
+    assert ((brk == 1) == (d > gap)).all()
