@@ -107,3 +107,62 @@ def read_output(root: str) -> pd.DataFrame:
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Resumable partitioned batch sink (one directory per key-range partition)
+# ---------------------------------------------------------------------------
+
+def write_partitioned(ds, root: str, partition_col: str = "bucket"):
+    """Write a bucketed Dataset as one atomically-committed parquet file
+    per partition, skipping partitions a previous (possibly failed) run
+    already committed.
+
+    Layout: ``{root}/part={p}/data.parquet`` + ``.done`` marker written
+    AFTER the parquet rename — a rerun recomputes only partitions without
+    a marker. Returns a pandas DataFrame (partition, n_rows, skipped).
+    The write happens inside the per-partition task (distributed), never
+    on the driver.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+
+    def write_partition(df: pd.DataFrame) -> pd.DataFrame:
+        p = int(df[partition_col].iloc[0]) if len(df) else -1
+        pdir = os.path.join(root, f"part={p}")
+        done = os.path.join(pdir, ".done")
+        if os.path.exists(done):
+            return pd.DataFrame([{"partition": p, "n_rows": 0,
+                                  "skipped": True}])
+        os.makedirs(pdir, exist_ok=True)
+        out = df.drop(columns=[partition_col])
+        tmp = os.path.join(pdir, "data.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        with open(done + ".tmp", "w") as f:
+            f.write(str(len(out)))
+        os.replace(done + ".tmp", done)
+        return pd.DataFrame([{"partition": p, "n_rows": len(out),
+                              "skipped": False}])
+
+    return ds.groupby(partition_col).map_groups(write_partition,
+                                                batch_format="pandas")
+
+
+def read_partitioned(root: str):
+    """All committed partitions (directories with a .done marker)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    frames = []
+    for name in sorted(os.listdir(root)):
+        pdir = os.path.join(root, name)
+        if name.startswith("part=") and os.path.exists(
+                os.path.join(pdir, ".done")):
+            frames.append(pq.read_table(
+                os.path.join(pdir, "data.parquet")).to_pandas())
+    return (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame())

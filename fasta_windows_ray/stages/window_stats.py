@@ -45,6 +45,26 @@ STATS_COLUMNS = [
 
 ROLE_ORDER = ["user", "assistant", "system", "tool", "other"]
 
+_STATS_DTYPES = {
+    "conv_id": object, "window_start": "datetime64[us]",
+    "window_end": "datetime64[us]", "last_ts": "datetime64[us]",
+    "n_turns": np.int64, "n_user": np.int64, "n_assistant": np.int64,
+    "n_system": np.int64, "n_tool": np.int64, "n_other": np.int64,
+    "sys_asst_share": np.float64, "sys_asst_skew": np.float64,
+    "user_tool_skew": np.float64, "masked_share": np.float64,
+    "role_entropy": np.float64, "n_chars": np.int64,
+    "char_entropy": np.float64, "bigram_diversity": np.float64,
+    "trigram_diversity": np.float64, "quadgram_diversity": np.float64,
+    "bigram_rate": np.float64, "ctw_roles_bpb": np.float64,
+    "ctw_text_bpb": np.float64,
+}
+
+
+def empty_stats_frame() -> pd.DataFrame:
+    """Typed empty block so empty groups don't emit schema-less bundles."""
+    return pd.DataFrame({c: pd.Series(dtype=t)
+                         for c, t in _STATS_DTYPES.items()})
+
 
 def stable_bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket per string value (crc32)."""
@@ -191,7 +211,7 @@ class BucketWindowStats:
         from .. import kernels as K
 
         if len(df) == 0:
-            return pd.DataFrame({c: [] for c in STATS_COLUMNS})
+            return empty_stats_frame()
         if self.step_us is not None or "window_start" not in df.columns:
             df = self._assign_windows(df)
 

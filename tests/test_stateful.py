@@ -199,3 +199,33 @@ def test_snapshot_roundtrip():
     pre = eng3.emitted
     restored_total = pre + eng2.emitted
     assert canon(emitted_to_frame(restored_total, "tumbling")).equals(full)
+
+
+def test_partitioned_batch_sink_resume(ray_session, tmp_path):
+    """Batch-path resumable output: committed partitions are skipped on
+    rerun; uncommitted ones are recomputed (SURVEY.md resumable-output)."""
+    import os
+
+    import ray.data as rd
+
+    from fasta_windows_ray.sinks import read_partitioned, write_partitioned
+    from fasta_windows_ray.stages.window_stats import add_bucket, window_stats
+
+    t = make_transcripts(n_convs=8, mean_turns=30, seed=51)
+    stats = window_stats(rd.from_arrow(t), 20 * S, num_buckets=4)
+    bucketed = add_bucket(stats, 4)
+    root = str(tmp_path / "parts")
+    res1 = write_partitioned(bucketed, root).to_pandas()
+    assert not res1["skipped"].any()
+    full = read_partitioned(root)
+    assert len(full) > 0
+
+    # simulate a partial failure: remove one partition's commit marker
+    victims = [d for d in os.listdir(root) if d.startswith("part=")][:1]
+    os.remove(os.path.join(root, victims[0], ".done"))
+    res2 = write_partitioned(bucketed, root).to_pandas()
+    assert res2["skipped"].sum() == 3      # 3 committed partitions skipped
+    assert (~res2["skipped"]).sum() == 1   # 1 recomputed
+    full2 = read_partitioned(root)
+    pd.testing.assert_frame_equal(
+        canon(full), canon(full2))
