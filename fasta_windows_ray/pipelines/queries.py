@@ -42,10 +42,20 @@ def _nan_sentinel(df: pd.DataFrame, cols) -> pd.DataFrame:
     return df
 
 
+_STATS_CACHE: dict = {}
+
+
 def _full_stats_pdf(sf_dir: str, profile: str = "full") -> pd.DataFrame:
-    from ..stages.window_stats import window_stats
-    ds = read_transcripts(sf_dir)
-    return window_stats(ds, SIZE_US, profile=profile, bigram=BIGRAM).to_pandas()
+    """Shared by three queries (stats / char-entropy / ctw views) —
+    computed once per (sf_dir, profile) within a driver session."""
+    key = (sf_dir, profile)
+    if key not in _STATS_CACHE:
+        from ..stages.window_stats import window_stats
+        ds = read_transcripts(sf_dir)
+        _STATS_CACHE.clear()            # keep at most one sf in memory
+        _STATS_CACHE[key] = window_stats(ds, SIZE_US, profile=profile,
+                                         bigram=BIGRAM).to_pandas()
+    return _STATS_CACHE[key].copy()
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,17 @@ CTW (order-dependent, kmeru8.rs:170-319) is computed at emission from the
 window's ordered role sequence kept in the ring buffer — it is the one
 stat that cannot be rolled, exactly as SURVEY.md §2.3 A11 records.
 
+Rolling-update note: for sliding windows this engine incorporates each
+arriving turn incrementally into EVERY window covering it (c = size/step
+histogram adds per turn) rather than maintaining one histogram and
+evicting on advance. Under bounded out-of-orderness this is the same
+incremental trick — no window is ever recomputed from raw turns — while
+staying correct for late-but-in-bounds arrivals that an already-advanced
+single accumulator could not accept. ``_WindowAcc.evict`` is the exact
+inverse of ``add`` (pytest F19 + hypothesis roundtrip), so the classic
+evict-on-advance variant is available to state stores that want O(1)
+histograms per key.
+
 Partitioning contract: one ``StreamEngine`` instance owns a hash
 partition of conv_ids; rows must arrive partition-ordered by event-log
 order (bounded disorder allowed up to ``lateness_us``).
