@@ -19,3 +19,27 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001", profile: str = "full",
     ds = read_transcripts(sf_dir)
     return window_stats(ds, size_us, step_us=step_us, profile=profile,
                         num_buckets=num_buckets, bigram=BIGRAM)
+
+
+def full_run(sf_dir: str, out_dir: str, size_us: int = SIZE_US,
+             num_buckets: int = 16):
+    """The complete north-star chain: read → window stats → stateful join
+    of window results back onto turns → resumable partitioned sink.
+
+    Returns the sink's (partition, n_rows, skipped) report. Re-running
+    after a partial failure recomputes only uncommitted partitions.
+    """
+    from ..sinks import write_partitioned
+    from ..stages.join_back import join_back_broadcast
+    from ..stages.window_stats import add_bucket
+
+    stats = flagship(sf_dir, profile="counts", size_us=size_us,
+                     num_buckets=num_buckets)
+    stats_pdf = stats.to_pandas()[["conv_id", "window_start", "n_turns",
+                                   "role_entropy"]]
+    stats_pdf = stats_pdf.rename(columns={"n_turns": "w_n_turns",
+                                          "role_entropy": "w_role_entropy"})
+    turns = read_transcripts(sf_dir)
+    joined = join_back_broadcast(turns, stats_pdf, size_us,
+                                 ["w_n_turns", "w_role_entropy"])
+    return write_partitioned(add_bucket(joined, num_buckets), out_dir)

@@ -434,8 +434,57 @@ def q_stateful_session_windows(sf_dir: str):
     from ..state.engine import WindowConfig
     from ..state.runner import stateful_window_run
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
-    cfg = WindowConfig(kind="session", gap_us=SESSION_GAP_US)
-    return stateful_window_run(ds, cfg, num_buckets=16)
+    cfg = WindowConfig(kind="session", gap_us=SESSION_GAP_US,
+                       profile="counts")
+    out = stateful_window_run(ds, cfg, num_buckets=16)
+    return out.select_columns(["conv_id", "session_start", "session_end",
+                               "n_turns"])
+
+
+def q_session_window_stats(sf_dir: str):
+    """Full per-session stats (role + char entropy) via the stateful
+    engine — gap windows with the same histogram math as fixed windows."""
+    from ..state.engine import WindowConfig
+    from ..state.runner import stateful_window_run
+    ds = read_transcripts(sf_dir)
+    cfg = WindowConfig(kind="session", gap_us=SESSION_GAP_US, profile="full",
+                       ctw_depth=-1)
+    out = stateful_window_run(ds, cfg, num_buckets=16).to_pandas()
+    out = out[["conv_id", "session_start", "session_end", "n_turns",
+               "n_chars", "role_entropy", "char_entropy"]].copy()
+    return _round6(out, ["role_entropy", "char_entropy"])
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH t AS ({_T}),
+x AS (SELECT conv_id, ts, turn_uid, role, text,
+  CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+       THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_uid)),
+s AS (SELECT conv_id, ts, role, text,
+  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+base AS (SELECT conv_id, sess, min(ts) AS session_start,
+    max(ts) AS session_end, count(*) AS n_turns,
+    sum(length(text)) AS n_chars
+  FROM s GROUP BY 1, 2),
+re AS (SELECT conv_id, sess, -sum(p*log2(p)) AS role_entropy FROM (
+    SELECT conv_id, sess,
+      count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, sess) p
+    FROM s GROUP BY conv_id, sess, role) GROUP BY 1, 2),
+ch AS (SELECT conv_id, sess, substr(upper(text), i, 1) AS c2
+    FROM s, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)),
+cc AS (SELECT conv_id, sess, c2, count(*)::DOUBLE c FROM ch GROUP BY 1,2,3),
+ct AS (SELECT conv_id, sess, sum(c) AS tot FROM cc GROUP BY 1,2),
+ce AS (SELECT cc.conv_id, cc.sess, -sum((c/tot)*log2(c/tot)) AS char_entropy
+    FROM cc JOIN ct USING (conv_id, sess) GROUP BY 1,2)
+SELECT base.conv_id, session_start, session_end, n_turns, n_chars,
+  round(role_entropy, 6) AS role_entropy,
+  round(coalesce(char_entropy, 0.0), 6) AS char_entropy
+FROM base JOIN re USING (conv_id, sess)
+LEFT JOIN ce USING (conv_id, sess)
+"""
 
 
 def q_lang_id(sf_dir: str):
@@ -547,6 +596,7 @@ def build_queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "stateful_tumbling_counts": q_stateful_tumbling_counts,
         "stateful_session_windows": q_stateful_session_windows,
+        "session_window_stats": q_session_window_stats,
         "salted_window_counts": q_salted_window_counts,
         "turn_window_counts": q_turn_window_counts,
         # rows-only (non-SQL-expressible semantics)
@@ -578,6 +628,7 @@ def build_oracle_sql() -> dict:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "stateful_tumbling_counts": SQL_TUMBLING_ROLE_COUNTS,
         "stateful_session_windows": SQL_SESSION_WINDOWS,
+        "session_window_stats": SQL_SESSION_WINDOW_STATS,
         "salted_window_counts": SQL_SALTED_WINDOW_COUNTS,
         "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
     }

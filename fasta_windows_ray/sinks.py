@@ -120,9 +120,10 @@ def write_partitioned(ds, root: str, partition_col: str = "bucket"):
 
     Layout: ``{root}/part={p}/data.parquet`` + ``.done`` marker written
     AFTER the parquet rename — a rerun recomputes only partitions without
-    a marker. Returns a pandas DataFrame (partition, n_rows, skipped).
-    The write happens inside the per-partition task (distributed), never
-    on the driver.
+    a marker. EAGER (a sink must sink): executes the writes and returns
+    the small (partition, n_rows, skipped) report as pandas. The writes
+    happen inside the per-partition tasks (distributed), never on the
+    driver.
     """
     import pandas as pd
     import pyarrow as pa
@@ -148,8 +149,8 @@ def write_partitioned(ds, root: str, partition_col: str = "bucket"):
         return pd.DataFrame([{"partition": p, "n_rows": len(out),
                               "skipped": False}])
 
-    return ds.groupby(partition_col).map_groups(write_partition,
-                                                batch_format="pandas")
+    return ds.groupby(partition_col).map_groups(
+        write_partition, batch_format="pandas").to_pandas()
 
 
 def read_partitioned(root: str):

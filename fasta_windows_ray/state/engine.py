@@ -281,7 +281,8 @@ class StreamEngine:
             tool = str(get["tool"][i]) if "tool" in get else ""
 
             if cfg.kind == "session":
-                self._ingest_session(conv, ts, out)
+                self._ingest_session(conv, ts, int(uid), role, text, tool,
+                                     out)
             else:
                 for s in cfg.starts_for(ts):
                     key = (conv, s)
@@ -300,24 +301,27 @@ class StreamEngine:
         self.emitted.extend(out)
         return out
 
-    def _ingest_session(self, conv: str, ts: int, out: list[dict]):
+    def _ingest_session(self, conv: str, ts: int, uid: int, role: str,
+                        text: str, tool: str, out: list[dict]):
         st = self.sessions.get(conv)
-        if st is None:
-            self.sessions[conv] = [ts, ts, 1]
-        elif ts - st[1] > self.cfg.gap_us:
+        if st is not None and ts - st[1] > self.cfg.gap_us:
             out.append(self._session_row(conv, st))
-            self.sessions[conv] = [ts, ts, 1]
-        else:
-            st[1] = max(st[1], ts)
-            st[0] = min(st[0], ts)
-            st[2] += 1
+            st = None
+        if st is None:
+            st = self.sessions[conv] = [ts, ts, _WindowAcc()]
+        st[0] = min(st[0], ts)
+        st[1] = max(st[1], ts)
+        st[2].add(ts, uid, role, text, tool, self.cfg)
 
     def _session_row(self, conv: str, st: list) -> dict:
+        """Full stats over the session's turns; session bounds are the
+        observed first/last ts (gap-based windows have no fixed size)."""
         self.metrics.sessions_emitted += 1
-        return {"conv_id": conv,
-                "session_start": np.datetime64(st[0], "us"),
-                "session_end": np.datetime64(st[1], "us"),
-                "n_turns": st[2]}
+        row = st[2].finalize(conv, st[0], st[1], self.cfg)
+        row["session_start"] = row.pop("window_start")
+        row["session_end"] = row.pop("window_end")
+        del row["last_ts"]
+        return row
 
     def _drain(self, out: list[dict]):
         cfg = self.cfg
@@ -386,7 +390,12 @@ class StreamEngine:
 def emitted_to_frame(rows: list[dict], kind: str,
                      extra_cols: tuple = ()) -> pd.DataFrame:
     if kind == "session":
-        cols = ["conv_id", "session_start", "session_end", "n_turns"]
+        base = ["conv_id", "session_start", "session_end", "n_turns"]
+        if rows and len(rows[0]) > len(base):
+            cols = base + [c for c in STATS_COLUMNS
+                           if c in rows[0] and c not in base] + list(extra_cols)
+        else:
+            cols = base
     else:
         cols = STATS_COLUMNS + list(extra_cols)
     if not rows:

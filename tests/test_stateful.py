@@ -128,7 +128,8 @@ def test_session_stateful_matches_sessions_stage(ray_session):
                             num_buckets=4).to_pandas())
     cfg = WindowConfig(kind="session", gap_us=60 * S)
     b = canon(stateful_window_run(rd.from_arrow(t), cfg,
-                                  num_buckets=4).to_pandas())
+                                  num_buckets=4).to_pandas()[
+        ["conv_id", "session_start", "session_end", "n_turns"]])
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
@@ -215,7 +216,7 @@ def test_partitioned_batch_sink_resume(ray_session, tmp_path):
     stats = window_stats(rd.from_arrow(t), 20 * S, num_buckets=4)
     bucketed = add_bucket(stats, 4)
     root = str(tmp_path / "parts")
-    res1 = write_partitioned(bucketed, root).to_pandas()
+    res1 = write_partitioned(bucketed, root)
     assert not res1["skipped"].any()
     full = read_partitioned(root)
     assert len(full) > 0
@@ -223,7 +224,7 @@ def test_partitioned_batch_sink_resume(ray_session, tmp_path):
     # simulate a partial failure: remove one partition's commit marker
     victims = [d for d in os.listdir(root) if d.startswith("part=")][:1]
     os.remove(os.path.join(root, victims[0], ".done"))
-    res2 = write_partitioned(bucketed, root).to_pandas()
+    res2 = write_partitioned(bucketed, root)
     assert res2["skipped"].sum() == 3      # 3 committed partitions skipped
     assert (~res2["skipped"]).sum() == 1   # 1 recomputed
     full2 = read_partitioned(root)
