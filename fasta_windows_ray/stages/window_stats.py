@@ -191,39 +191,48 @@ class BucketWindowStats:
         # keyed by the symbol bytes. Bounded to keep actor heap flat.
         self._ctw_cache: dict[bytes, float] = {}
 
-    def _assign_windows(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Window assignment INSIDE the bucket task: the shuffle moves raw
-        turns only; the sliding c-fold row fan-out happens post-exchange,
-        in parallel, instead of multiplying shuffle bytes."""
-        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        size, step = self.window_size_us, self.step_us
-        if step is None or step == size:
-            ws = tumbling_start(ts, size, self.offset_us)
-            df = df.copy(deep=False)
-            df["window_start"] = ws.astype("datetime64[us]")
-            return df
-        rows, starts = sliding_starts_expand(ts, size, step, self.offset_us)
-        df = df.iloc[rows].copy(deep=False)
-        df["window_start"] = starts.astype("datetime64[us]")
-        return df.reset_index(drop=True)
-
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from .. import kernels as K
 
         if len(df) == 0:
             return empty_stats_frame()
-        if self.step_us is not None or "window_start" not in df.columns:
-            df = self._assign_windows(df)
 
-        # ---- integer group keys (no pandas object sort / MultiIndex) ----
-        conv_arr = df["conv_id"].to_numpy(dtype=object)
-        ws_int = df["window_start"].astype("datetime64[us]").astype("int64").to_numpy()
-        ts_int = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        cid_codes, cid_uniq = pd.factorize(conv_arr)
-        ws_uniq, ws_inv = np.unique(ws_int, return_inverse=True)
+        # ---- raw-row arrays: everything text-related is computed ONCE
+        # per raw turn; the sliding c-fold fan-out replicates only small
+        # int arrays and char indices, never pandas object columns ----
+        n_raw = len(df)
+        ts_raw = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cid_raw, cid_uniq = pd.factorize(df["conv_id"].to_numpy(dtype=object))
+        if "role" in df.columns:
+            r_codes, r_uniq = pd.factorize(df["role"].to_numpy(dtype=object))
+            r_map = np.asarray([ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
+                                for r in r_uniq], dtype=np.int64)
+            role5_raw = r_map[r_codes]
+        else:
+            role5_raw = np.zeros(n_raw, dtype=np.int64)
+        uid_raw = (df["turn_uid"].to_numpy() if "turn_uid" in df.columns
+                   else np.arange(n_raw))
+
+        # ---- window assignment / fan-out: ``rows`` indexes the raw row
+        # behind each emitted (row, window) membership pair ----
+        size = self.window_size_us or 0
+        step = self.step_us
+        if step is None and "window_start" in df.columns:
+            rows = np.arange(n_raw)
+            ws_e = df["window_start"].astype("datetime64[us]") \
+                .astype("int64").to_numpy()
+        elif step is None or step == size:
+            rows = np.arange(n_raw)
+            ws_e = tumbling_start(ts_raw, size, self.offset_us)
+        else:
+            rows, ws_e = sliding_starts_expand(ts_raw, size, step,
+                                               self.offset_us)
+        cid_e = cid_raw[rows]
+        ts_e = ts_raw[rows]
+        ws_uniq, ws_inv = np.unique(ws_e, return_inverse=True)
         K1 = np.int64(len(ws_uniq))
-        gkey = cid_codes.astype(np.int64) * K1 + ws_inv
-        ukey, codes = np.unique(gkey, return_inverse=True)
+        ukey, codes = np.unique(cid_e.astype(np.int64) * K1 + ws_inv,
+                                return_inverse=True)
         G = len(ukey)
         n_turns = np.bincount(codes, minlength=G).astype(np.int64)
 
@@ -233,21 +242,17 @@ class BucketWindowStats:
         }
         out_ws = ws_uniq.take(ukey % K1)
         out["window_start"] = out_ws.astype("datetime64[us]")
-        size = self.window_size_us or 0
         out["window_end"] = (out_ws + size).astype("datetime64[us]")
         # last event actually inside the window: the event-time analogue of
         # the reference's end-clamp (fw.rs:130-144) — for the trailing
         # partial window, last_ts < window_end (issue #8/#9 conformance)
         last = np.zeros(G, dtype=np.int64)
-        np.maximum.at(last, codes, ts_int)
+        np.maximum.at(last, codes, ts_e)
         out["last_ts"] = last.astype("datetime64[us]")
 
         # ---- role histogram stats (A1-A6 analogues), one bincount ----
-        r_codes, r_uniq = pd.factorize(df["role"].to_numpy(dtype=object))
-        r_map = np.asarray([ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
-                            for r in r_uniq], dtype=np.int64)
-        role5 = r_map[r_codes]
-        role_counts = np.bincount(codes * 5 + role5,
+        role5_e = role5_raw[rows]
+        role_counts = np.bincount(codes * 5 + role5_e,
                                   minlength=G * 5).reshape(G, 5)
         a, c, g, t = (role_counts[:, i].astype(np.float64) for i in range(4))
         out.update({
@@ -261,7 +266,7 @@ class BucketWindowStats:
             out["user_tool_skew"] = (a - t) / (a + t)
         if "tool" in df.columns:
             has_tool = (df["tool"].to_numpy(dtype=object) != "").astype(np.int64)
-            masked = np.bincount(codes, weights=has_tool, minlength=G)
+            masked = np.bincount(codes, weights=has_tool[rows], minlength=G)
         else:
             masked = np.zeros(G)
         out["masked_share"] = masked / n_turns.astype(np.float64)
@@ -282,58 +287,84 @@ class BucketWindowStats:
             out["n_chars"] = np.zeros(G, dtype=np.int64)
             return pd.DataFrame(out)[STATS_COLUMNS]
 
-        # ---- text-level stats ----
-        texts = df["text"].fillna("").to_numpy(dtype=object)
-        blob = "".join(texts)  # ascii corpus (validated in tests)
-        bytes_arr = np.frombuffer(blob.encode("utf-8", "surrogatepass"),
+        # ---- text-level stats over the RAW byte corpus (joined once) ----
+        texts_raw = df["text"].fillna("").to_numpy(dtype=object)
+        blob = "".join(texts_raw)  # ascii corpus (validated in tests)
+        bytes_raw = np.frombuffer(blob.encode("utf-8", "surrogatepass"),
                                   dtype=np.uint8)
-        lens = np.fromiter(map(len, texts), dtype=np.int64, count=len(texts))
-        bounds = np.concatenate([[0], np.cumsum(lens)])
-        codes_per_char = np.repeat(codes, lens)
-        upper = _ascii_upper(bytes_arr)
+        lens_raw = np.fromiter(map(len, texts_raw), dtype=np.int64,
+                               count=n_raw)
+        bounds_raw = np.concatenate([[0], np.cumsum(lens_raw)])
+        upper_raw = _ascii_upper(bytes_raw)
 
-        n_chars = np.bincount(codes, weights=lens, minlength=G).astype(np.int64)
+        # gather map: expanded char -> raw byte index
+        le = lens_raw[rows]
+        tot = int(le.sum())
+        cum = np.cumsum(le) - le
+        within = np.arange(tot, dtype=np.int64) - np.repeat(cum, le)
+        char_idx = within + np.repeat(bounds_raw[rows], le)
+        codes_per_char = np.repeat(codes, le)
+
+        n_chars = np.bincount(codes, weights=le, minlength=G).astype(np.int64)
         out["n_chars"] = n_chars
         denom = n_chars.astype(np.float64).copy()
         denom[denom == 0] = 1.0
 
         # char entropy: 256-class over upper-cased bytes (A7 analogue)
-        ckey = codes_per_char * 256 + upper
+        ckey = codes_per_char * 256 + upper_raw[char_idx]
         uk, cnt = np.unique(ckey, return_counts=True)
         out["char_entropy"] = _segment_entropy(
             (uk >> 8).astype(np.int64), cnt, G, denom)
 
-        # k-gram diversity, k = 2,3,4 in one pass over the same buffers (A10)
+        # k-gram diversity k=2,3,4 (A10): ranks computed ONCE on the raw
+        # bytes, gathered per window membership; k-grams never cross turn
+        # boundaries (within-row offset mask)
+        le_rep = np.repeat(le, le)
+        nb = len(bytes_raw)
         for k, name in ((2, "bigram_diversity"), (3, "trigram_diversity"),
                         (4, "quadgram_diversity")):
-            out[name] = _kgram_diversity_per_group(
-                codes_per_char, upper, bounds, k, G)
+            if nb < k:
+                out[name] = np.zeros(G, dtype=np.float64)
+                continue
+            r = upper_raw[: nb - k + 1].astype(np.int64)
+            for j in range(1, k):
+                r = r * 256 + upper_raw[j: nb - k + 1 + j]
+            mask = within <= le_rep - k
+            if not mask.any():
+                out[name] = np.zeros(G, dtype=np.float64)
+                continue
+            key = codes_per_char[mask] * (1 << 40) + r[char_idx[mask]]
+            uk2, cnt2 = np.unique(key, return_counts=True)
+            gc2 = (uk2 >> 40).astype(np.int64)
+            total = np.bincount(gc2, weights=cnt2, minlength=G)
+            total[total == 0] = 1.0
+            out[name] = _segment_entropy(gc2, cnt2, G, total)
 
-        # designated-bigram rate (A9 CpG analogue; non-self-overlapping),
-        # vectorized byte-mask for the 2-byte case, never crossing turns
-        if len(self.bigram) == 2 and len(bytes_arr) >= 2:
+        # designated-bigram rate (A9 CpG analogue; non-self-overlapping):
+        # per-raw-row counts via byte mask, weight-gathered per window
+        if len(self.bigram) == 2 and nb >= 2:
             b0, b1 = (ord(ch) for ch in self.bigram)
-            m = (bytes_arr[:-1] == b0) & (bytes_arr[1:] == b1)
-            ends = bounds[1:] - 1
+            m = (bytes_raw[:-1] == b0) & (bytes_raw[1:] == b1)
+            ends = bounds_raw[1:] - 1
             ends = ends[(ends >= 0) & (ends < len(m))]
             m[ends] = False                      # cross-turn matches
-            bsum = np.bincount(codes_per_char[:-1][m], minlength=G)
+            row_of_pos = np.repeat(np.arange(n_raw), lens_raw)[: len(m)]
+            big_raw = np.bincount(row_of_pos[m], minlength=n_raw)
         else:
-            big = np.fromiter((s.count(self.bigram) for s in texts),
-                              dtype=np.int64, count=len(texts))
-            bsum = np.bincount(codes, weights=big, minlength=G)
+            big_raw = np.fromiter((s.count(self.bigram) for s in texts_raw),
+                                  dtype=np.int64, count=n_raw)
+        bsum = np.bincount(codes, weights=big_raw[rows], minlength=G)
         out["bigram_rate"] = bsum / denom
 
-        # CTW over the window's ordered role sequence (A11; order-dependent,
-        # computed per window with memoization — role sequences repeat)
-        if self.profile in ("full", "fast") and self.ctw_depth >= 0:
-            order = np.lexsort(
-                ((df["turn_uid"].to_numpy() if "turn_uid" in df.columns
-                  else np.arange(len(df))), ts_int, codes))
+        # ---- order-dependent per-window kernels (CTW), memoized ----
+        need_ctw = self.profile in ("full", "fast") and self.ctw_depth >= 0
+        if need_ctw or self.ctw_text:
+            order = np.lexsort((uid_raw[rows], ts_e, codes))
             codes_s = codes[order]
-            sym_arr = np.where(role5 < 4, role5, 255)[order].astype(np.uint8)
             start = np.searchsorted(codes_s, np.arange(G))
             stop = np.searchsorted(codes_s, np.arange(G), side="right")
+        if need_ctw:
+            sym_arr = np.where(role5_e < 4, role5_e, 255)[order].astype(np.uint8)
             ctw = np.zeros(G, dtype=np.float64)
             cache = self._ctw_cache
             idmap = {i: i for i in range(4)}
@@ -354,24 +385,19 @@ class BucketWindowStats:
         # char-class CTW over ordered window text (opt-in; the reference's
         # per-character dominant cost, fw.rs:92 over the window sequence)
         if self.ctw_text:
-            order = np.lexsort(
-                ((df["turn_uid"].to_numpy() if "turn_uid" in df.columns
-                  else np.arange(len(df))), ts_int, codes))
-            codes_s = codes[order]
-            texts_s = texts[order]
-            start = np.searchsorted(codes_s, np.arange(G))
-            stop = np.searchsorted(codes_s, np.arange(G), side="right")
+            raw_s = rows[order]
             tctw = np.zeros(G, dtype=np.float64)
             tcache: dict[bytes, float] = getattr(self, "_tctw_cache", None) or {}
             self._tctw_cache = tcache
+            idmap = {i: i for i in range(4)}
             for gi in range(G):
-                blob = "".join(texts_s[start[gi]:stop[gi]])
-                skey = K.text_class_symbols(blob)
+                wtext = "".join(texts_raw[q] for q in raw_s[start[gi]:stop[gi]])
+                skey = K.text_class_symbols(wtext)
                 v = tcache.get(skey)
                 if v is None:
-                    v = K.ctw_bits_per_base(
-                        list(skey), max_depth=self.ctw_depth,
-                        symbol_map={i: i for i in range(4)}, m=4)
+                    v = K.ctw_bits_per_base(list(skey),
+                                            max_depth=self.ctw_depth,
+                                            symbol_map=idmap, m=4)
                     if len(tcache) < 1_000_000:
                         tcache[skey] = v
                 tctw[gi] = v
