@@ -8,10 +8,12 @@ prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "turns_per_sec": ...}
 
---scaling: runs the headline pipeline in two FRESH processes
-(num_cpus=8, then 32) on the same input and reports both throughputs plus
-scaling efficiency = (thr_32/thr_8)/4 (the sandbox stand-in for N vs 4N
-nodes, BASELINE.md).
+--scaling: runs the headline pipelines in FRESH processes at N and 4N
+CPUs (default 4 and 16; override GRAFT_SCALING_CPUS_LO/HI) on the same
+input and reports throughputs at both levels plus scaling efficiency
+= (thr_hi/thr_lo)/4 — the sandbox stand-in for N vs 4N nodes
+(BASELINE.md). Multiple interleaved passes, min per level, raw samples
+included (the host VM shows ~2x transient steal).
 """
 
 from __future__ import annotations
@@ -179,14 +181,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs.
+    """Same job, same input, fresh processes at N and 4N CPUs.
 
-    Primary criterion: the STATEFUL sliding-window engine (the north-star
-    streaming core) — per-row state-machine compute, CPU-bound, so it
-    reflects added cores. The vectorized batch path is also reported; on
-    this sandbox its numpy kernels saturate host memory bandwidth at ~4-5
-    concurrent streams (see BASELINE.md microbenchmarks), which caps its
-    8→32 gain regardless of engine design.
+    Primary criterion: the headline vectorized sliding-window stats
+    pipeline (the BASELINE.json metric). The stateful streaming engine is
+    measured alongside. Both are reported with raw per-pass samples; the
+    host VM saturates memory bandwidth at ~4-5 concurrent streaming
+    kernels, which is why the default levels sit at 4/16 rather than
+    8/32 (see BASELINE.md microbenchmarks).
     """
     def run(mode: str, ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -209,15 +211,26 @@ def run_scaling() -> dict:
     # 8/32 pair is also valid but conflates the two (see BASELINE.md)
     lo_n = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALING_CPUS_HI", str(4 * lo_n)))
-    # interleave levels to decorrelate host drift
-    s_runs_lo, s_runs_hi = [], []
-    for _ in range(2):
+    # interleave levels to decorrelate host drift; min-of-N per level
+    # (each subprocess itself times ITERATIONS runs and reports the min)
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "3"))
+    s_runs_lo, s_runs_hi, v_runs_lo, v_runs_hi = [], [], [], []
+    for i in range(passes):
         s_runs_lo.append(run("--stateful-headline", lo_n))
         s_runs_hi.append(run("--stateful-headline", hi_n))
+        if i < 2:
+            v_runs_lo.append(run("--headline-only", lo_n))
+            v_runs_hi.append(run("--headline-only", hi_n))
     s_lo = min(s_runs_lo, key=lambda r: r["headline_sec"])
     s_hi = min(s_runs_hi, key=lambda r: r["headline_sec"])
-    v_lo = best("--headline-only", lo_n, 1)
-    v_hi = best("--headline-only", hi_n, 1)
+    v_lo = min(v_runs_lo, key=lambda r: r["headline_sec"])
+    v_hi = min(v_runs_hi, key=lambda r: r["headline_sec"])
+    samples = {
+        "stateful_sec_lo": [r["headline_sec"] for r in s_runs_lo],
+        "stateful_sec_hi": [r["headline_sec"] for r in s_runs_hi],
+        "vectorized_sec_lo": [r["headline_sec"] for r in v_runs_lo],
+        "vectorized_sec_hi": [r["headline_sec"] for r in v_runs_hi],
+    }
     eff_state = (s_hi["turns_per_sec"] / s_lo["turns_per_sec"]) / 4.0
     eff_vec = (v_hi["turns_per_sec"] / v_lo["turns_per_sec"]) / 4.0
     return {
@@ -231,7 +244,8 @@ def run_scaling() -> dict:
                        "turns_per_sec_lo": v_lo["turns_per_sec"],
                        "turns_per_sec_hi": v_hi["turns_per_sec"],
                        "scaling_efficiency": round(eff_vec, 3)},
-        "scaling_efficiency": round(eff_state, 3),
+        "scaling_efficiency": round(eff_vec, 3),
+        "samples": samples,
         "sf": SF_DIR,
     }
 
