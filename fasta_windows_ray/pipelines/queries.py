@@ -307,6 +307,38 @@ FROM t
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Composed curation flow: quality filter → exact dedup among passers
+    → per-language rollup."""
+    from .curation import curate
+    return curate(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+    len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                    x -> x IN {_STOP_SQL})) AS n_stop,
+    len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n]')) AS n_punct,
+    length(text) AS n_chars
+  FROM documents),
+p AS (SELECT *, CASE WHEN n_tokens >= 10
+        AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE/n_tokens END) >= 0.05
+        AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE/n_chars END) <= 0.2
+       THEN 1 ELSE 0 END AS passes FROM t),
+k AS (SELECT * FROM p WHERE passes = 1
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+SELECT d.lang, d.n_docs, q.n_quality,
+  coalesce(u.n_unique, 0) AS n_unique,
+  coalesce(u.unique_tokens, 0) AS unique_tokens
+FROM (SELECT lang, count(*) AS n_docs FROM p GROUP BY 1) d
+JOIN (SELECT lang, sum(passes) AS n_quality FROM p GROUP BY 1) q USING (lang)
+LEFT JOIN (SELECT lang, count(*) AS n_unique,
+             sum(n_tokens) AS unique_tokens FROM k GROUP BY 1) u USING (lang)
+"""
+
+
 def q_multimodal_meta(sf_dir: str):
     from ..stages.multimodal import MediaMeta, docs_as_media
     media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
@@ -592,6 +624,7 @@ def build_queries() -> dict:
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_by_lang": q_token_count_by_lang,
         "quality_score": q_quality_score,
+        "curation_pipeline": q_curation_pipeline,
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
         "stateful_tumbling_counts": q_stateful_tumbling_counts,
@@ -624,6 +657,7 @@ def build_oracle_sql() -> dict:
         "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
         "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
         "quality_score": SQL_QUALITY_SCORE,
+        "curation_pipeline": SQL_CURATION_PIPELINE,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "stateful_tumbling_counts": SQL_TUMBLING_ROLE_COUNTS,

@@ -230,3 +230,36 @@ def test_partitioned_batch_sink_resume(ray_session, tmp_path):
     full2 = read_partitioned(root)
     pd.testing.assert_frame_equal(
         canon(full), canon(full2))
+
+
+def test_task_failure_retried_transparently(ray_session, tmp_path):
+    """A map stage that crashes on its first attempt is retried by Ray's
+    lineage re-execution; the pipeline output is unaffected (the
+    fault-tolerance row of SURVEY.md §4; application exceptions need
+    retry_exceptions=True, system failures retry by default)."""
+    import os
+
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import window_stats
+
+    t = make_transcripts(n_convs=6, mean_turns=25, seed=61)
+    latch_dir = str(tmp_path / "latch")
+    os.makedirs(latch_dir, exist_ok=True)
+
+    def flaky(batch):
+        # fail exactly once per task index (file latch survives retries)
+        import pyarrow as pa
+        key = os.path.join(latch_dir,
+                           f"{hash(str(batch['turn_idx'][0])) % 997}")
+        if not os.path.exists(key):
+            open(key, "w").close()
+            raise RuntimeError("injected transient failure")
+        return pa.table(batch)
+
+    ds = rd.from_arrow(t).map_batches(
+        flaky, batch_format="pyarrow",
+        max_retries=3, retry_exceptions=True)
+    out = window_stats(ds, 20 * S, num_buckets=4).to_pandas()
+    clean = window_stats(rd.from_arrow(t), 20 * S, num_buckets=4).to_pandas()
+    pd.testing.assert_frame_equal(canon(out), canon(clean))

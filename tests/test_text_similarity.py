@@ -136,3 +136,24 @@ def test_join_back_bucketed_equals_broadcast(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     assert (a["w_n_turns"].to_numpy() == b["w_n_turns"].to_numpy()).all()
     assert a["w_n_turns"].notna().all()
+
+
+def test_curation_pipeline_dedups(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.pipelines.curation import curate
+
+    good = ("the data and the stream went to the lake in a batch and "
+            "it is a good day for windows")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["en", "en", "en", "de", "en"],
+        "text": [good, good, good + " extra", "@@@", good],
+    })
+    out = curate(rd.from_pandas(docs))
+    en = out[out["lang"] == "en"].iloc[0]
+    assert en["n_docs"] == 4
+    assert en["n_quality"] == 4          # all en docs pass
+    assert en["n_unique"] == 2           # three copies of `good` collapse
+    de = out[out["lang"] == "de"].iloc[0]
+    assert de["n_docs"] == 1 and de["n_quality"] == 0 and de["n_unique"] == 0
