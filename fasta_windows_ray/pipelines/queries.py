@@ -307,6 +307,96 @@ FROM t
 """
 
 
+def q_asof_join_sessions(sf_dir: str):
+    """As-of join: each turn gets the most recent session (by start ts)
+    of its conversation — pd.merge_asof per conv_id hash bucket."""
+    from ..stages.joins import asof_join
+    from ..stages.sessions import session_stats
+    sess = session_stats(read_transcripts(sf_dir, columns=["conv_id", "ts"]),
+                         SESSION_GAP_US).to_pandas()
+    sess = sess.rename(columns={"n_turns": "s_n_turns",
+                                "session_start": "ts"})
+    sess["session_start"] = sess["ts"]
+    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    out = asof_join(turns, sess[["conv_id", "ts", "session_start",
+                                 "s_n_turns"]],
+                    value_cols=["session_start", "s_n_turns"])
+    return out.select_columns(["conv_id", "turn_uid", "session_start",
+                               "s_n_turns"])
+
+
+SQL_ASOF_JOIN_SESSIONS = f"""
+WITH t AS ({_T}),
+x AS (SELECT conv_id, ts, turn_uid,
+  CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+       THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_uid)),
+s AS (SELECT conv_id, ts, turn_uid,
+  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+sess AS (SELECT conv_id, sess, min(ts) AS session_start,
+           count(*) AS s_n_turns FROM s GROUP BY 1, 2)
+SELECT s.conv_id, s.turn_uid, sess.session_start, sess.s_n_turns
+FROM s JOIN sess USING (conv_id, sess)
+"""
+
+
+def q_range_join_sessions(sf_dir: str):
+    """Range join: each turn attached to the session interval containing
+    its ts (searchsorted per conversation)."""
+    from ..stages.joins import range_join
+    from ..stages.sessions import session_stats
+    sess = session_stats(read_transcripts(sf_dir, columns=["conv_id", "ts"]),
+                         SESSION_GAP_US).to_pandas()
+    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    out = range_join(turns, sess[["conv_id", "session_start", "session_end"]])
+    return out.select_columns(["conv_id", "turn_uid", "session_start",
+                               "session_end"])
+
+
+SQL_RANGE_JOIN_SESSIONS = f"""
+WITH t AS ({_T}),
+x AS (SELECT conv_id, ts, turn_uid,
+  CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+       THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_uid)),
+s AS (SELECT conv_id, ts, turn_uid,
+  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x),
+sess AS (SELECT conv_id, sess, min(ts) AS session_start,
+           max(ts) AS session_end FROM s GROUP BY 1, 2)
+SELECT s.conv_id, s.turn_uid, sess.session_start, sess.session_end
+FROM s JOIN sess USING (conv_id, sess)
+"""
+
+
+SEMI_KEYS = ["1", "2", "3", "42", "77"]
+
+
+def q_semi_join_convs(sf_dir: str):
+    from ..stages.joins import semi_join
+    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    return semi_join(turns, SEMI_KEYS).select_columns(["conv_id", "turn_uid"])
+
+
+def q_anti_join_convs(sf_dir: str):
+    from ..stages.joins import semi_join
+    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    out = semi_join(turns, SEMI_KEYS, anti=True)
+    return out.select_columns(["conv_id", "turn_uid"])
+
+
+_KEYS_SQL = ", ".join(f"'{k}'" for k in SEMI_KEYS)
+SQL_SEMI_JOIN_CONVS = f"""
+SELECT conv_id, turn_uid FROM ({_T}) WHERE conv_id IN ({_KEYS_SQL})
+"""
+SQL_ANTI_JOIN_CONVS = f"""
+SELECT conv_id, turn_uid FROM ({_T}) WHERE conv_id NOT IN ({_KEYS_SQL})
+"""
+
+
 def q_curation_pipeline(sf_dir: str):
     """Composed curation flow: quality filter → exact dedup among passers
     → per-language rollup."""
@@ -625,6 +715,10 @@ def build_queries() -> dict:
         "token_count_by_lang": q_token_count_by_lang,
         "quality_score": q_quality_score,
         "curation_pipeline": q_curation_pipeline,
+        "asof_join_sessions": q_asof_join_sessions,
+        "range_join_sessions": q_range_join_sessions,
+        "semi_join_convs": q_semi_join_convs,
+        "anti_join_convs": q_anti_join_convs,
         "multimodal_meta": q_multimodal_meta,
         "embedding_topk": q_embedding_topk,
         "stateful_tumbling_counts": q_stateful_tumbling_counts,
@@ -658,6 +752,10 @@ def build_oracle_sql() -> dict:
         "token_count_by_lang": SQL_TOKEN_COUNT_BY_LANG,
         "quality_score": SQL_QUALITY_SCORE,
         "curation_pipeline": SQL_CURATION_PIPELINE,
+        "asof_join_sessions": SQL_ASOF_JOIN_SESSIONS,
+        "range_join_sessions": SQL_RANGE_JOIN_SESSIONS,
+        "semi_join_convs": SQL_SEMI_JOIN_CONVS,
+        "anti_join_convs": SQL_ANTI_JOIN_CONVS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "stateful_tumbling_counts": SQL_TUMBLING_ROLE_COUNTS,

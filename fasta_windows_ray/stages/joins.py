@@ -1,0 +1,122 @@
+"""Join family beyond the window-stats join-back: as-of, range, and
+broadcast semi/anti joins (SURVEY.md §2.7 "Semi/anti/as-of variants fall
+out of the same co-partitioning").
+
+All three co-partition on conv_id with the engine's single hash-bucket
+shuffle; within a bucket the probe is vectorized pandas
+(merge_asof / searchsorted interval lookup / isin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .window_stats import add_bucket
+
+
+def _union_tagged(left, right, tag_col: str = "_side"):
+    cols_l = {f.name: f.type for f in left.schema().base_schema}
+    cols_r = {f.name: f.type for f in right.schema().base_schema}
+    all_cols = list(dict.fromkeys(list(cols_l) + list(cols_r) + [tag_col]))
+    types = {**cols_r, **cols_l, tag_col: pa.string()}
+
+    def align(side):
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.append_column(tag_col, pa.array([side] * len(t)))
+            for cname in all_cols:
+                if cname not in t.column_names:
+                    t = t.append_column(cname, pa.nulls(len(t), types[cname]))
+            return t.select(all_cols)
+        return _f
+
+    return left.map_batches(align("L"), batch_format="pyarrow").union(
+        right.map_batches(align("R"), batch_format="pyarrow"))
+
+
+def asof_join(turns_ds, events_pdf: pd.DataFrame, value_cols: list[str],
+              on: str = "ts", by: str = "conv_id", num_buckets: int = 32):
+    """For each turn, attach the most recent (backward) event row of the
+    same conversation: pd.merge_asof per conv_id hash bucket.
+
+    ``events_pdf`` is the (small) right side — e.g. emitted window or
+    session stats with an ``on``-comparable timestamp column.
+    """
+    right = ray.data.from_pandas(events_pdf)
+    both = _union_tagged(add_bucket(turns_ds, num_buckets),
+                         add_bucket(right, num_buckets))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == "L"].drop(columns=["_side"])
+        r = df[df["_side"] == "R"][[by, on] + value_cols]
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(on, kind="stable")
+        l = l.dropna(axis=1, how="all")
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
+                            suffixes=("", "_r"))
+        return out
+
+    return both.groupby("bucket").map_groups(probe, batch_format="pandas")
+
+
+def range_join(turns_ds, intervals_pdf: pd.DataFrame,
+               lo_col: str = "session_start", hi_col: str = "session_end",
+               value_cols: list[str] | None = None,
+               by: str = "conv_id", num_buckets: int = 32):
+    """Attach the interval containing each turn's ts (inclusive bounds):
+    per-conversation searchsorted against the sorted interval starts.
+    Intervals must be non-overlapping per key (true for sessions)."""
+    value_cols = value_cols or []
+    right = ray.data.from_pandas(intervals_pdf)
+    both = _union_tagged(add_bucket(turns_ds, num_buckets),
+                         add_bucket(right, num_buckets))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == "L"].drop(columns=["_side"]).dropna(
+            axis=1, how="all")
+        r = df[df["_side"] == "R"]
+        outs = []
+        r_by = {k: g.sort_values(lo_col) for k, g in r.groupby(by)}
+        for k, g in l.groupby(by):
+            ri = r_by.get(k)
+            if ri is None or len(ri) == 0:
+                g = g.copy()
+                for c in [lo_col, hi_col] + value_cols:
+                    g[c] = pd.NaT if c in (lo_col, hi_col) else np.nan
+                outs.append(g)
+                continue
+            ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            los = ri[lo_col].astype("datetime64[us]").astype("int64").to_numpy()
+            his = ri[hi_col].astype("datetime64[us]").astype("int64").to_numpy()
+            idx = np.searchsorted(los, ts, side="right") - 1
+            ok = (idx >= 0) & (ts <= his[np.clip(idx, 0, len(his) - 1)])
+            g = g.copy()
+            take = np.clip(idx, 0, len(ri) - 1)
+            for c in [lo_col, hi_col] + value_cols:
+                vals = ri[c].to_numpy()[take]
+                g[c] = np.where(ok, vals, None)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True) if outs else l
+
+    return both.groupby("bucket").map_groups(probe, batch_format="pandas")
+
+
+def semi_join(ds, keys, col: str = "conv_id", anti: bool = False):
+    """Broadcast semi (or anti) join: keep rows whose ``col`` is (not) in
+    the broadcast key set — no shuffle (ray_guide semi/anti pattern)."""
+    ref = ray.put(frozenset(keys))
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t[col].to_numpy(zero_copy_only=False)
+            m = np.fromiter((v in self.keys for v in vals), bool, len(vals))
+            if anti:
+                m = ~m
+            return t.filter(pa.array(m))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
