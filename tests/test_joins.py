@@ -1,0 +1,48 @@
+"""As-of / range / semi-anti join edge cases."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_asof_and_range_edges(ray_session):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.joins import asof_join, range_join, semi_join
+
+    S = 1_000_000
+    E = 1_704_067_200_000_000
+    turns = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_uid": [0, 1, 2, 0],
+        "ts": pd.to_datetime(np.array([E, E + 5 * S, E + 100 * S, E]),
+                             unit="us"),
+    })
+    events = pd.DataFrame({
+        "conv_id": ["a", "a"],
+        "ts": pd.to_datetime(np.array([E, E + 50 * S]), unit="us"),
+        "mark": [10, 20],
+    })
+    out = asof_join(rd.from_pandas(turns), events, ["mark"],
+                    num_buckets=2).to_pandas()
+    out = out.sort_values(["conv_id", "turn_uid"]).reset_index(drop=True)
+    # turn at E+100s matches the later mark; conv b has no events -> NaN
+    assert out.loc[2, "mark"] == 20
+    assert out.loc[0, "mark"] == 10 and out.loc[1, "mark"] == 10
+    assert np.isnan(out.loc[3, "mark"])
+
+    iv = pd.DataFrame({
+        "conv_id": ["a"],
+        "session_start": pd.to_datetime([E], unit="us"),
+        "session_end": pd.to_datetime([E + 10 * S], unit="us"),
+    })
+    r = range_join(rd.from_pandas(turns), iv, num_buckets=2).to_pandas()
+    r = r.sort_values(["conv_id", "turn_uid"]).reset_index(drop=True)
+    assert pd.notna(r.loc[0, "session_start"])          # inside
+    assert pd.notna(r.loc[1, "session_start"])          # inside
+    assert pd.isna(r.loc[2, "session_start"])           # after interval
+    assert pd.isna(r.loc[3, "session_start"])           # conv without interval
+
+    s = semi_join(rd.from_pandas(turns), {"a"}).to_pandas()
+    assert set(s["conv_id"]) == {"a"} and len(s) == 3
+    an = semi_join(rd.from_pandas(turns), {"a"}, anti=True).to_pandas()
+    assert set(an["conv_id"]) == {"b"} and len(an) == 1
