@@ -126,8 +126,12 @@ def _segment_entropy(codes: np.ndarray, weights: np.ndarray, n_groups: int,
         return np.zeros(n_groups, dtype=np.float64)
     w = weights.astype(np.float64)
     p = w / denom[codes]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        terms = np.where(w > 0, -p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+    if w.min() > 0:          # counts from np.unique are always positive
+        terms = -p * np.log2(p)
+    else:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(w > 0, -p * np.log2(np.where(p > 0, p, 1.0)),
+                             0.0)
     return np.bincount(codes, weights=terms, minlength=n_groups)
 
 
