@@ -1,0 +1,121 @@
+"""CLI entry point — `python -m fasta_windows_ray …` (the script a
+`ray job submit -- python -m fasta_windows_ray …` invocation runs).
+
+Two surfaces:
+
+1. ``fasta`` — flag-compatible with the reference binary
+   (main.rs:13-79: -f/--fasta, -w/--window_size, -o/--output,
+   -d/--description, -m/--masked, -c/--ctw, -e/--entropy), writing the
+   same ./fw_out/ TSV/BED layout (main.rs:86-110).
+2. ``transcripts`` — the Parquet windowed-stats engine (tumbling /
+   sliding / session; batch or stateful path; parquet output).
+
+Owns its Ray session (guarded init) — the only module besides bench.py
+and tests allowed to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_fasta(args) -> int:
+    from .pipelines.fasta_compat import (entropy_windows, fasta_windows,
+                                         write_bed, write_outputs)
+    _ensure_ray(args.num_cpus)
+    out_dir = args.out_dir or "./fw_out"
+    if args.entropy:
+        pdf = entropy_windows(args.fasta, args.window_size, masked=args.masked)
+        path = write_bed(pdf, out_dir, args.output)
+        print(f"[+]\tOutput written to: {path}")
+    else:
+        pdf = fasta_windows(args.fasta, args.window_size, masked=args.masked,
+                            ctw=args.ctw)
+        paths = write_outputs(pdf, out_dir, args.output,
+                              description=args.description, ctw=args.ctw)
+        print(f"[+]\tOutput written to directory: {out_dir}")
+        for p in paths:
+            print(f"[+]\t  {p}")
+    return 0
+
+
+def cmd_transcripts(args) -> int:
+    from .transcripts import read_transcripts
+    _ensure_ray(args.num_cpus)
+    size = args.window_hours * 3600 * 1_000_000
+    step = args.step_hours * 3600 * 1_000_000 if args.step_hours else None
+    if args.stateful or args.kind == "session":
+        from .state.engine import WindowConfig
+        from .state.runner import stateful_window_run
+        cfg = WindowConfig(kind=args.kind, size_us=size, step_us=step,
+                           gap_us=args.gap_minutes * 60 * 1_000_000,
+                           lateness_us=args.lateness_minutes * 60 * 1_000_000,
+                           profile=args.profile)
+        out = stateful_window_run(read_transcripts(args.input_dir), cfg,
+                                  num_buckets=args.buckets)
+    else:
+        from .stages.window_stats import window_stats
+        out = window_stats(read_transcripts(args.input_dir), size,
+                           step_us=step, profile=args.profile,
+                           num_buckets=args.buckets)
+    from .sinks import write_partitioned
+    from .stages.window_stats import add_bucket
+    report = write_partitioned(add_bucket(out, args.buckets), args.out_dir)
+    done = int((~report["skipped"]).sum())
+    print(f"[+]\t{report['n_rows'].sum()} window rows across "
+          f"{len(report)} partitions ({done} written, "
+          f"{int(report['skipped'].sum())} already committed) -> "
+          f"{args.out_dir}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="fasta_windows_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    fa = sub.add_parser("fasta", help="reference-compatible FASTA mode")
+    fa.add_argument("-f", "--fasta", required=True)
+    fa.add_argument("-w", "--window_size", type=int, default=1000)
+    fa.add_argument("-o", "--output", default="fasta_windows")
+    fa.add_argument("-d", "--description", action="store_true")
+    fa.add_argument("-m", "--masked", action="store_true")
+    fa.add_argument("-c", "--ctw", action="store_true")
+    fa.add_argument("-e", "--entropy", action="store_true")
+    fa.add_argument("--out-dir", default=None)
+    fa.set_defaults(fn=cmd_fasta)
+
+    tr = sub.add_parser("transcripts", help="Parquet windowed-stats engine")
+    tr.add_argument("input_dir")
+    tr.add_argument("out_dir")
+    tr.add_argument("--kind", choices=["tumbling", "sliding", "session"],
+                    default="tumbling")
+    tr.add_argument("--window-hours", type=int, default=6)
+    tr.add_argument("--step-hours", type=int, default=None)
+    tr.add_argument("--gap-minutes", type=int, default=30)
+    tr.add_argument("--lateness-minutes", type=int, default=0)
+    tr.add_argument("--profile", choices=["full", "fast", "counts"],
+                    default="full")
+    tr.add_argument("--buckets", type=int, default=64)
+    tr.add_argument("--stateful", action="store_true")
+    tr.set_defaults(fn=cmd_transcripts)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
