@@ -75,26 +75,18 @@ def stable_bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
 
 
 def assign_tumbling(ds, size_us: int, offset_us: int = 0):
-    """Add ``window_start`` (timestamp[us]) = tumbling bucket of ``ts``."""
+    """Add ``window_start`` (timestamp[us]) = tumbling bucket of ``ts``.
+
+    Alternative entry for callers that pre-assign windows upstream;
+    BucketWindowStats honours an existing ``window_start`` column when
+    ``step_us`` is unset (equality-tested against the in-task path).
+    """
     def _assign(t: pa.Table) -> pa.Table:
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
         ws = tumbling_start(ts, size_us, offset_us)
         return t.append_column("window_start",
                                pa.array(ws, pa.int64()).cast(pa.timestamp("us")))
     return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def expand_sliding(ds, size_us: int, step_us: int, offset_us: int = 0):
-    """Replicate each row once per covering sliding window (adds
-    ``window_start``). The fan-out happens inside map_batches — vectorized
-    ``take`` — never a per-row flat_map."""
-    def _expand(t: pa.Table) -> pa.Table:
-        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
-        rows, starts = sliding_starts_expand(ts, size_us, step_us, offset_us)
-        out = t.take(pa.array(rows, pa.int64()))
-        return out.append_column("window_start",
-                                 pa.array(starts, pa.int64()).cast(pa.timestamp("us")))
-    return ds.map_batches(_expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def add_bucket(ds, num_buckets: int = 64):

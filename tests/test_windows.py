@@ -144,3 +144,29 @@ def test_f20_session_gap():
     out = run_engine(t, WindowConfig(kind="session", gap_us=60 * S))
     assert len(out) == 2
     assert out["n_turns"].tolist() == [3, 2]
+
+
+def test_preassigned_window_start_path(ray_session):
+    """assign_tumbling upstream == in-task assignment (the documented
+    alternative entry)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import (BucketWindowStats,
+                                                       add_bucket,
+                                                       assign_tumbling,
+                                                       window_stats)
+    from fasta_windows_ray.synth import make_transcripts
+
+    t = make_transcripts(n_convs=5, mean_turns=25, seed=71)
+    pre = add_bucket(assign_tumbling(rd.from_arrow(t), 20 * S), 4)
+    inst = BucketWindowStats(profile="full", window_size_us=20 * S)
+
+    def fn(df):
+        return inst(df)
+
+    a = pre.groupby("bucket").map_groups(fn, batch_format="pandas") \
+        .to_pandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    b = window_stats(rd.from_arrow(t), 20 * S, num_buckets=4) \
+        .to_pandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
