@@ -206,9 +206,6 @@ class BucketWindowStats:
             role5_raw = r_map[r_codes]
         else:
             role5_raw = np.zeros(n_raw, dtype=np.int64)
-        uid_raw = (df["turn_uid"].to_numpy() if "turn_uid" in df.columns
-                   else np.arange(n_raw))
-
         # ---- window assignment / fan-out: ``rows`` indexes the raw row
         # behind each emitted (row, window) membership pair ----
         size = self.window_size_us or 0
@@ -312,11 +309,20 @@ class BucketWindowStats:
         out["char_entropy"] = _segment_entropy(
             (uk >> 8).astype(np.int64), cnt, G, denom)
 
+        # "fast" profile = the entropy.rs reduced-column mode: char
+        # entropy + CTW only (entropy.rs:76-85 design note)
+        nb = len(bytes_raw)
+        if self.profile == "fast":
+            for name in ("bigram_diversity", "trigram_diversity",
+                         "quadgram_diversity", "bigram_rate"):
+                out[name] = np.zeros(G, dtype=np.float64)
+            return self._finish_ctw(out, K, G, df, rows, ts_e, codes,
+                                    role5_e, texts_raw)
+
         # k-gram diversity k=2,3,4 (A10): ranks computed ONCE on the raw
         # bytes, gathered per window membership; k-grams never cross turn
         # boundaries (within-row offset mask)
         le_rep = np.repeat(le, le)
-        nb = len(bytes_raw)
         for k, name in ((2, "bigram_diversity"), (3, "trigram_diversity"),
                         (4, "quadgram_diversity")):
             if nb < k:
@@ -352,8 +358,15 @@ class BucketWindowStats:
         bsum = np.bincount(codes, weights=big_raw[rows], minlength=G)
         out["bigram_rate"] = bsum / denom
 
+        return self._finish_ctw(out, K, G, df, rows, ts_e, codes, role5_e,
+                                texts_raw)
+
+    def _finish_ctw(self, out, K, G, df, rows, ts_e, codes, role5_e,
+                    texts_raw) -> pd.DataFrame:
         # ---- order-dependent per-window kernels (CTW), memoized ----
         need_ctw = self.profile in ("full", "fast") and self.ctw_depth >= 0
+        uid_raw = (df["turn_uid"].to_numpy() if "turn_uid" in df.columns
+                   else np.arange(len(df)))
         if need_ctw or self.ctw_text:
             order = np.lexsort((uid_raw[rows], ts_e, codes))
             codes_s = codes[order]

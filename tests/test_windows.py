@@ -170,3 +170,26 @@ def test_preassigned_window_start_path(ray_session):
     b = window_stats(rd.from_arrow(t), 20 * S, num_buckets=4) \
         .to_pandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_fast_profile_reduced_columns(ray_session):
+    """'fast' == entropy.rs mode: char entropy + CTW only; k-gram and
+    bigram columns zeroed, entropy/ctw identical to the full profile."""
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import window_stats
+    from fasta_windows_ray.synth import make_transcripts
+
+    t = make_transcripts(n_convs=4, mean_turns=20, seed=81)
+    key = ["conv_id", "window_start"]
+    full = window_stats(rd.from_arrow(t), 20 * S, num_buckets=2,
+                        profile="full").to_pandas().sort_values(key).reset_index(drop=True)
+    fast = window_stats(rd.from_arrow(t), 20 * S, num_buckets=2,
+                        profile="fast").to_pandas().sort_values(key).reset_index(drop=True)
+    assert (fast["bigram_diversity"] == 0).all()
+    assert (fast["quadgram_diversity"] == 0).all()
+    assert (fast["bigram_rate"] == 0).all()
+    assert (fast["char_entropy"].to_numpy()
+            == full["char_entropy"].to_numpy()).all()
+    assert (fast["ctw_roles_bpb"].to_numpy()
+            == full["ctw_roles_bpb"].to_numpy()).all()
