@@ -510,6 +510,14 @@ SELECT base.*, re.role_entropy FROM base JOIN re USING (conv_id, window_start)
 """
 
 
+def q_salted_session_counts(sf_dir: str):
+    """Hot-key-safe session assembly: batch-local partial session
+    intervals stitched by a gap merge — equals the direct per-conv pass."""
+    from ..stages.salted import salted_session_counts
+    ds = read_transcripts(sf_dir, columns=["conv_id", "ts"])
+    return salted_session_counts(ds, SESSION_GAP_US)
+
+
 def q_turn_window_counts(sf_dir: str):
     """Turn-position tumbling windows — the direct fw.rs:83 chunks
     analogue with clamped ends (issues #8/#9)."""
@@ -725,6 +733,7 @@ def build_queries() -> dict:
         "stateful_session_windows": q_stateful_session_windows,
         "session_window_stats": q_session_window_stats,
         "salted_window_counts": q_salted_window_counts,
+        "salted_session_counts": q_salted_session_counts,
         "turn_window_counts": q_turn_window_counts,
         # rows-only (non-SQL-expressible semantics)
         "lang_id": q_lang_id,
@@ -762,5 +771,6 @@ def build_oracle_sql() -> dict:
         "stateful_session_windows": SQL_SESSION_WINDOWS,
         "session_window_stats": SQL_SESSION_WINDOW_STATS,
         "salted_window_counts": SQL_SALTED_WINDOW_COUNTS,
+        "salted_session_counts": SQL_SESSION_WINDOWS,
         "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
     }

@@ -109,3 +109,82 @@ def salted_window_counts(ds, size_us: int, offset_us: int = 0,
 
     return (part.map_batches(add_merge_bucket, batch_format="pandas")
                 .groupby("_mb").map_groups(merge, batch_format="pandas"))
+
+
+def salted_session_counts(ds, gap_us: int, num_merge_buckets: int = 64):
+    """Session windows with salted partial assembly (hot-conversation
+    safe): each batch emits per-conv partial session INTERVALS
+    (start, end, n_turns) — gap-maximal within the batch — and the merge
+    reduce stitches intervals whose inter-gap <= gap. Valid because the
+    global sessions are the connected components of the gap relation and
+    interval endpoints carry exactly the information the stitch needs;
+    turn counts are additive. The shuffle moves only interval rows.
+
+    Output: (conv_id, session_start, session_end, n_turns) — identical to
+    stages.sessions.session_stats (pytest gate on a hot-key corpus).
+    """
+    from ..windows import session_ids
+
+    def partial_sessions(t: pa.Table) -> pd.DataFrame:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, conv))
+        conv, ts = conv[order], ts[order]
+        cid, cu = pd.factorize(conv)
+        rows = {"conv_id": [], "session_start": [], "session_end": [],
+                "n_turns": []}
+        starts = np.searchsorted(cid, np.arange(len(cu)))
+        stops = np.searchsorted(cid, np.arange(len(cu)), side="right")
+        for ci in range(len(cu)):
+            sub = ts[starts[ci]:stops[ci]]
+            sid = session_ids(sub, gap_us)
+            n = sid[-1] + 1 if len(sid) else 0
+            first = np.searchsorted(sid, np.arange(n))
+            last = np.searchsorted(sid, np.arange(n), side="right") - 1
+            for s in range(n):
+                rows["conv_id"].append(cu[ci])
+                rows["session_start"].append(sub[first[s]])
+                rows["session_end"].append(sub[last[s]])
+                rows["n_turns"].append(int(last[s] - first[s] + 1))
+        return pd.DataFrame(rows)
+
+    part = ds.map_batches(partial_sessions, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def add_mb(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+        df = df.copy()
+        df["_mb"] = [zlib.crc32(c.encode()) % num_merge_buckets
+                     for c in df["conv_id"]]
+        return df
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        outs = {"conv_id": [], "session_start": [], "session_end": [],
+                "n_turns": []}
+        for conv, g in df.groupby("conv_id", sort=True):
+            g = g.sort_values("session_start")
+            cur = None
+            for r in g.itertuples():
+                if cur is None:
+                    cur = [r.session_start, r.session_end, r.n_turns]
+                elif r.session_start - cur[1] <= gap_us:
+                    cur[1] = max(cur[1], r.session_end)
+                    cur[2] += r.n_turns
+                else:
+                    outs["conv_id"].append(conv)
+                    outs["session_start"].append(cur[0])
+                    outs["session_end"].append(cur[1])
+                    outs["n_turns"].append(cur[2])
+                    cur = [r.session_start, r.session_end, r.n_turns]
+            if cur is not None:
+                outs["conv_id"].append(conv)
+                outs["session_start"].append(cur[0])
+                outs["session_end"].append(cur[1])
+                outs["n_turns"].append(cur[2])
+        out = pd.DataFrame(outs)
+        for c in ("session_start", "session_end"):
+            out[c] = out[c].astype("datetime64[us]")
+        return out
+
+    return (part.map_batches(add_mb, batch_format="pandas")
+                .groupby("_mb").map_groups(stitch, batch_format="pandas"))

@@ -58,3 +58,20 @@ def test_turn_window_clamped_ends(ray_session):
         ("c17", 0, 10, 10), ("c17", 10, 20, 10),  # exact multiple
         ("c18", 0, 10, 10), ("c18", 10, 20, 10), ("c18", 20, 25, 5),
     }
+
+
+def test_salted_sessions_equal_plain(ray_session):
+    """Salted interval-stitched sessions == direct per-conv session pass,
+    on a hot-key corpus whose hot conversation spans many blocks."""
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.salted import salted_session_counts
+    from fasta_windows_ray.stages.sessions import session_stats
+
+    t = make_transcripts(n_convs=20, mean_turns=25, seed=37,
+                         hot_conv_turns=5_000, turn_gap_us=40 * S)
+    ds = rd.from_arrow(t).repartition(16)   # force the hot conv across blocks
+    a = canon(salted_session_counts(ds, 60 * S, num_merge_buckets=8).to_pandas())
+    b = canon(session_stats(rd.from_arrow(t), 60 * S,
+                            num_buckets=8).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
