@@ -43,13 +43,17 @@ SCALING_REPLICATE = int(os.environ.get("GRAFT_BENCH_SCALING_REPLICATE", "8"))
 ITERATIONS = int(os.environ.get("GRAFT_BENCH_ITERATIONS", "2"))
 
 
-def read_transcripts_replicated(sf_dir: str, k: int, slices: int = 16):
+def read_transcripts_replicated(sf_dir: str, k: int,
+                                slices: int | None = None):
     """events → transcripts, fanned out k× with shard-tagged conv_ids.
 
-    One Ray task per shard reads the (page-cache-warm) parquet locally —
-    the single-row-group file otherwise forces a serial 1-task read —
-    and yields ``slices`` sub-blocks so downstream stages get k*slices
-    blocks of even size.
+    One Ray task per (shard, slice) reads the (page-cache-warm) parquet
+    locally — the single-row-group file otherwise forces a serial 1-task
+    read. Total blocks are CAPPED (~256): Ray's sort-based shuffle does
+    maps × reduces object transfers, so letting blocks grow linearly
+    with replication made the downstream groupby quadratic (observed:
+    1024 blocks → the sort alone took 237 s for a 34 s job). Keep blocks
+    few and large — the same rule that applies at 100 TB.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -60,6 +64,8 @@ def read_transcripts_replicated(sf_dir: str, k: int, slices: int = 16):
 
     path = f"{sf_dir}/events.parquet"
     cols = ["event_id", "ts", "user_id", "event_type", "props"]
+    if slices is None:
+        slices = max(1, 256 // k)
 
     def load(batch):
         for j in batch["id"].tolist():
