@@ -470,7 +470,8 @@ def turn_window_counts(ds, w_turns: int, num_buckets: int = 64):
 def window_stats(ds, size_us: int, step_us: int | None = None,
                  offset_us: int = 0, profile: str = "full",
                  num_buckets: int = 64, ctw_depth: int = 6,
-                 bigram: str = '"k', ctw_text: bool = False):
+                 bigram: str = '"k', ctw_text: bool = False,
+                 coalesce_blocks: int | None = None):
     """End-to-end windowed stats over a transcript Dataset.
 
     Tumbling when ``step_us`` is None or == size_us, else sliding
@@ -479,7 +480,16 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
     Shape: the ONE shuffle moves raw turns keyed by a conv_id hash
     bucket; window assignment (incl. the sliding fan-out) and all stat
     computation run vectorized inside the per-bucket task.
+
+    ``coalesce_blocks``: Ray's sort-based groupby moves maps × reduces
+    shuffle objects, so inputs fragmented into thousands of small blocks
+    make the exchange quadratic (BASELINE.md "block-count lesson").
+    Pass a target (e.g. 256) to coalesce fragmented upstreams before the
+    shuffle; leave None when the reader already produces few large
+    blocks.
     """
+    if coalesce_blocks is not None:
+        ds = ds.repartition(coalesce_blocks)
     ds = add_bucket(ds, num_buckets)
     inst = BucketWindowStats(profile=profile, ctw_depth=ctw_depth,
                              bigram=bigram, window_size_us=size_us,
