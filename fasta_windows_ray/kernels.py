@@ -493,3 +493,12 @@ def ctw_text_classes(texts, max_depth: int = 6) -> float:
         syms.extend(text_class_symbols(t))
     return ctw_bits_per_base(syms, max_depth=max_depth,
                              symbol_map={i: i for i in range(4)}, m=4)
+
+
+def reverse_complement(seq: str) -> str:
+    """DNA reverse complement utility (kmeru8.rs:321-344): A<->T, C<->G,
+    anything else -> N, then reverse. Not reachable from the reference CLI
+    (canonical k-mers hard-disabled at fw.rs:36-39); ported as a utility
+    for inventory completeness (SURVEY.md K5)."""
+    comp = {"A": "T", "C": "G", "T": "A", "G": "C", "N": "N"}
+    return "".join(comp.get(ch, "N") for ch in reversed(seq))

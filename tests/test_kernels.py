@@ -197,3 +197,10 @@ def test_ctw_roles():  # transcript analogue: roles as the 4-symbol alphabet
     # depth-6 default used at call sites (fw.rs:92, entropy.rs:131)
     mixed = ["user", "tool", "system", "assistant"] * 8
     assert 0.0 < K.ctw_roles(mixed, 6) < 2.2
+
+
+def test_reverse_complement():  # kmeru8.rs:351-360 (K5 utility)
+    assert K.reverse_complement("AACCTTGG") == "CCAAGGTT"
+    assert K.reverse_complement("ACGTN") == "NACGT"
+    assert K.reverse_complement("AXZ") == "NNT"   # non-ACGTN -> N
+    assert K.reverse_complement("") == ""
