@@ -32,7 +32,10 @@ _WIN = (f"SELECT conv_id, make_timestamp((epoch_us(ts) // {SIZE_US}) * {SIZE_US}
 
 def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
     for c in cols:
-        df[c] = np.round(df[c].astype(np.float64), 6)
+        # `+ 0.0` normalizes IEEE -0.0 -> +0.0 so the driver's byte-level
+        # value hash matches the oracle (round-1 amber cause #2); the SQL
+        # oracles apply the same `+ 0.0`.
+        df[c] = np.round(df[c].astype(np.float64), 6) + 0.0
     return df
 
 
@@ -108,7 +111,7 @@ SQL_TUMBLING_WINDOW_STATS = f"""
 WITH w AS ({_WIN})
 , base AS (
   SELECT conv_id, window_start, count(*) AS n_turns,
-    sum(length(text)) AS n_chars,
+    sum(length(text))::BIGINT AS n_chars,
     count(*) FILTER (role='user') a, count(*) FILTER (role='assistant') c,
     count(*) FILTER (role='system') g, count(*) FILTER (role='tool') t,
     sum((length(text) - length(replace(text, '"k', 'k')))) AS big_cnt
@@ -128,13 +131,13 @@ WITH w AS ({_WIN})
 {_sql_gram_div(3, "trigram_diversity")}
 {_sql_gram_div(4, "quadgram_diversity")}
 SELECT base.conv_id, base.window_start, n_turns, n_chars,
-  round(CASE WHEN g+c+a+t = 0 THEN -1.0 ELSE (g+c)::DOUBLE/(g+c+a+t) END, 6) AS sys_asst_share,
-  round(role_entropy, 6) AS role_entropy,
-  round(coalesce(char_entropy, 0.0), 6) AS char_entropy,
-  round(coalesce(bigram_diversity, 0.0), 6) AS bigram_diversity,
-  round(coalesce(trigram_diversity, 0.0), 6) AS trigram_diversity,
-  round(coalesce(quadgram_diversity, 0.0), 6) AS quadgram_diversity,
-  round(big_cnt::DOUBLE / n_chars, 6) AS bigram_rate
+  round(CASE WHEN g+c+a+t = 0 THEN -1.0 ELSE (g+c)::DOUBLE/(g+c+a+t) END, 6) + 0.0 AS sys_asst_share,
+  round(role_entropy, 6) + 0.0 AS role_entropy,
+  round(coalesce(char_entropy, 0.0), 6) + 0.0 AS char_entropy,
+  round(coalesce(bigram_diversity, 0.0), 6) + 0.0 AS bigram_diversity,
+  round(coalesce(trigram_diversity, 0.0), 6) + 0.0 AS trigram_diversity,
+  round(coalesce(quadgram_diversity, 0.0), 6) + 0.0 AS quadgram_diversity,
+  round(big_cnt::DOUBLE / n_chars, 6) + 0.0 AS bigram_rate
 FROM base
 JOIN re USING (conv_id, window_start)
 LEFT JOIN ce USING (conv_id, window_start)
@@ -207,7 +210,7 @@ def q_window_join_back(sf_dir: str):
 SQL_WINDOW_JOIN_BACK = f"""
 WITH w AS ({_WIN}),
 s AS (SELECT conv_id, window_start, count(*) AS w_n_turns FROM w GROUP BY 1,2),
-re AS (SELECT conv_id, window_start, round(-sum(p*log2(p)), 6) AS w_role_entropy FROM (
+re AS (SELECT conv_id, window_start, round(-sum(p*log2(p)), 6) + 0.0 AS w_role_entropy FROM (
   SELECT conv_id, window_start,
     count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, window_start) p
   FROM w GROUP BY conv_id, window_start, role) GROUP BY 1,2)
@@ -231,9 +234,9 @@ WITH w AS ({_WIN})
 , ct AS (SELECT conv_id, window_start, sum(c) s FROM cc GROUP BY 1,2)
 , ce AS (SELECT cc.conv_id, cc.window_start, -sum((c/s)*log2(c/s)) char_entropy
       FROM cc JOIN ct USING (conv_id, window_start) GROUP BY 1,2)
-, base AS (SELECT conv_id, window_start, sum(length(text)) n_chars FROM w GROUP BY 1,2)
+, base AS (SELECT conv_id, window_start, sum(length(text))::BIGINT n_chars FROM w GROUP BY 1,2)
 SELECT base.conv_id, base.window_start, n_chars,
-  round(coalesce(char_entropy, 0.0), 6) AS char_entropy
+  round(coalesce(char_entropy, 0.0), 6) + 0.0 AS char_entropy
 FROM base LEFT JOIN ce USING (conv_id, window_start)
 """
 
@@ -273,7 +276,7 @@ def q_token_count_by_lang(sf_dir: str):
 
 SQL_TOKEN_COUNT_BY_LANG = """
 SELECT lang, count(*) AS n_docs,
-  sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS total_tokens,
+  sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))::BIGINT AS total_tokens,
   round(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))::DOUBLE / count(*), 6) AS avg_tokens
 FROM documents GROUP BY lang
 """
@@ -302,7 +305,7 @@ SELECT doc_id, n_tokens, n_stop, n_punct, n_chars,
   CASE WHEN n_tokens >= 10
         AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop::DOUBLE/n_tokens END) >= 0.05
         AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct::DOUBLE/n_chars END) <= 0.2
-       THEN 1 ELSE 0 END AS passes
+       THEN 1 ELSE 0 END::BIGINT AS passes
 FROM t
 """
 
@@ -310,17 +313,22 @@ FROM t
 def q_asof_join_sessions(sf_dir: str):
     """As-of join: each turn gets the most recent session (by start ts)
     of its conversation — pd.merge_asof per conv_id hash bucket."""
+    import pyarrow as pa
+
     from ..stages.joins import asof_join
     from ..stages.sessions import session_stats
     sess = session_stats(read_transcripts(sf_dir, columns=["conv_id", "ts"]),
-                         SESSION_GAP_US).to_pandas()
-    sess = sess.rename(columns={"n_turns": "s_n_turns",
-                                "session_start": "ts"})
-    sess["session_start"] = sess["ts"]
+                         SESSION_GAP_US)
+
+    def prep(t: pa.Table) -> pa.Table:
+        # right side stays a Dataset end-to-end (no driver materialization)
+        return pa.table({"conv_id": t["conv_id"], "ts": t["session_start"],
+                         "session_start": t["session_start"],
+                         "s_n_turns": t["n_turns"]})
+
+    sess = sess.map_batches(prep, batch_format="pyarrow")
     turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
-    out = asof_join(turns, sess[["conv_id", "ts", "session_start",
-                                 "s_n_turns"]],
-                    value_cols=["session_start", "s_n_turns"])
+    out = asof_join(turns, sess, value_cols=["session_start", "s_n_turns"])
     return out.select_columns(["conv_id", "turn_uid", "session_start",
                                "s_n_turns"])
 
@@ -348,9 +356,10 @@ def q_range_join_sessions(sf_dir: str):
     from ..stages.joins import range_join
     from ..stages.sessions import session_stats
     sess = session_stats(read_transcripts(sf_dir, columns=["conv_id", "ts"]),
-                         SESSION_GAP_US).to_pandas()
+                         SESSION_GAP_US).select_columns(
+        ["conv_id", "session_start", "session_end"])
     turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
-    out = range_join(turns, sess[["conv_id", "session_start", "session_end"]])
+    out = range_join(turns, sess)
     return out.select_columns(["conv_id", "turn_uid", "session_start",
                                "session_end"])
 
@@ -420,10 +429,10 @@ p AS (SELECT *, CASE WHEN n_tokens >= 10
 k AS (SELECT * FROM p WHERE passes = 1
       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
 SELECT d.lang, d.n_docs, q.n_quality,
-  coalesce(u.n_unique, 0) AS n_unique,
-  coalesce(u.unique_tokens, 0) AS unique_tokens
+  coalesce(u.n_unique, 0)::BIGINT AS n_unique,
+  coalesce(u.unique_tokens, 0)::BIGINT AS unique_tokens
 FROM (SELECT lang, count(*) AS n_docs FROM p GROUP BY 1) d
-JOIN (SELECT lang, sum(passes) AS n_quality FROM p GROUP BY 1) q USING (lang)
+JOIN (SELECT lang, sum(passes)::BIGINT AS n_quality FROM p GROUP BY 1) q USING (lang)
 LEFT JOIN (SELECT lang, count(*) AS n_unique,
              sum(n_tokens) AS unique_tokens FROM k GROUP BY 1) u USING (lang)
 """
@@ -502,7 +511,7 @@ base AS (
     count(*) FILTER (role = 'other') AS n_other
   FROM w GROUP BY 1, 2),
 re AS (
-  SELECT conv_id, window_start, round(-sum(p * log2(p)), 6) AS role_entropy
+  SELECT conv_id, window_start, round(-sum(p * log2(p)), 6) + 0.0 AS role_entropy
   FROM (SELECT conv_id, window_start,
           count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, window_start) p
         FROM w GROUP BY conv_id, window_start, role) GROUP BY 1, 2)
@@ -597,7 +606,7 @@ s AS (SELECT conv_id, ts, role, text,
   FROM x),
 base AS (SELECT conv_id, sess, min(ts) AS session_start,
     max(ts) AS session_end, count(*) AS n_turns,
-    sum(length(text)) AS n_chars
+    sum(length(text))::BIGINT AS n_chars
   FROM s GROUP BY 1, 2),
 re AS (SELECT conv_id, sess, -sum(p*log2(p)) AS role_entropy FROM (
     SELECT conv_id, sess,
@@ -610,8 +619,8 @@ ct AS (SELECT conv_id, sess, sum(c) AS tot FROM cc GROUP BY 1,2),
 ce AS (SELECT cc.conv_id, cc.sess, -sum((c/tot)*log2(c/tot)) AS char_entropy
     FROM cc JOIN ct USING (conv_id, sess) GROUP BY 1,2)
 SELECT base.conv_id, session_start, session_end, n_turns, n_chars,
-  round(role_entropy, 6) AS role_entropy,
-  round(coalesce(char_entropy, 0.0), 6) AS char_entropy
+  round(role_entropy, 6) + 0.0 AS role_entropy,
+  round(coalesce(char_entropy, 0.0), 6) + 0.0 AS char_entropy
 FROM base JOIN re USING (conv_id, sess)
 LEFT JOIN ce USING (conv_id, sess)
 """

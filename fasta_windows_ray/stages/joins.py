@@ -36,15 +36,55 @@ def _union_tagged(left, right, tag_col: str = "_side"):
         right.map_batches(align("R"), batch_format="pyarrow"))
 
 
-def asof_join(turns_ds, events_pdf: pd.DataFrame, value_cols: list[str],
+def _as_dataset(right):
+    """Accept either a Dataset (scale path — right side never lands on the
+    driver) or a small pandas frame (convenience/tests). Blocks are
+    normalized to Arrow so downstream schema introspection is uniform
+    (map_groups upstreams produce pandas blocks)."""
+    if isinstance(right, pd.DataFrame):
+        right = ray.data.from_pandas(right)
+    return right.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _int_cols(ds) -> set:
+    """Integer-typed column names, tolerant of both Arrow- and
+    pandas-backed block schemas."""
+    sch = ds.schema()
+    out = set()
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            if pa.types.is_integer(typ):
+                out.add(name)
+        else:
+            try:
+                if np.issubdtype(np.dtype(typ), np.integer):
+                    out.add(name)
+            except TypeError:
+                pass
+    return out
+
+
+def _restore_ints(df: pd.DataFrame, int_names: set) -> pd.DataFrame:
+    """The union-tag pads each side's exclusive columns with nulls, which
+    makes pandas upcast int64 -> float64 inside map_groups; cast back once
+    the nulls are gone (leave genuinely-null columns as float)."""
+    for c in df.columns:
+        if c in int_names and df[c].dtype != np.int64 and not df[c].isna().any():
+            df[c] = df[c].astype(np.int64)
+    return df
+
+
+def asof_join(turns_ds, events, value_cols: list[str],
               on: str = "ts", by: str = "conv_id", num_buckets: int = 32):
     """For each turn, attach the most recent (backward) event row of the
     same conversation: pd.merge_asof per conv_id hash bucket.
 
-    ``events_pdf`` is the (small) right side — e.g. emitted window or
-    session stats with an ``on``-comparable timestamp column.
+    ``events`` is the right side — a Dataset (e.g. emitted window or
+    session stats with an ``on``-comparable timestamp column; stays
+    distributed end-to-end) or a small pandas frame.
     """
-    right = ray.data.from_pandas(events_pdf)
+    right = _as_dataset(events)
+    int_names = _int_cols(turns_ds) | _int_cols(right)
     both = _union_tagged(add_bucket(turns_ds, num_buckets),
                          add_bucket(right, num_buckets))
 
@@ -56,20 +96,22 @@ def asof_join(turns_ds, events_pdf: pd.DataFrame, value_cols: list[str],
         l = l.dropna(axis=1, how="all")
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                             suffixes=("", "_r"))
-        return out
+        return _restore_ints(out, int_names)
 
     return both.groupby("bucket").map_groups(probe, batch_format="pandas")
 
 
-def range_join(turns_ds, intervals_pdf: pd.DataFrame,
+def range_join(turns_ds, intervals,
                lo_col: str = "session_start", hi_col: str = "session_end",
                value_cols: list[str] | None = None,
                by: str = "conv_id", num_buckets: int = 32):
     """Attach the interval containing each turn's ts (inclusive bounds):
     per-conversation searchsorted against the sorted interval starts.
-    Intervals must be non-overlapping per key (true for sessions)."""
+    Intervals must be non-overlapping per key (true for sessions).
+    ``intervals`` may be a Dataset (stays distributed) or a pandas frame."""
     value_cols = value_cols or []
-    right = ray.data.from_pandas(intervals_pdf)
+    right = _as_dataset(intervals)
+    int_names = _int_cols(turns_ds) | _int_cols(right)
     both = _union_tagged(add_bucket(turns_ds, num_buckets),
                          add_bucket(right, num_buckets))
 
@@ -98,7 +140,8 @@ def range_join(turns_ds, intervals_pdf: pd.DataFrame,
                 vals = ri[c].to_numpy()[take]
                 g[c] = np.where(ok, vals, None)
             outs.append(g)
-        return pd.concat(outs, ignore_index=True) if outs else l
+        out = pd.concat(outs, ignore_index=True) if outs else l
+        return _restore_ints(out, int_names)
 
     return both.groupby("bucket").map_groups(probe, batch_format="pandas")
 

@@ -26,16 +26,15 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Mimic the driver's compare: sort columns by name, sort rows, but do
+    NOT coerce dtypes — the driver's value-hash is dtype-sensitive (round-1
+    lesson: 9 queries were value-equal but int64-vs-float64 amber)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.integer):
-            df[c] = df[c].astype(np.int64)
-        elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = np.round(df[c].astype(np.float64), 6)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -80,13 +79,28 @@ def main():
         ok_schema = list(mine.columns) == list(oracle.columns)
         ok_vals = False
         if ok_rows and ok_schema:
+            # dtype-exact first (the driver's hash is dtype-sensitive)
+            dt_bad = [(c, str(mine[c].dtype), str(oracle[c].dtype))
+                      for c in mine.columns
+                      if str(mine[c].dtype) != str(oracle[c].dtype)]
+            for c, a, b in dt_bad:
+                print(f"       dtype diff {name}.{c}: mine={a} oracle={b}")
             try:
-                pd.testing.assert_frame_equal(mine, oracle, check_dtype=False,
-                                              check_exact=False, atol=2e-6, rtol=0)
-                ok_vals = True
+                pd.testing.assert_frame_equal(mine, oracle, check_dtype=True,
+                                              check_exact=True)
+                ok_vals = not dt_bad
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
                 print(f"       value diff: {msg}")
+            # byte-level per-column check (catches -0.0 vs +0.0, which
+            # compares equal under == but hashes differently)
+            if ok_vals:
+                for c in mine.columns:
+                    a, b = mine[c].to_numpy(), oracle[c].to_numpy()
+                    if a.dtype.kind in "fiu" and a.tobytes() != b.tobytes():
+                        print(f"       byte diff {name}.{c} "
+                              f"(values equal but bytes differ, e.g. -0.0)")
+                        ok_vals = False
         status = "OK  " if (ok_rows and ok_schema and ok_vals) else "FAIL"
         if status == "FAIL":
             failures += 1
