@@ -127,42 +127,6 @@ def _segment_entropy(codes: np.ndarray, weights: np.ndarray, n_groups: int,
     return np.bincount(codes, weights=terms, minlength=n_groups)
 
 
-def _kgram_diversity_per_group(codes_per_char: np.ndarray, bytes_arr: np.ndarray,
-                               text_bounds: np.ndarray, k: int,
-                               n_groups: int) -> np.ndarray:
-    """Shannon diversity of within-turn k-grams per window group.
-
-    ``text_bounds`` are the start offsets of each turn's bytes in
-    ``bytes_arr`` (k-grams never cross turn boundaries) — kmeru8.rs:38
-    sliding semantics, case-folded (kmeru8.rs:46), no skip-char in the
-    transcript profile (documented divergence; DNA semantics live in
-    kernels.kgram_counts).
-    """
-    n = len(bytes_arr)
-    if n < k:
-        return np.zeros(n_groups, dtype=np.float64)
-    # rank of the k-gram starting at each position
-    r = bytes_arr[: n - k + 1].astype(np.int64)
-    for j in range(1, k):
-        r = r * 256 + bytes_arr[j: n - k + 1 + j]
-    # positions within k-1 of a turn's end start a crossing k-gram: mask out
-    valid = np.ones(n - k + 1, dtype=bool)
-    for j in range(1, k):
-        ends = text_bounds[1:] - j          # last j positions of each turn
-        ends = ends[(ends >= 0) & (ends < n - k + 1)]
-        valid[ends] = False
-    codes = codes_per_char[: n - k + 1][valid]
-    ranks = r[valid]
-    if len(ranks) == 0:
-        return np.zeros(n_groups, dtype=np.float64)
-    key = codes * (1 << 40) + ranks          # rank < 2^32, codes < 2^23
-    uk, cnt = np.unique(key, return_counts=True)
-    gcodes = (uk >> 40).astype(np.int64)
-    total = np.bincount(gcodes, weights=cnt, minlength=n_groups)
-    total[total == 0] = 1.0
-    return _segment_entropy(gcodes, cnt, n_groups, total)
-
-
 class BucketWindowStats:
     """Per-bucket vectorized window-stat computation (callable for
     ``map_groups``). Stateless; a class so profile config is bound once.
@@ -239,7 +203,10 @@ class BucketWindowStats:
         # last event actually inside the window: the event-time analogue of
         # the reference's end-clamp (fw.rs:130-144) — for the trailing
         # partial window, last_ts < window_end (issue #8/#9 conformance)
-        last = np.zeros(G, dtype=np.int64)
+        # init to int64-min, not 0: every group has >=1 member, and a
+        # zero floor would clamp all-pre-epoch (negative-us) windows to
+        # 1970-01-01 (round-1 ADVICE)
+        last = np.full(G, np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(last, codes, ts_e)
         out["last_ts"] = last.astype("datetime64[us]")
 
@@ -280,15 +247,32 @@ class BucketWindowStats:
             out["n_chars"] = np.zeros(G, dtype=np.int64)
             return pd.DataFrame(out)[STATS_COLUMNS]
 
-        # ---- text-level stats over the RAW byte corpus (joined once) ----
+        # ---- text-level stats over the RAW character corpus (joined
+        # once). Pure-ASCII corpora (the common case) use the raw bytes;
+        # otherwise UTF-32 codepoints so array offsets == CHARACTER
+        # offsets — this keeps char_entropy / k-gram diversity /
+        # bigram_rate aligned with the stateful engine and the SQL
+        # oracle's char semantics on multibyte text (round-1 ADVICE).
+        # Case folding is ASCII-only (length-preserving) on all paths. ----
         texts_raw = df["text"].fillna("").to_numpy(dtype=object)
-        blob = "".join(texts_raw)  # ascii corpus (validated in tests)
-        bytes_raw = np.frombuffer(blob.encode("utf-8", "surrogatepass"),
-                                  dtype=np.uint8)
+        blob = "".join(texts_raw)
+        is_ascii = blob.isascii()
+        if is_ascii:
+            bytes_raw = np.frombuffer(blob.encode(), dtype=np.uint8)
+        else:
+            bytes_raw = np.frombuffer(blob.encode("utf-32-le"),
+                                      dtype=np.uint32)
         lens_raw = np.fromiter(map(len, texts_raw), dtype=np.int64,
                                count=n_raw)
         bounds_raw = np.concatenate([[0], np.cumsum(lens_raw)])
         upper_raw = _ascii_upper(bytes_raw)
+        if is_ascii:
+            char_rank, n_classes = upper_raw, np.int64(256)
+        else:
+            # dense ranks in ascending-codepoint order: entropy term
+            # order matches the engine's sorted(char_counts) iteration
+            uv, char_rank = np.unique(upper_raw, return_inverse=True)
+            n_classes = np.int64(len(uv))
 
         # gather map: expanded char -> raw byte index
         le = lens_raw[rows]
@@ -303,11 +287,11 @@ class BucketWindowStats:
         denom = n_chars.astype(np.float64).copy()
         denom[denom == 0] = 1.0
 
-        # char entropy: 256-class over upper-cased bytes (A7 analogue)
-        ckey = codes_per_char * 256 + upper_raw[char_idx]
+        # char entropy: per-class over ASCII-folded characters (A7 analogue)
+        ckey = codes_per_char * n_classes + char_rank[char_idx]
         uk, cnt = np.unique(ckey, return_counts=True)
         out["char_entropy"] = _segment_entropy(
-            (uk >> 8).astype(np.int64), cnt, G, denom)
+            (uk // n_classes).astype(np.int64), cnt, G, denom)
 
         # "fast" profile = the entropy.rs reduced-column mode: char
         # entropy + CTW only (entropy.rs:76-85 design note)
@@ -328,16 +312,27 @@ class BucketWindowStats:
             if nb < k:
                 out[name] = np.zeros(G, dtype=np.float64)
                 continue
-            r = upper_raw[: nb - k + 1].astype(np.int64)
-            for j in range(1, k):
-                r = r * 256 + upper_raw[j: nb - k + 1 + j]
+            if is_ascii:
+                r = upper_raw[: nb - k + 1].astype(np.int64)
+                for j in range(1, k):
+                    r = r * 256 + upper_raw[j: nb - k + 1 + j]
+                shift = np.int64(1) << 40     # rank < 2^32, codes < 2^23
+            else:
+                # iterative dense factorization: ranks stay < n positions
+                # (no overflow for any alphabet size) and remain in
+                # lexicographic k-gram order at every step
+                r = char_rank[: nb - k + 1].astype(np.int64)
+                for j in range(1, k):
+                    r = r * n_classes + char_rank[j: nb - k + 1 + j]
+                    r = np.unique(r, return_inverse=True)[1]
+                shift = np.int64(r.max()) + 1 if len(r) else np.int64(1)
             mask = within <= le_rep - k
             if not mask.any():
                 out[name] = np.zeros(G, dtype=np.float64)
                 continue
-            key = codes_per_char[mask] * (1 << 40) + r[char_idx[mask]]
+            key = codes_per_char[mask] * shift + r[char_idx[mask]]
             uk2, cnt2 = np.unique(key, return_counts=True)
-            gc2 = (uk2 >> 40).astype(np.int64)
+            gc2 = (uk2 // shift).astype(np.int64)
             total = np.bincount(gc2, weights=cnt2, minlength=G)
             total[total == 0] = 1.0
             out[name] = _segment_entropy(gc2, cnt2, G, total)

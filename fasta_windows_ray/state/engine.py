@@ -54,6 +54,13 @@ from ..windows import tumbling_start
 
 ROLE_IDX = {"user": 0, "assistant": 1, "system": 2, "tool": 3, "other": 4}
 
+# ASCII-only case fold — length-preserving, matching the vectorized
+# path's _ascii_upper and the documented engine-wide folding definition
+# (str.upper() can change length, e.g. 'ß' -> 'SS', and would desync
+# n_chars from the char-offset corpus)
+_ASCII_UP = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                          "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
 
 @dataclass
 class WindowConfig:
@@ -117,9 +124,14 @@ class _WindowAcc:
                 registry.get(n).add(self.custom[n], row)
         if cfg.profile == "counts":
             return
-        up = text.upper()
+        up = text.translate(_ASCII_UP)
         self.n_chars += len(up)
-        for b in up.encode("utf-8", "surrogatepass"):
+        # char histogram keyed by CODEPOINT (not UTF-8 byte): keeps the
+        # denominator (chars) and the classes consistent on multibyte
+        # text, matching the vectorized path and the SQL oracle's
+        # substr-per-character semantics (round-1 ADVICE). Pure-ASCII
+        # strings iterate the encoded bytes (same values, faster).
+        for b in (up.encode() if up.isascii() else map(ord, up)):
             self.char_counts[b] = self.char_counts.get(b, 0) + 1
         for k in (2, 3, 4):
             d = self.kgram[k]
@@ -147,9 +159,9 @@ class _WindowAcc:
                 registry.get(n).evict(self.custom[n], row)
         if cfg.profile == "counts":
             return
-        up = text.upper()
+        up = text.translate(_ASCII_UP)
         self.n_chars -= len(up)
-        for b in up.encode("utf-8", "surrogatepass"):
+        for b in (up.encode() if up.isascii() else map(ord, up)):
             self.char_counts[b] -= 1
             if self.char_counts[b] == 0:
                 del self.char_counts[b]

@@ -36,8 +36,11 @@ TRANSCRIPT_SCHEMA = pa.schema([
 def project_events_batch(t: pa.Table) -> pa.Table:
     """Vectorized Arrow projection of an events batch to transcript rows."""
     role = t["event_type"]
-    # chain of if_else against the small fixed mapping (vectorized)
-    out = pa.nulls(len(t), pa.string())
+    # chain of if_else against the small fixed mapping (vectorized);
+    # unmapped event types default to 'other' explicitly — the SQL CASE
+    # carries the same ELSE so both sides agree by construction if the
+    # events table ever gains a sixth type (round-1 ADVICE)
+    out = pa.array(["other"] * len(t), pa.string())
     for etype, r in EVENT_ROLE_MAP.items():
         out = pc.if_else(pc.equal(role, etype), pa.scalar(r), out)
     return pa.table({
@@ -94,6 +97,6 @@ def events_as_transcripts_sql() -> str:
     return (
         "SELECT CAST(user_id AS VARCHAR) AS conv_id, "
         "event_id AS turn_uid, "
-        f"CASE event_type {case} END AS role, "
+        f"CASE event_type {case} ELSE 'other' END AS role, "
         "props AS text, '' AS tool, ts FROM events"
     )
