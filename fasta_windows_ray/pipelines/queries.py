@@ -641,14 +641,19 @@ def q_simhash(sf_dir: str):
     return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+MINHASH_SHINGLE_K = 7     # ONE shingle space for candidates AND verify
+
+
 def q_minhash_lsh_pairs(sf_dir: str):
     from ..stages.dedup import (lsh_candidate_pairs, minhash_band_rows,
-                                verify_jaccard)
+                                verify_jaccard_distributed)
     docs = _docs(sf_dir, ["doc_id", "text"])
-    bands = minhash_band_rows(docs)
-    cand = lsh_candidate_pairs(bands).to_pandas()
-    docs_pdf = docs.to_pandas()
-    return verify_jaccard(cand, docs_pdf, threshold=0.5)
+    bands = minhash_band_rows(docs, shingle_k=MINHASH_SHINGLE_K)
+    cand = lsh_candidate_pairs(bands)
+    out = verify_jaccard_distributed(cand, docs,
+                                     shingle_k=MINHASH_SHINGLE_K,
+                                     threshold=0.5).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def q_embedding_near_dups(sf_dir: str):

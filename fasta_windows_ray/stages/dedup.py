@@ -144,19 +144,30 @@ def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        n_trunc_buckets = 0
+        n_dropped_ids = 0
+        for key, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.unique(g["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
             if len(ids) > 200:
                 # hot-bucket cap: a bucket this dense means the band is
                 # uninformative for these docs (near-identical corpus);
-                # emitting O(n^2) pairs would swamp verification. Capped
-                # and surfaced rather than silently exploding.
-                ids = ids[:200]
+                # emitting O(n^2) pairs would swamp verification. Sample
+                # a deterministic uniform subset (not a prefix, which
+                # would bias against high doc_ids) and surface the drop.
+                n_trunc_buckets += 1
+                n_dropped_ids += len(ids) - 200
+                rng = np.random.default_rng(int(key[1]) & 0x7FFFFFFF)
+                ids = np.sort(rng.choice(ids, 200, replace=False))
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])
+        if n_trunc_buckets:
+            import logging
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: %d hot buckets capped at 200 ids "
+                "(%d doc ids sampled out)", n_trunc_buckets, n_dropped_ids)
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64)})
@@ -180,10 +191,133 @@ def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
                 .groupby("_pb").map_groups(uniq, batch_format="pandas"))
 
 
+def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
+                               threshold: float = 0.7,
+                               num_buckets: int = 64):
+    """Exact shingle-Jaccard verification of LSH candidate pairs with the
+    corpus kept distributed (round-1 "What's wrong" #2 fix).
+
+    Shape (no full-corpus driver materialization anywhere):
+      1. collect the candidate doc_id set (ids only — bounded by the LSH
+         output, orders of magnitude smaller than the corpus) and
+         broadcast it via ray.put;
+      2. semi-join documents against the id set inside map_batches (the
+         broadcast-filter pattern — no shuffle of the corpus);
+      3. two co-partitioned hash-join passes that attach text_a then
+         text_b to each pair: bucket pairs by hash(doc_x) and the
+         filtered docs by hash(doc_id), union-tag, join per bucket;
+      4. exact Jaccard per pair in map_batches (shingle sets computed
+         in-task).
+
+    Returns a Dataset of (doc_a, doc_b, jaccard) rows >= threshold.
+    ``shingle_k`` MUST equal the candidate generator's shingle_k so the
+    threshold is applied in the same shingle space (round-1 ADVICE).
+    """
+    import ray
+
+    # candidate pairs are consumed three times below (id set + two join
+    # passes); materialize once — the pair list is id-pairs only, orders
+    # of magnitude smaller than the corpus, so this is object-store-cheap
+    pairs_ds = pairs_ds.materialize()
+
+    # 1. candidate id set: ids only, via a distributed union/unique
+    def _ids(col):
+        return pairs_ds.map_batches(
+            lambda t, c=col: pa.table({"i": pa.array(
+                np.asarray(t[c]), pa.int64())}),
+            batch_format="pandas")
+    wanted = np.unique(_ids("doc_a").union(_ids("doc_b"))
+                       .to_pandas()["i"].to_numpy())
+    wanted_ref = ray.put(frozenset(int(i) for i in wanted))
+
+    # 2. broadcast semi-join: corpus scanned once, only candidates survive
+    class KeepWanted:
+        def __init__(self):
+            self.keys = ray.get(wanted_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = np.fromiter((int(v) in self.keys for v in ids), bool,
+                            len(ids))
+            return t.filter(pa.array(m))
+
+    docs = docs_ds.map_batches(KeepWanted, batch_format="pyarrow",
+                               concurrency=(1, 8))
+
+    # 3. attach text for one side via a bounded-bucket co-partition.
+    # Both union sides are padded to ONE schema (pair_cols + doc_id/text)
+    # so the sort-based groupby never mixes block schemas.
+    def attach(pairs, side_col: str, out_col: str, pair_cols: dict):
+        def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            out = {c: df[c].to_numpy() for c in pair_cols}
+            out["doc_id"] = np.full(len(df), -1, dtype=np.int64)
+            out["text"] = [""] * len(df)
+            out["_jb"] = df[side_col].to_numpy().astype(np.int64) \
+                % num_buckets
+            out["_p"] = np.ones(len(df), dtype=np.int64)
+            return pd.DataFrame(out)
+
+        def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+            out = {c: (np.full(len(df), -1, dtype=np.int64)
+                       if kind == "i" else [""] * len(df))
+                   for c, kind in pair_cols.items()}
+            out["doc_id"] = df["doc_id"].to_numpy().astype(np.int64)
+            out["text"] = df["text"].to_numpy()
+            out["_jb"] = out["doc_id"] % num_buckets
+            out["_p"] = np.zeros(len(df), dtype=np.int64)
+            return pd.DataFrame(out)
+
+        both = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+            docs.map_batches(tag_docs, batch_format="pandas"))
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            isp = df["_p"].to_numpy() == 1
+            d = df[~isp]
+            lut = dict(zip(d["doc_id"].astype(np.int64), d["text"]))
+            p = df[isp]
+            out = {c: (p[c].to_numpy().astype(np.int64) if kind == "i"
+                       else p[c].to_numpy())
+                   for c, kind in pair_cols.items()}
+            out[out_col] = [lut.get(int(i), "") for i in p[side_col]]
+            return pd.DataFrame(out)
+
+        return both.groupby("_jb").map_groups(join, batch_format="pandas")
+
+    witha = attach(pairs_ds, "doc_a", "ta",
+                   {"doc_a": "i", "doc_b": "i"})
+    withb = attach(witha, "doc_b", "tb",
+                   {"doc_a": "i", "doc_b": "i", "ta": "s"})
+
+
+    # 4. exact Jaccard per pair, vectorized over the pair batch
+    class Jaccard:
+        def __init__(self):
+            self.mh = MinHasher(shingle_k=shingle_k)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for r in df.itertuples():
+                a = self.mh.shingles(str(r.ta))
+                b = self.mh.shingles(str(r.tb))
+                if len(a) == 0 and len(b) == 0:
+                    continue
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = len(a) + len(b) - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    rows.append((int(r.doc_a), int(r.doc_b), j))
+            return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return withb.map_batches(Jaccard, batch_format="pandas",
+                             concurrency=(1, 8))
+
+
 def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
                    shingle_k: int = 5, threshold: float = 0.7) -> pd.DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (driver-side; candidate
-    set is provably small after LSH). Returns pairs >= threshold."""
+    """Exact shingle-Jaccard for candidate pairs (driver-side reference
+    implementation — the pytest equality gate for
+    :func:`verify_jaccard_distributed`, which is the scale path).
+    Returns pairs >= threshold."""
     mh = MinHasher(shingle_k=shingle_k)
     wanted = set(pairs_pdf["doc_a"]).union(pairs_pdf["doc_b"])
     sh = {int(r.doc_id): mh.shingles(r.text)
@@ -247,27 +381,36 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
     vectors with cosine >= 0.95 collide in at least one bucket with high
     probability for small n_planes; we use 4 independent tables.
     """
-    def _tables(d: int) -> list[np.ndarray]:
-        # seeded per-dim so every batch derives identical hyperplanes
-        rng = np.random.default_rng(seed)
-        return [rng.standard_normal((d, n_planes)) for _ in range(4)]
+    class Bucketize:
+        """Actor-pool stage: hyperplane tables built ONCE per actor
+        (lazily, on the first batch — the dim comes from the data);
+        seeded so every actor derives identical hyperplanes."""
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        E = np.stack(df["embedding"].to_numpy())
-        tables = _tables(E.shape[1])
-        E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
-        outs = []
-        for ti, P in enumerate(tables):
-            bits = (E @ P > 0).astype(np.int64)
-            code = (bits << np.arange(n_planes)).sum(axis=1) + (ti << n_planes)
-            outs.append(pd.DataFrame({
-                "bucket": code,
-                "vec_id": df["vec_id"].to_numpy(),
-                "embedding": list(E),
-            }))
-        return pd.concat(outs, ignore_index=True)
+        def __init__(self):
+            self.tables: list[np.ndarray] | None = None
 
-    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            E = np.stack(df["embedding"].to_numpy())
+            if self.tables is None:
+                rng = np.random.default_rng(seed)
+                self.tables = [rng.standard_normal((E.shape[1], n_planes))
+                               for _ in range(4)]
+            E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True),
+                               1e-12)
+            outs = []
+            for ti, P in enumerate(self.tables):
+                bits = (E @ P > 0).astype(np.int64)
+                code = (bits << np.arange(n_planes)).sum(axis=1) \
+                    + (ti << n_planes)
+                outs.append(pd.DataFrame({
+                    "bucket": code,
+                    "vec_id": df["vec_id"].to_numpy(),
+                    "embedding": list(E),
+                }))
+            return pd.concat(outs, ignore_index=True)
+
+    bucketed = ds.map_batches(Bucketize, batch_format="pandas",
+                              concurrency=(1, 8))
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates("vec_id").sort_values("vec_id")

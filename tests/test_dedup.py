@@ -91,3 +91,28 @@ def test_embedding_near_dups(ray_session):
     pairs = set(map(tuple, out[["vec_a", "vec_b"]].to_numpy())) if len(out) else set()
     assert (3, 7) in pairs
     assert all(c >= 0.95 for c in out["cos_sim"])
+
+
+def test_distributed_verify_equals_driver_verify(ray_session):
+    """The distributed verification (semi-join + co-partitioned text
+    attach + in-task Jaccard) must produce exactly the pairs of the
+    driver-side reference implementation at the same shingle_k."""
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.dedup import (lsh_candidate_pairs,
+                                                minhash_band_rows,
+                                                verify_jaccard,
+                                                verify_jaccard_distributed)
+
+    docs = make_docs(n=80, seed=9)
+    k = 7
+    bands = minhash_band_rows(rd.from_pandas(docs), shingle_k=k)
+    cand = lsh_candidate_pairs(bands)
+    dist = verify_jaccard_distributed(cand, rd.from_pandas(docs),
+                                      shingle_k=k, threshold=0.5) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    ref = verify_jaccard(cand.to_pandas(), docs, shingle_k=k,
+                         threshold=0.5) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, ref, check_dtype=False)
+    assert len(ref) > 0            # the gate is non-vacuous
