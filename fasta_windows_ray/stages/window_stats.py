@@ -97,6 +97,63 @@ def add_bucket(ds, num_buckets: int = 64):
     return ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_bucket_slab(ds, num_buckets: int, size_us: int,
+                    step_us: int | None, offset_us: int,
+                    slab_windows: int):
+    """Composite grouping key: conv-hash bucket × coarse TIME SLAB aligned
+    to window starts — the round-1 "unbounded group size" fix. A group is
+    now bounded by (input rate × slab length / num_buckets) instead of
+    growing linearly with total dataset size.
+
+    Slab length L = slab_windows × step (≥ one window size), measured from
+    ``offset_us``; a window belongs to the slab of its window_start.
+    Tumbling rows map to exactly one slab. Sliding rows whose earliest
+    covering window starts in the previous slab are DUPLICATED into it
+    (at most (size-step)/L of rows — vanishing for L >> size), and the
+    per-group computation filters memberships to in-slab window starts so
+    no window is double-emitted.
+
+    Returns (ds_with [_slab,_gk,bucket], L).
+    """
+    step = step_us or size_us
+    L = max(slab_windows, size_us // step) * step
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        b = stable_bucket_of(t["conv_id"].to_numpy(zero_copy_only=False),
+                             num_buckets)
+        if step_us is None and "window_start" in t.column_names:
+            ws = t["window_start"].combine_chunks() \
+                .cast(pa.int64()).to_numpy()
+            slab_hi = (ws - offset_us) // L
+            dup = np.zeros(n, dtype=bool)
+            slab_lo = slab_hi
+        else:
+            ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+            if step == size_us:           # tumbling
+                ws = tumbling_start(ts, size_us, offset_us)
+                slab_hi = (ws - offset_us) // L
+                dup = np.zeros(n, dtype=bool)
+                slab_lo = slab_hi
+            else:                          # sliding
+                top = (ts - offset_us) // step * step + offset_us
+                slab_hi = (top - offset_us) // L
+                lo_start = np.maximum(top - size_us + step, offset_us)
+                slab_lo = (lo_start - offset_us) // L
+                dup = slab_lo < slab_hi
+        idx = np.concatenate([np.arange(n), np.flatnonzero(dup)])
+        slabs = np.concatenate([slab_hi, slab_lo[dup]])
+        buckets = b[idx]
+        t2 = t.take(pa.array(idx, pa.int64()))
+        t2 = t2.append_column("bucket", pa.array(buckets, pa.int64()))
+        t2 = t2.append_column("_slab", pa.array(slabs, pa.int64()))
+        gk = slabs * num_buckets + buckets
+        return t2.append_column("_gk", pa.array(gk, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow",
+                          zero_copy_batch=True), L
+
+
 # ---------------------------------------------------------------------------
 # Vectorized multi-group stat computation (one call per hash bucket)
 # ---------------------------------------------------------------------------
@@ -139,7 +196,7 @@ class BucketWindowStats:
     def __init__(self, profile: str = "full", ctw_depth: int = 6,
                  bigram: str = '"k', window_size_us: int | None = None,
                  step_us: int | None = None, offset_us: int = 0,
-                 ctw_text: bool = False):
+                 ctw_text: bool = False, slab_l_us: int | None = None):
         self.profile = profile
         self.ctw_text = ctw_text
         self.ctw_depth = ctw_depth
@@ -147,6 +204,7 @@ class BucketWindowStats:
         self.window_size_us = window_size_us
         self.step_us = step_us          # set => assign windows in-task
         self.offset_us = offset_us
+        self.slab_l_us = slab_l_us      # set => keep only in-slab windows
         # CTW memo: short role sequences repeat across windows constantly;
         # keyed by the symbol bytes. Bounded to keep actor heap flat.
         self._ctw_cache: dict[bytes, float] = {}
@@ -184,6 +242,15 @@ class BucketWindowStats:
         else:
             rows, ws_e = sliding_starts_expand(ts_raw, size, step,
                                                self.offset_us)
+        if self.slab_l_us and "_slab" in df.columns:
+            # composite-key mode: sliding rows near a slab's lower edge
+            # were duplicated into the previous slab — keep only
+            # memberships whose window_start lives in THIS group's slab
+            slab = np.int64(df["_slab"].iloc[0])
+            keep = (ws_e - self.offset_us) // self.slab_l_us == slab
+            rows, ws_e = rows[keep], ws_e[keep]
+            if len(rows) == 0:
+                return empty_stats_frame()
         cid_e = cid_raw[rows]
         ts_e = ts_raw[rows]
         ws_uniq, ws_inv = np.unique(ws_e, return_inverse=True)
@@ -466,15 +533,22 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
                  offset_us: int = 0, profile: str = "full",
                  num_buckets: int = 64, ctw_depth: int = 6,
                  bigram: str = '"k', ctw_text: bool = False,
-                 coalesce_blocks: int | None = None):
+                 coalesce_blocks: int | None = None,
+                 slab_windows: int | None = 4096):
     """End-to-end windowed stats over a transcript Dataset.
 
     Tumbling when ``step_us`` is None or == size_us, else sliding
     (size % step == 0). Returns a Dataset with STATS_COLUMNS.
 
-    Shape: the ONE shuffle moves raw turns keyed by a conv_id hash
-    bucket; window assignment (incl. the sliding fan-out) and all stat
-    computation run vectorized inside the per-bucket task.
+    Shape: the ONE shuffle moves raw turns keyed by (conv_id hash
+    bucket × time slab); window assignment (incl. the sliding fan-out)
+    and all stat computation run vectorized inside the per-group task.
+
+    ``slab_windows``: windows per time slab of the composite grouping
+    key. Bounds per-task group size by (rows per slab / num_buckets)
+    instead of (total rows / num_buckets) — the 100-TB requirement: a
+    year of data at fixed num_buckets no longer concentrates into
+    num_buckets giant groups. None disables (plain bucket grouping).
 
     ``coalesce_blocks``: Ray's sort-based groupby moves maps × reduces
     shuffle objects, so inputs fragmented into thousands of small blocks
@@ -485,14 +559,21 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
     """
     if coalesce_blocks is not None:
         ds = ds.repartition(coalesce_blocks)
-    ds = add_bucket(ds, num_buckets)
+    slab_l = None
+    if slab_windows:
+        ds, slab_l = add_bucket_slab(ds, num_buckets, size_us, step_us,
+                                     offset_us, slab_windows)
+        group_key = "_gk"
+    else:
+        ds = add_bucket(ds, num_buckets)
+        group_key = "bucket"
     inst = BucketWindowStats(profile=profile, ctw_depth=ctw_depth,
                              bigram=bigram, window_size_us=size_us,
                              step_us=step_us or size_us, offset_us=offset_us,
-                             ctw_text=ctw_text)
+                             ctw_text=ctw_text, slab_l_us=slab_l)
 
     def bucket_window_stats(df: pd.DataFrame) -> pd.DataFrame:
         return inst(df)
 
-    return (ds.groupby("bucket")
+    return (ds.groupby(group_key)
               .map_groups(bucket_window_stats, batch_format="pandas"))

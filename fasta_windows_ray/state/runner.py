@@ -28,13 +28,27 @@ import pandas as pd
 import ray
 
 from ..sinks import ExactlyOnceSink, read_output
-from ..stages.window_stats import add_bucket
+from ..stages.window_stats import add_bucket, add_bucket_slab
 from .engine import StreamEngine, WindowConfig, emitted_to_frame
 
 
-def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64):
-    """Dataset path: bucket shuffle → per-bucket stream replay."""
-    ds = add_bucket(ds, num_buckets)
+def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64,
+                        slab_windows: int | None = 4096):
+    """Dataset path: (bucket × time-slab) shuffle → per-group stream
+    replay. The slab component bounds per-task group size for tumbling/
+    sliding (see add_bucket_slab); session windows have no fixed span, so
+    they group by bucket only (the hot-key scale path for sessions is the
+    salted interval stitch in stages/salted.py)."""
+    slabbed = cfg.kind in ("tumbling", "sliding") and bool(slab_windows)
+    if slabbed:
+        ds, slab_l = add_bucket_slab(
+            ds, num_buckets, cfg.size_us,
+            cfg.step_us if cfg.kind == "sliding" else None,
+            cfg.offset_us, slab_windows)
+        group_key = "_gk"
+    else:
+        ds = add_bucket(ds, num_buckets)
+        group_key = "bucket"
 
     def replay_bucket(df: pd.DataFrame) -> pd.DataFrame:
         order = ["ts"] + [c for c in ("turn_uid", "turn_idx")
@@ -45,10 +59,18 @@ def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64):
         eng.flush()
         out = emitted_to_frame(eng.emitted, cfg.kind,
                                tuple(cfg.custom_aggs))
+        if slabbed and len(out):
+            # sliding duplicates boundary rows into the previous slab;
+            # the engine emits every covering window, so keep only the
+            # windows whose start lives in this group's slab
+            slab = np.int64(df["_slab"].iloc[0])
+            ws = out["window_start"].astype("datetime64[us]") \
+                .astype("int64").to_numpy()
+            out = out[(ws - cfg.offset_us) // slab_l == slab]
         return out
 
-    return ds.groupby("bucket").map_groups(replay_bucket,
-                                           batch_format="pandas")
+    return ds.groupby(group_key).map_groups(replay_bucket,
+                                            batch_format="pandas")
 
 
 def stateful_metrics(ds, cfg: WindowConfig, num_buckets: int = 64):

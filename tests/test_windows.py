@@ -193,3 +193,56 @@ def test_fast_profile_reduced_columns(ray_session):
             == full["char_entropy"].to_numpy()).all()
     assert (fast["ctw_roles_bpb"].to_numpy()
             == full["ctw_roles_bpb"].to_numpy()).all()
+
+
+def test_slab_composite_key_equals_plain_bucket(ray_session):
+    """The (bucket x time-slab) composite grouping key must be a pure
+    execution detail: tiny slabs (forcing many slab splits and sliding
+    boundary duplication) produce exactly the plain-bucket output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import window_stats
+    from fasta_windows_ray.synth import make_transcripts
+
+    S = 1_000_000
+    t = make_transcripts(n_convs=12, mean_turns=60, seed=11)
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="stable") \
+            .reset_index(drop=True)
+
+    for step in (None, 10 * S):            # tumbling and sliding
+        plain = canon(window_stats(rd.from_arrow(t), 30 * S, step_us=step,
+                                   num_buckets=4, slab_windows=None))
+        slabbed = canon(window_stats(rd.from_arrow(t), 30 * S, step_us=step,
+                                     num_buckets=4, slab_windows=2))
+        pd.testing.assert_frame_equal(plain, slabbed)
+
+
+def test_slab_stateful_equals_plain(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from fasta_windows_ray.state.engine import WindowConfig
+    from fasta_windows_ray.state.runner import stateful_window_run
+    from fasta_windows_ray.synth import make_transcripts
+
+    S = 1_000_000
+    t = make_transcripts(n_convs=10, mean_turns=50, seed=13)
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="stable") \
+            .reset_index(drop=True)
+
+    for kind, step in (("tumbling", None), ("sliding", 10 * S)):
+        cfg = WindowConfig(kind=kind, size_us=30 * S, step_us=step)
+        plain = canon(stateful_window_run(rd.from_arrow(t), cfg,
+                                          num_buckets=4, slab_windows=None))
+        slabbed = canon(stateful_window_run(rd.from_arrow(t), cfg,
+                                            num_buckets=4, slab_windows=2))
+        pd.testing.assert_frame_equal(plain, slabbed)
