@@ -702,6 +702,23 @@ def q_tumbling_ctw_text(sf_dir: str):
     return _round6(out, ["ctw_text_bpb"])
 
 
+def q_tumbling_kgram_freqs(sf_dir: str):
+    """Dense role-k-gram frequency vectors per window (the reference's
+    di/tri/tetra freq tables, fw.rs:313-331, as list<int32> columns over
+    the lexicographic ACGTN role vocab). List columns aren't
+    SQL-hashable; rows-only driver check + pytest gate vs
+    kernels.dense_kgram_vector."""
+    from ..stages.window_stats import window_stats
+    ds = read_transcripts(sf_dir)
+    out = window_stats(ds, SIZE_US, profile="full", ctw_depth=-1,
+                       kgram_freqs=True).to_pandas()
+    out = out[["conv_id", "window_start", "n_turns", "kgram_freq_k2",
+               "kgram_freq_k3", "kgram_freq_k4"]].copy()
+    for c in ("kgram_freq_k2", "kgram_freq_k3", "kgram_freq_k4"):
+        out[c] = [np.asarray(v, dtype=np.int32) for v in out[c]]
+    return out
+
+
 def q_stream_metrics(sf_dir: str):
     """Per-partition streaming metrics (rows_in, late/dup drops, windows
     emitted) from the stateful engine replay."""
@@ -758,6 +775,7 @@ def build_queries() -> dict:
         "ann_ivf_topk": q_ann_ivf_topk,
         "tumbling_ctw": q_tumbling_ctw,
         "tumbling_ctw_text": q_tumbling_ctw_text,
+        "tumbling_kgram_freqs": q_tumbling_kgram_freqs,
         "stream_metrics": q_stream_metrics,
         "multimodal_features": q_multimodal_features,
     }

@@ -196,7 +196,8 @@ class BucketWindowStats:
     def __init__(self, profile: str = "full", ctw_depth: int = 6,
                  bigram: str = '"k', window_size_us: int | None = None,
                  step_us: int | None = None, offset_us: int = 0,
-                 ctw_text: bool = False, slab_l_us: int | None = None):
+                 ctw_text: bool = False, slab_l_us: int | None = None,
+                 kgram_freqs: bool = False):
         self.profile = profile
         self.ctw_text = ctw_text
         self.ctw_depth = ctw_depth
@@ -205,15 +206,31 @@ class BucketWindowStats:
         self.step_us = step_us          # set => assign windows in-task
         self.offset_us = offset_us
         self.slab_l_us = slab_l_us      # set => keep only in-slab windows
+        # dense role-k-gram frequency vectors (the reference's 16/64/256
+        # freq TSV columns, fw.rs:313-331, as list<int32> columns per
+        # SURVEY §1.2; vocab = ACGTN role letters sorted lexicographically
+        # = the pre-seeded KmerMap's sorted-key order, kmeru8.rs:60-62)
+        self.kgram_freqs = kgram_freqs
+        if kgram_freqs and profile == "counts":
+            raise ValueError("kgram_freqs requires profile 'full' or 'fast'")
+        self.out_columns = STATS_COLUMNS + (
+            ["kgram_freq_k2", "kgram_freq_k3", "kgram_freq_k4"]
+            if kgram_freqs else [])
         # CTW memo: short role sequences repeat across windows constantly;
         # keyed by the symbol bytes. Bounded to keep actor heap flat.
         self._ctw_cache: dict[bytes, float] = {}
+
+    def _empty(self) -> pd.DataFrame:
+        df = empty_stats_frame()
+        for c in self.out_columns[len(STATS_COLUMNS):]:
+            df[c] = pd.Series(dtype=object)
+        return df
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from .. import kernels as K
 
         if len(df) == 0:
-            return empty_stats_frame()
+            return self._empty()
 
         # ---- raw-row arrays: everything text-related is computed ONCE
         # per raw turn; the sliding c-fold fan-out replicates only small
@@ -250,7 +267,7 @@ class BucketWindowStats:
             keep = (ws_e - self.offset_us) // self.slab_l_us == slab
             rows, ws_e = rows[keep], ws_e[keep]
             if len(rows) == 0:
-                return empty_stats_frame()
+                return self._empty()
         cid_e = cid_raw[rows]
         ts_e = ts_raw[rows]
         ws_uniq, ws_inv = np.unique(ws_e, return_inverse=True)
@@ -312,7 +329,7 @@ class BucketWindowStats:
                         "bigram_rate", "ctw_roles_bpb", "ctw_text_bpb"):
                 out[col] = np.zeros(G, dtype=np.float64)
             out["n_chars"] = np.zeros(G, dtype=np.int64)
-            return pd.DataFrame(out)[STATS_COLUMNS]
+            return pd.DataFrame(out)[STATS_COLUMNS]   # counts: no freq cols
 
         # ---- text-level stats over the RAW character corpus (joined
         # once). Pure-ASCII corpora (the common case) use the raw bytes;
@@ -429,7 +446,7 @@ class BucketWindowStats:
         need_ctw = self.profile in ("full", "fast") and self.ctw_depth >= 0
         uid_raw = (df["turn_uid"].to_numpy() if "turn_uid" in df.columns
                    else np.arange(len(df)))
-        if need_ctw or self.ctw_text:
+        if need_ctw or self.ctw_text or self.kgram_freqs:
             order = np.lexsort((uid_raw[rows], ts_e, codes))
             codes_s = codes[order]
             start = np.searchsorted(codes_s, np.arange(G))
@@ -476,7 +493,32 @@ class BucketWindowStats:
         else:
             out["ctw_text_bpb"] = np.zeros(G, dtype=np.float64)
 
-        return pd.DataFrame(out)[STATS_COLUMNS]
+        # dense role-k-gram frequency vectors over the ordered window
+        # role sequence: length-5^k int32 arrays in lexicographic ACGTN
+        # k-gram order (role letters A=user C=assistant G=system T=tool
+        # N=other per FIXTURES.md) — the reference's di/tri/tetra freq
+        # table columns (fw.rs:313-331; sorted-key vocab kmeru8.rs:60-62)
+        if self.kgram_freqs:
+            lex = np.array([0, 1, 2, 4, 3], dtype=np.int64)[role5_e[order]]
+            m = len(lex)
+            for k in (2, 3, 4):
+                V = 5 ** k
+                name = f"kgram_freq_k{k}"
+                if m < k:
+                    out[name] = [np.zeros(V, dtype=np.int32)
+                                 for _ in range(G)]
+                    continue
+                r = lex[: m - k + 1].copy()
+                same = codes_s[: m - k + 1] == codes_s[k - 1:]
+                for j in range(1, k):
+                    r = r * 5 + lex[j: m - k + 1 + j]
+                key = codes_s[: m - k + 1][same] * V + r[same]
+                mat = np.zeros((G, V), dtype=np.int32)
+                uk, cnt = np.unique(key, return_counts=True)
+                mat[uk // V, uk % V] = cnt
+                out[name] = list(mat)
+
+        return pd.DataFrame(out)[self.out_columns]
 
 
 def turn_window_counts(ds, w_turns: int, num_buckets: int = 64):
@@ -534,7 +576,8 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
                  num_buckets: int = 64, ctw_depth: int = 6,
                  bigram: str = '"k', ctw_text: bool = False,
                  coalesce_blocks: int | None = None,
-                 slab_windows: int | None = 4096):
+                 slab_windows: int | None = 4096,
+                 kgram_freqs: bool = False):
     """End-to-end windowed stats over a transcript Dataset.
 
     Tumbling when ``step_us`` is None or == size_us, else sliding
@@ -570,7 +613,8 @@ def window_stats(ds, size_us: int, step_us: int | None = None,
     inst = BucketWindowStats(profile=profile, ctw_depth=ctw_depth,
                              bigram=bigram, window_size_us=size_us,
                              step_us=step_us or size_us, offset_us=offset_us,
-                             ctw_text=ctw_text, slab_l_us=slab_l)
+                             ctw_text=ctw_text, slab_l_us=slab_l,
+                             kgram_freqs=kgram_freqs)
 
     def bucket_window_stats(df: pd.DataFrame) -> pd.DataFrame:
         return inst(df)

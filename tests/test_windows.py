@@ -246,3 +246,47 @@ def test_slab_stateful_equals_plain(ray_session):
         slabbed = canon(stateful_window_run(rd.from_arrow(t), cfg,
                                             num_buckets=4, slab_windows=2))
         pd.testing.assert_frame_equal(plain, slabbed)
+
+
+def test_kgram_freq_vectors_match_kernels():
+    """Dense role-k-gram frequency vectors == kernels.dense_kgram_vector
+    over the window's ordered role-letter string (lexicographic ACGTN
+    vocab, the reference's sorted-key order, kmeru8.rs:60-62)."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_ray import kernels as K
+    from fasta_windows_ray.stages.window_stats import BucketWindowStats
+
+    S = 1_000_000
+    EPOCH = 1_700_000_000 * S
+    rng = np.random.default_rng(21)
+    roles = ["user", "assistant", "system", "tool", "other"]
+    letter = {"user": "A", "assistant": "C", "system": "G",
+              "tool": "T", "other": "N"}
+    rows = []
+    for conv in ("x", "y"):
+        for i in range(37):
+            rows.append({"conv_id": conv, "turn_uid": i,
+                         "role": roles[rng.integers(0, 5)],
+                         "text": "t", "tool": "",
+                         "ts": pd.Timestamp(EPOCH + i * 7 * S, unit="us")})
+    df = pd.DataFrame(rows)
+    out = BucketWindowStats(profile="full", ctw_depth=-1,
+                            window_size_us=60 * S, step_us=60 * S,
+                            kgram_freqs=True)(df)
+    # reference recomputation per window from the ordered role letters
+    df["ws"] = df["ts"].astype("datetime64[us]").astype("int64") \
+        // (60 * S) * (60 * S)
+    for (conv, ws), g in df.groupby(["conv_id", "ws"]):
+        g = g.sort_values(["ts", "turn_uid"])
+        seq = "".join(letter[r] for r in g["role"])
+        row = out[(out["conv_id"] == conv) &
+                  (out["window_start"] == pd.Timestamp(ws, unit="us"))]
+        assert len(row) == 1
+        for k in (2, 3, 4):
+            vocab = K.gen_all_kgrams("ACGTN", k)
+            exp = K.dense_kgram_vector(
+                K.kgram_counts(seq, k, skip_char=None), vocab)
+            got = np.asarray(row[f"kgram_freq_k{k}"].iloc[0], dtype=np.int32)
+            np.testing.assert_array_equal(got, exp)
