@@ -48,19 +48,92 @@ def parse_fasta(text: str, truncate_id: bool = False) -> list[tuple[str, str, st
     return records
 
 
-def read_fasta(path: str, truncate_id: bool = False):
-    """Ray Dataset of FASTA records (id, desc, seq).
+_CHUNK = 1 << 20
 
-    The file is split per record; large genomes stream as one record per
-    row and windowing fans out inside map_batches downstream.
+
+def _range_records(path: str, start: int, end: int,
+                   truncate_id: bool) -> list[tuple[str, str, str]]:
+    """Parse the FASTA records whose '>' header starts in [start, end).
+
+    Byte-range ownership rule: a task owns a record iff the record's
+    header byte lies in its range; the task reads past ``end`` only to
+    the next record start (bounded by range size + one record, never the
+    whole file). The reference streams records one at a time
+    (src/fw.rs:62-69); this is the distributed equivalent.
     """
+    with open(path, "rb") as f:
+        if start == 0:
+            pos = 0
+        else:
+            # find the first record start at/after `start`: the previous
+            # byte is included so a '>' exactly at `start` is found via
+            # its preceding newline
+            f.seek(start - 1)
+            scan_off = start - 1
+            data = b""
+            pos = None
+            while pos is None:
+                chunk = f.read(_CHUNK)
+                if not chunk:
+                    return []
+                data += chunk
+                i = data.find(b"\n>")
+                if i != -1:
+                    pos = scan_off + i + 1
+                else:
+                    scan_off += len(data) - 1
+                    data = data[-1:]          # boundary byte only
+            if pos >= end:
+                return []    # range is the middle of another task's record
+        # accumulate from the first owned record to the first record
+        # start at/after `end` (or EOF)
+        f.seek(pos)
+        buf = bytearray()
+        cut = None
+        while cut is None:
+            chunk = f.read(_CHUNK)
+            if not chunk:
+                break
+            prev = len(buf)
+            buf += chunk
+            lo = max(end - 1 - pos, prev - 1, 0)
+            if lo < len(buf):
+                i = buf.find(b"\n>", lo)
+                if i != -1:
+                    cut = i + 1
+        text = bytes(buf[:cut] if cut else buf).decode()
+        return parse_fasta(text, truncate_id=truncate_id)
+
+
+def read_fasta(path: str, truncate_id: bool = False,
+               target_bytes: int = 64 << 20):
+    """Ray Dataset of FASTA records (id, desc, seq), read as parallel
+    BYTE-RANGE tasks — the file is never loaded on the driver, so a
+    multi-GB genome streams through the object store one ~target_bytes
+    block at a time (round-1 "streaming FASTA source" fix). Requires the
+    path to be readable from every node (shared FS / object store mount —
+    the standard cluster layout).
+    """
+    import os
+
     import ray.data as rd
 
-    with open(path) as f:
-        records = parse_fasta(f.read(), truncate_id=truncate_id)
-    table = pa.table({
-        "id": [r[0] for r in records],
-        "desc": [r[1] for r in records],
-        "seq": [r[2] for r in records],
-    }, schema=RECORD_SCHEMA)
-    return rd.from_arrow(table)
+    size = os.path.getsize(path)
+    ranges = [{"start": s, "end": min(s + target_bytes, size)}
+              for s in range(0, max(size, 1), target_bytes)]
+
+    def parse_ranges(df) -> pa.Table:
+        recs: list[tuple[str, str, str]] = []
+        for r in df.itertuples():
+            recs.extend(_range_records(path, int(r.start), int(r.end),
+                                       truncate_id))
+        return pa.table({
+            "id": [r[0] for r in recs],
+            "desc": [r[1] for r in recs],
+            "seq": [r[2] for r in recs],
+        }, schema=RECORD_SCHEMA)
+
+    # one range per block so each parse task owns exactly one byte range
+    return rd.from_items(ranges, override_num_blocks=len(ranges)) \
+        .map_batches(parse_ranges, batch_format="pandas",
+                     batch_size=1)

@@ -108,11 +108,17 @@ def test_distributed_verify_equals_driver_verify(ray_session):
     k = 7
     bands = minhash_band_rows(rd.from_pandas(docs), shingle_k=k)
     cand = lsh_candidate_pairs(bands)
+    # small_side_limit=0 forces the co-partitioned scale path
     dist = verify_jaccard_distributed(cand, rd.from_pandas(docs),
+                                      shingle_k=k, threshold=0.5,
+                                      small_side_limit=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    fast = verify_jaccard_distributed(cand, rd.from_pandas(docs),
                                       shingle_k=k, threshold=0.5) \
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     ref = verify_jaccard(cand.to_pandas(), docs, shingle_k=k,
                          threshold=0.5) \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(dist, ref, check_dtype=False)
+    pd.testing.assert_frame_equal(fast, ref, check_dtype=False)
     assert len(ref) > 0            # the gate is non-vacuous

@@ -135,3 +135,34 @@ def test_entropy_mode_bed(ray_session, fasta_path, tmp_path):
     # case-folding: trailing window 'acgtacgtNN' entropy counts folded
     last = lines[2].split("\t")
     assert last[3] == f"{K.entropy_fast('acgtacgtNN'):.6f}"
+
+
+def test_byte_range_reader_equals_whole_file(ray_session, tmp_path):
+    """Tiny target_bytes forces many byte-range tasks with record
+    boundaries straddling ranges every few bytes — output must equal the
+    whole-file parse, in records and contents."""
+    import numpy as np
+
+    from fasta_windows_ray.sources.fasta import parse_fasta, read_fasta
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(25):
+        lines.append(f">rec{i} some description {i}")
+        seq = "".join(rng.choice(list("ACGTN"), rng.integers(10, 200)))
+        # multi-line wrapping at 37 chars
+        for j in range(0, len(seq), 37):
+            lines.append(seq[j:j + 37])
+    path = tmp_path / "multi.fa"
+    path.write_text("\n".join(lines) + "\n")
+
+    whole = parse_fasta(path.read_text())
+    for tb in (16, 64, 1024):
+        got = read_fasta(str(path), target_bytes=tb).to_pandas()
+        got = got.sort_values("id", key=lambda s: s.str[3:].astype(int)) \
+            .reset_index(drop=True)
+        assert len(got) == len(whole)
+        for i, (rid, desc, seq) in enumerate(whole):
+            assert got["id"][i] == rid
+            assert got["desc"][i] == desc
+            assert got["seq"][i] == seq
