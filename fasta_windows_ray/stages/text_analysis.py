@@ -59,23 +59,29 @@ class QualityScorer:
         self.stop = set(STOPWORDS)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            toks = self.tok.findall(text.lower())
-            n_tok = len(toks)
-            n_stop = sum(t in self.stop for t in toks)
-            n_punct = len(self.punct.findall(text))
-            n_chars = len(text)
-            stop_ratio = n_stop / n_tok if n_tok else 0.0
-            punct_ratio = n_punct / n_chars if n_chars else 0.0
-            passes = int(n_tok >= self.min_tokens
-                         and stop_ratio >= self.min_stop
-                         and punct_ratio <= self.max_punct)
-            rows.append((doc_id, n_tok, n_stop, n_punct, n_chars,
-                         stop_ratio, punct_ratio, passes))
-        return pd.DataFrame(rows, columns=[
-            "doc_id", "n_tokens", "n_stop", "n_punct", "n_chars",
-            "stop_ratio", "punct_ratio", "passes"])
+        # vectorized pandas str kernels (round-1 VERDICT #10): tokenize
+        # once, count stopwords via explode+isin+group-sum, ratios in numpy
+        text = batch["text"].reset_index(drop=True)
+        toks = text.str.lower().str.findall(self.tok)
+        n_tok = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode()
+        n_stop = ex.isin(self.stop).groupby(level=0).sum() \
+            .reindex(toks.index, fill_value=0).to_numpy(np.int64)
+        n_punct = text.str.count(self.punct).to_numpy(np.int64)
+        n_chars = text.str.len().to_numpy(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stop_ratio = np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1),
+                                  0.0)
+            punct_ratio = np.where(n_chars > 0,
+                                   n_punct / np.maximum(n_chars, 1), 0.0)
+        passes = ((n_tok >= self.min_tokens)
+                  & (stop_ratio >= self.min_stop)
+                  & (punct_ratio <= self.max_punct)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_tokens": n_tok, "n_stop": n_stop, "n_punct": n_punct,
+            "n_chars": n_chars, "stop_ratio": stop_ratio,
+            "punct_ratio": punct_ratio, "passes": passes})
 
 
 class LangId:

@@ -263,3 +263,86 @@ def test_task_failure_retried_transparently(ray_session, tmp_path):
     out = window_stats(ds, 20 * S, num_buckets=4).to_pandas()
     clean = window_stats(rd.from_arrow(t), 20 * S, num_buckets=4).to_pandas()
     pd.testing.assert_frame_equal(canon(out), canon(clean))
+
+
+def test_bounded_kgrams_exact_below_cap_roundtrip():
+    """Below cap the bounded histogram is the exact dict (bit-identical
+    entropy); add+evict is an exact inverse."""
+    from fasta_windows_ray import kernels as K
+    from fasta_windows_ray.state.engine import _BoundedKgrams
+
+    d = _BoundedKgrams(cap=1000)
+    grams = [f"g{i % 37}" for i in range(500)]
+    for g in grams:
+        d.add(g)
+    exp = {}
+    for g in grams:
+        exp[g] = exp.get(g, 0) + 1
+    assert d.exact == exp
+    assert d.entropy() == K.entropy_from_counts(
+        [exp[g] for g in sorted(exp)])
+    for g in grams[:250]:
+        d.evict(g)
+    assert d.total == 250
+
+
+def test_bounded_kgrams_spill_flat_memory():
+    """Past the cap the histogram spills to CMS + heavy hitters: memory
+    stays fixed, totals stay exact, entropy stays finite and close to
+    the true value for a heavy-hitter-dominated distribution."""
+    import math
+
+    from fasta_windows_ray.state.engine import _BoundedKgrams
+
+    d = _BoundedKgrams(cap=512, width=1 << 12)
+    # heavy hitters: 8 grams x 1000; tail: 4000 singletons
+    for i in range(8):
+        for _ in range(1000):
+            d.add(f"HH{i}")
+    for i in range(4000):
+        d.add(f"tail{i}")
+    assert d.exact is None               # spilled
+    assert d.cms.shape == (4, 1 << 12)   # fixed size regardless of keys
+    assert len(d.hh) <= 512 // 16
+    assert d.total == 8000 + 4000
+    h = d.entropy()
+    # true entropy: 8 x (1000/12000) + 4000 x (1/12000)
+    p_hh, p_t = 1000 / 12000, 1 / 12000
+    true = -(8 * p_hh * math.log2(p_hh) + 4000 * p_t * math.log2(p_t))
+    assert 0 < h <= true + 1e-9          # tail-aggregated lower bound
+
+
+def test_huge_window_flat_acc_and_last_ts():
+    """A single window with >cap distinct quadgrams and no CTW keeps the
+    accumulator flat (no per-turn list, spilled kgrams) and still emits
+    exact counts/last_ts."""
+    import numpy as np
+    import pandas as pd
+
+    from fasta_windows_ray.state.engine import StreamEngine, WindowConfig
+
+    rng = np.random.default_rng(7)
+    n = 2500
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"))
+    texts = ["".join(rng.choice(alpha, 40)) for _ in range(n)]
+    rows = pd.DataFrame({
+        "conv_id": ["c"] * n,
+        "turn_uid": np.arange(n),
+        "role": ["user"] * n,
+        "text": texts,
+        "tool": [""] * n,
+        "ts": pd.to_datetime(EPOCH_US + np.arange(n) * 1000, unit="us"),
+    })
+    cfg = WindowConfig(kind="tumbling", size_us=3600 * S, ctw_depth=-1,
+                       profile="full")
+    eng = StreamEngine(cfg)
+    eng.process_rows(rows)
+    acc = next(iter(eng.open.values()))
+    assert acc.turns is None             # no per-turn sequence retained
+    assert acc.kgram[4].exact is None    # quadgrams spilled to the sketch
+    eng.flush()
+    out = eng.emitted
+    assert len(out) == 1
+    assert out[0]["n_turns"] == n
+    assert out[0]["n_chars"] == 40 * n
+    assert out[0]["last_ts"] == np.datetime64(EPOCH_US + (n - 1) * 1000, "us")
