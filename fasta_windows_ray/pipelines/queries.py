@@ -631,6 +631,98 @@ def q_lang_id(sf_dir: str):
     return apply(_docs(sf_dir, ["doc_id", "lang", "text"]), LangId)
 
 
+def _lang_id_sql() -> str:
+    from ..stages.text_analysis import LANG_PROFILES
+    scores = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        scores.append(f"len(list_filter(toks, x -> x IN ({words}))) "
+                      f"AS s_{lang}")
+    langs = sorted(LANG_PROFILES)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # first alphabetical language achieving the max (LangId's strict->
+    # update loop over sorted langs); all-zero -> 'und'
+    cases = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(scores)} FROM t),
+m AS (SELECT *, {g} AS m FROM s)
+SELECT doc_id, lang,
+  CASE WHEN m = 0 THEN 'und' {cases} END AS pred_lang
+FROM m
+"""
+
+
+SQL_LANG_ID = None     # built lazily (needs LANG_PROFILES import)
+
+
+NGRAM_PAIR_IDS = [(2 * i, 2 * i + 1) for i in range(10)]
+NGRAM_SHINGLE_K = 5
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact character-n-gram Jaccard for a fixed list of doc pairs —
+    the n-gram Jaccard dedup operator with a SQL oracle (distinct
+    5-gram substring sets; the hashed-shingle Ray path equals the
+    substring-set SQL absent 61-bit hash collisions)."""
+    import ray.data as rd
+
+    from ..stages.dedup import verify_jaccard_distributed
+    pairs = rd.from_items([{"doc_a": a, "doc_b": b}
+                           for a, b in NGRAM_PAIR_IDS])
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    out = verify_jaccard_distributed(pairs, docs,
+                                     shingle_k=NGRAM_SHINGLE_K,
+                                     threshold=0.0).to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return _round6(out, ["jaccard"])
+
+
+def _ngram_jaccard_sql() -> str:
+    vals = ", ".join(f"({a}, {b})" for a, b in NGRAM_PAIR_IDS)
+    k = NGRAM_SHINGLE_K
+    return f"""
+WITH p AS (SELECT * FROM (VALUES {vals}) AS v(doc_a, doc_b)),
+j AS (SELECT p.doc_a, p.doc_b,
+        coalesce(a.text, '') AS ta, coalesce(b.text, '') AS tb
+      FROM p LEFT JOIN documents a ON a.doc_id = p.doc_a
+             LEFT JOIN documents b ON b.doc_id = p.doc_b),
+ga AS (SELECT doc_a, doc_b, substr(lower(ta), i, {k}) AS g
+       FROM j, LATERAL (SELECT unnest(generate_series(1, length(ta) - {k - 1})) AS i)
+       GROUP BY 1, 2, 3),
+gb AS (SELECT doc_a, doc_b, substr(lower(tb), i, {k}) AS g
+       FROM j, LATERAL (SELECT unnest(generate_series(1, length(tb) - {k - 1})) AS i)
+       GROUP BY 1, 2, 3),
+c AS (SELECT j.doc_a, j.doc_b,
+        (SELECT count(*) FROM ga WHERE ga.doc_a = j.doc_a AND ga.doc_b = j.doc_b) AS na,
+        (SELECT count(*) FROM gb WHERE gb.doc_a = j.doc_a AND gb.doc_b = j.doc_b) AS nb,
+        (SELECT count(*) FROM ga JOIN gb USING (doc_a, doc_b, g)
+          WHERE ga.doc_a = j.doc_a AND ga.doc_b = j.doc_b) AS ni
+      FROM j)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+  round(CASE WHEN na + nb - ni > 0 THEN ni::DOUBLE / (na + nb - ni)
+             ELSE 0.0 END, 6) + 0.0 AS jaccard
+FROM c WHERE na + nb > 0
+"""
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH t AS (SELECT doc_id AS media_id, sha256(text) AS hx
+           FROM documents),
+b AS (SELECT media_id,
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+        (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1
+      FROM t)
+SELECT media_id, (1 + b0 % 64)::BIGINT AS height,
+       (1 + b1 % 64)::BIGINT AS width
+FROM b
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     from ..stages.text_analysis import Fingerprinter, apply
     return apply(_docs(sf_dir, ["doc_id", "text"]), Fingerprinter)
@@ -766,8 +858,9 @@ def build_queries() -> dict:
         "salted_window_counts": q_salted_window_counts,
         "salted_session_counts": q_salted_session_counts,
         "turn_window_counts": q_turn_window_counts,
-        # rows-only (non-SQL-expressible semantics)
         "lang_id": q_lang_id,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # rows-only (non-SQL-expressible semantics)
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -805,4 +898,7 @@ def build_oracle_sql() -> dict:
         "salted_window_counts": SQL_SALTED_WINDOW_COUNTS,
         "salted_session_counts": SQL_SESSION_WINDOWS,
         "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
+        "lang_id": _lang_id_sql(),
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

@@ -329,10 +329,14 @@ def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
     wanted = set(pairs_pdf["doc_a"]).union(pairs_pdf["doc_b"])
     sh = {int(r.doc_id): mh.shingles(r.text)
           for r in docs_pdf.itertuples() if r.doc_id in wanted}
+    empty = np.zeros(0, dtype=np.int64)
     rows = []
     for r in pairs_pdf.itertuples():
-        a, b = sh.get(int(r.doc_a)), sh.get(int(r.doc_b))
-        if a is None or b is None or (len(a) == 0 and len(b) == 0):
+        # a missing doc behaves as empty text (same as the distributed
+        # path's co-partitioned lookup default)
+        a = sh.get(int(r.doc_a), empty)
+        b = sh.get(int(r.doc_b), empty)
+        if len(a) == 0 and len(b) == 0:
             continue
         inter = len(np.intersect1d(a, b, assume_unique=True))
         union = len(a) + len(b) - inter
