@@ -103,8 +103,12 @@ def bench_queries() -> dict:
 
     def sliding_full():
         ds = read_transcripts_replicated(SF_DIR, REPLICATE)
+        # slab_windows=32 (8-day slabs at 6 h step): splits the 30-day
+        # span into ~4 slabs x buckets -> better group balance than one
+        # giant group per bucket (measured 9.5 -> 7.4 s at 16x)
         return _consume(window_stats(ds, SLIDE_SIZE_US, step_us=SLIDE_STEP_US,
-                                     profile="full", num_buckets=4 * NUM_CPUS))
+                                     profile="full", num_buckets=4 * NUM_CPUS,
+                                     slab_windows=32))
 
     def tumbling_full():
         ds = read_transcripts(SF_DIR)
@@ -346,7 +350,8 @@ def run_headline_only() -> dict:
         t0 = time.perf_counter()
         ds = read_transcripts_replicated(SF_DIR, REPLICATE)
         _consume(window_stats(ds, SLIDE_SIZE_US, step_us=SLIDE_STEP_US,
-                              profile="full", num_buckets=128))
+                              profile="full", num_buckets=128,
+                              slab_windows=32))
         dt = min(dt, time.perf_counter() - t0)
     ray.shutdown()
     return {"metric": "headline sliding-window stats", "value": round(dt, 3),

@@ -141,10 +141,14 @@ def add_bucket_slab(ds, num_buckets: int, size_us: int,
                 lo_start = np.maximum(top - size_us + step, offset_us)
                 slab_lo = (lo_start - offset_us) // L
                 dup = slab_lo < slab_hi
-        idx = np.concatenate([np.arange(n), np.flatnonzero(dup)])
-        slabs = np.concatenate([slab_hi, slab_lo[dup]])
-        buckets = b[idx]
-        t2 = t.take(pa.array(idx, pa.int64()))
+        if dup.any():
+            idx = np.concatenate([np.arange(n), np.flatnonzero(dup)])
+            slabs = np.concatenate([slab_hi, slab_lo[dup]])
+            buckets = b[idx]
+            t2 = t.take(pa.array(idx, pa.int64()))
+        else:
+            # common case (no boundary rows): zero-copy column appends
+            slabs, buckets, t2 = slab_hi, b, t
         t2 = t2.append_column("bucket", pa.array(buckets, pa.int64()))
         t2 = t2.append_column("_slab", pa.array(slabs, pa.int64()))
         gk = slabs * num_buckets + buckets
