@@ -708,6 +708,32 @@ FROM c WHERE na + nb > 0
 """
 
 
+def _fingerprint_sql() -> str:
+    """Rabin-Karp fingerprint reproduced in SQL: per-position rolling
+    8-gram polynomial hash in HUGEINT (mod 2^61-1 each step, exactly the
+    kernel's order of operations), folded with list_reduce in position
+    order; min_gram_hash = min over positions. ASCII corpus: ascii(char)
+    == utf-8 byte."""
+    from ..stages.text_analysis import Fingerprinter
+    B, M, k = Fingerprinter.B, Fingerprinter.M, 8
+    expr = "ascii(substr(text, i, 1))::HUGEINT"
+    for j in range(1, k):
+        expr = (f"(({expr}) * {B} + ascii(substr(text, i + {j}, 1))) "
+                f"% {M}")
+    return f"""
+WITH t AS (SELECT doc_id, text FROM documents),
+r AS (SELECT t.doc_id, i, {expr} AS rh
+      FROM t, LATERAL (SELECT unnest(generate_series(1, length(text) - {k - 1})) AS i)),
+agg AS (SELECT doc_id,
+          list_reduce(list(rh ORDER BY i), (a, b) -> (a * {B} + b) % {M}) AS fp,
+          min(rh) AS mg
+        FROM r GROUP BY doc_id)
+SELECT t.doc_id, coalesce(agg.fp, 0)::BIGINT AS fingerprint,
+       coalesce(agg.mg, 0)::BIGINT AS min_gram_hash
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 SQL_MULTIMODAL_FEATURES = """
 WITH t AS (SELECT doc_id AS media_id, sha256(text) AS hx
            FROM documents),
@@ -901,4 +927,5 @@ def build_oracle_sql() -> dict:
         "lang_id": _lang_id_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "doc_fingerprint": _fingerprint_sql(),
     }

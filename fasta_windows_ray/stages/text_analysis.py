@@ -122,8 +122,11 @@ class Fingerprinter:
     min-hash of rolling char 8-grams.
     """
 
+    # M < 2^41 keeps r*B + byte < 2^62: EXACT int64 arithmetic (no silent
+    # numpy wraparound), so the DuckDB HUGEINT oracle reproduces the
+    # kernel bit-for-bit
     B = 1_000_003
-    M = (1 << 61) - 1
+    M = (1 << 41) - 1
 
     def __init__(self, k: int = 8):
         self.k = k
