@@ -708,6 +708,32 @@ FROM c WHERE na + nb > 0
 """
 
 
+def _simhash_sql() -> str:
+    """SimHash reproduced in SQL: md5 per token, fold the first 15 hex
+    digits to a 60-bit BIGINT, per-bit +/-1 vote sums, rebuild the
+    sign-bit word. Exactly the kernel's definition (dedup.py)."""
+    from ..stages.dedup import SIMHASH_BITS
+    expr = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)::BIGINT"
+    for j in range(2, 16):
+        expr = (f"(({expr}) * 16 + strpos('0123456789abcdef', "
+                f"substr(h, {j}, 1)) - 1)")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+               '[a-z0-9_]+')) AS t FROM documents),
+h AS (SELECT doc_id, md5(t) AS h FROM tok),
+hv AS (SELECT doc_id, {expr} AS hv FROM h),
+b AS (SELECT doc_id, bit,
+        sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hv, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+      GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       FROM b GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+
 def _fingerprint_sql() -> str:
     """Rabin-Karp fingerprint reproduced in SQL: per-position rolling
     8-gram polynomial hash in HUGEINT (mod 2^61-1 each step, exactly the
@@ -837,6 +863,45 @@ def q_tumbling_kgram_freqs(sf_dir: str):
     return out
 
 
+def q_tumbling_role_kgram_long(sf_dir: str):
+    """Long-format (conv_id, window_start, k, kgram, n) explode of the
+    dense role-k-gram frequency vectors — SQL-oracle-pairs the same math
+    that fills the list<int32> columns (string_agg of role letters
+    ordered by (ts, turn_uid), substring k-grams, counts)."""
+    from .. import kernels as K
+    pdf = q_tumbling_kgram_freqs(sf_dir)
+    outs = []
+    for k in (2, 3, 4):
+        vocab = np.asarray(K.gen_all_kgrams("ACGTN", k), dtype=object)
+        M = np.stack([np.asarray(v) for v in pdf[f"kgram_freq_k{k}"]])
+        r, c = np.nonzero(M)
+        outs.append(pd.DataFrame({
+            "conv_id": pdf["conv_id"].to_numpy()[r],
+            "window_start": pdf["window_start"].to_numpy()[r],
+            "k": np.full(len(r), k, dtype=np.int64),
+            "kgram": vocab[c],
+            "n": M[r, c].astype(np.int64)}))
+    out = pd.concat(outs, ignore_index=True)
+    return out.sort_values(["conv_id", "window_start", "k", "kgram"]) \
+        .reset_index(drop=True)
+
+
+SQL_TUMBLING_ROLE_KGRAM_LONG = f"""
+WITH w AS ({_WIN}),
+seq AS (SELECT conv_id, window_start,
+         string_agg(CASE role WHEN 'user' THEN 'A' WHEN 'assistant' THEN 'C'
+                    WHEN 'system' THEN 'G' WHEN 'tool' THEN 'T'
+                    ELSE 'N' END, '' ORDER BY ts, turn_uid) AS s
+        FROM w GROUP BY 1, 2),
+g AS (SELECT conv_id, window_start, k, substr(s, i, k) AS kgram
+      FROM seq, (SELECT unnest([2, 3, 4]) AS k) kk,
+           LATERAL (SELECT unnest(generate_series(1, length(s) - k + 1)) AS i)
+      WHERE length(s) >= k)
+SELECT conv_id, window_start, k::BIGINT AS k, kgram, count(*)::BIGINT AS n
+FROM g GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_stream_metrics(sf_dir: str):
     """Per-partition streaming metrics (rows_in, late/dup drops, windows
     emitted) from the stateful engine replay."""
@@ -886,6 +951,7 @@ def build_queries() -> dict:
         "turn_window_counts": q_turn_window_counts,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "tumbling_role_kgram_long": q_tumbling_role_kgram_long,
         # rows-only (non-SQL-expressible semantics)
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
@@ -928,4 +994,6 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "doc_fingerprint": _fingerprint_sql(),
+        "simhash": _simhash_sql(),
+        "tumbling_role_kgram_long": SQL_TUMBLING_ROLE_KGRAM_LONG,
     }

@@ -350,29 +350,39 @@ def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
 # SimHash
 # ---------------------------------------------------------------------------
 
+SIMHASH_BITS = 60
+
+
 def simhash_fingerprints(ds, concurrency=(1, 8)):
-    """64-bit SimHash per doc from \\w+ token hashes (vectorized-ish)."""
+    """60-bit SimHash per doc from \\w+ token hashes.
+
+    Token hash = first 15 hex digits of md5 (60 bits): exact signed-int64
+    arithmetic AND reproducible in the DuckDB oracle (md5 + hex-digit
+    fold), which is why md5/60 replaced blake2b/64 in round 2. Per-token
+    MULTIPLICITY counts (every occurrence votes, standard SimHash).
+    """
     class SimHash:
         def __init__(self):
             import re
             self.tok = re.compile(r"[A-Za-z0-9_]+")
+            self.bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
 
         def _fp(self, text: str) -> int:
             toks = self.tok.findall(text.lower())
             if not toks:
                 return 0
             hs = np.asarray(
-                [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                 for t in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                 for t in toks], dtype=np.int64)
+            bits = ((hs[:, None] >> self.bit_idx[None, :]) & 1)
+            v = (2 * bits - 1).sum(axis=0)
+            return int(((v > 0).astype(np.int64) << self.bit_idx).sum())
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "doc_id": batch["doc_id"].to_numpy(),
                 "simhash": np.asarray([self._fp(t) for t in batch["text"]],
-                                      dtype=np.uint64).astype(np.int64),
+                                      dtype=np.int64),
             })
 
     return ds.map_batches(SimHash, batch_format="pandas",
