@@ -16,21 +16,17 @@ RECORD_SCHEMA = pa.schema([
 ])
 
 
-def parse_fasta(text: str, truncate_id: bool = False) -> list[tuple[str, str, str]]:
-    """(id, desc, seq) triples from FASTA text.
-
-    ``truncate_id=True`` cuts the id at the first space/tab INSIDE the
-    full header (the entropy-mode needletail behaviour,
-    entropy.rs:109-113); default mode splits id/desc at first whitespace
-    like bio::io::fasta.
-    """
-    records: list[tuple[str, str, str]] = []
+def iter_fasta_records(lines, truncate_id: bool = False):
+    """Incremental (id, desc, seq) parse over an iterable of lines —
+    memory bounded by ONE record (the gzip streaming path relies on
+    this; the reference's needletail streams records the same way,
+    entropy.rs:104-117)."""
     rid, desc, seq_parts = None, "", []
-    for line in text.splitlines():
+    for line in lines:
         line = line.rstrip("\r\n")
         if line.startswith(">"):
             if rid is not None:
-                records.append((rid, desc, "".join(seq_parts)))
+                yield (rid, desc, "".join(seq_parts))
             header = line[1:]
             for cut, ch in enumerate(header):
                 if ch in " \t":
@@ -44,11 +40,29 @@ def parse_fasta(text: str, truncate_id: bool = False) -> list[tuple[str, str, st
         elif line and rid is not None:
             seq_parts.append(line.strip())
     if rid is not None:
-        records.append((rid, desc, "".join(seq_parts)))
-    return records
+        yield (rid, desc, "".join(seq_parts))
+
+
+def parse_fasta(text: str, truncate_id: bool = False) -> list[tuple[str, str, str]]:
+    """(id, desc, seq) triples from FASTA text.
+
+    ``truncate_id=True`` cuts the id at the first space/tab INSIDE the
+    full header (the entropy-mode needletail behaviour,
+    entropy.rs:109-113); default mode splits id/desc at first whitespace
+    like bio::io::fasta.
+    """
+    return list(iter_fasta_records(text.splitlines(), truncate_id))
 
 
 _CHUNK = 1 << 20
+
+
+def _records_table(recs) -> pa.Table:
+    return pa.table({
+        "id": [r[0] for r in recs],
+        "desc": [r[1] for r in recs],
+        "seq": [r[2] for r in recs],
+    }, schema=RECORD_SCHEMA)
 
 
 def _range_records(path: str, start: int, end: int,
@@ -118,6 +132,24 @@ def read_fasta(path: str, truncate_id: bool = False,
 
     import ray.data as rd
 
+    if path.endswith(".gz"):
+        # gzip is not byte-range splittable: one task streams the
+        # decompressed records (memory bounded by one record + batch)
+        # — needletail's transparent-gzip behaviour (entropy mode)
+        def parse_gz(_batch):
+            import gzip
+            buf: list[tuple[str, str, str]] = []
+            with gzip.open(path, "rt") as f:
+                for rec in iter_fasta_records(f, truncate_id):
+                    buf.append(rec)
+                    if len(buf) >= 512:
+                        yield _records_table(buf)
+                        buf = []
+            yield _records_table(buf)
+
+        return rd.range(1, override_num_blocks=1).map_batches(
+            parse_gz, batch_format="pandas")
+
     size = os.path.getsize(path)
     ranges = [{"start": s, "end": min(s + target_bytes, size)}
               for s in range(0, max(size, 1), target_bytes)]
@@ -127,11 +159,7 @@ def read_fasta(path: str, truncate_id: bool = False,
         for r in df.itertuples():
             recs.extend(_range_records(path, int(r.start), int(r.end),
                                        truncate_id))
-        return pa.table({
-            "id": [r[0] for r in recs],
-            "desc": [r[1] for r in recs],
-            "seq": [r[2] for r in recs],
-        }, schema=RECORD_SCHEMA)
+        return _records_table(recs)
 
     # one range per block so each parse task owns exactly one byte range
     return rd.from_items(ranges, override_num_blocks=len(ranges)) \

@@ -166,3 +166,31 @@ def test_byte_range_reader_equals_whole_file(ray_session, tmp_path):
             assert got["id"][i] == rid
             assert got["desc"][i] == desc
             assert got["seq"][i] == seq
+
+
+def test_gzip_fasta_reader(ray_session, tmp_path):
+    """.gz FASTA streams through the single-task gzip path with identical
+    records to the plain-text parse (needletail's transparent gzip)."""
+    import gzip
+
+    import numpy as np
+
+    from fasta_windows_ray.sources.fasta import parse_fasta, read_fasta
+
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(1200):     # >512 records exercises batch chunking
+        lines.append(f">g{i} desc{i}")
+        lines.append("".join(rng.choice(list("ACGT"), 50)))
+    text = "\n".join(lines) + "\n"
+    path = tmp_path / "multi.fa.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(text)
+
+    whole = parse_fasta(text)
+    got = read_fasta(str(path)).to_pandas()
+    got = got.sort_values("id", key=lambda s: s.str[1:].astype(int)) \
+        .reset_index(drop=True)
+    assert len(got) == len(whole)
+    assert (got["id"] == [r[0] for r in whole]).all()
+    assert (got["seq"] == [r[2] for r in whole]).all()
