@@ -708,6 +708,33 @@ FROM c WHERE na + nb > 0
 """
 
 
+def _hex_fold(col: str, ndigits: int) -> str:
+    """Nested SQL expression folding the first ``ndigits`` hex digits of
+    column ``col`` into a signed BIGINT (60 bits max stays exact)."""
+    expr = f"(strpos('0123456789abcdef', substr({col}, 1, 1)) - 1)::BIGINT"
+    for j in range(2, ndigits + 1):
+        expr = (f"(({expr}) * 16 + strpos('0123456789abcdef', "
+                f"substr({col}, {j}, 1)) - 1)")
+    return expr
+
+
+def _stream_metrics_sql() -> str:
+    """stream_metrics oracle: the engine partitions by the md5-prefix
+    bucket (stable_bucket_of); replay is (ts, turn_uid)-sorted per
+    partition, so late/dup drops are zero and windows_emitted is the
+    count of distinct (conv_id, tumbling window) per partition."""
+    return f"""
+WITH t AS ({_T}),
+p AS (SELECT conv_id, ts, md5(conv_id) AS h FROM t),
+b AS (SELECT conv_id, ts, ({_hex_fold("h", 15)}) % 16 AS partition FROM p),
+w AS (SELECT partition, conv_id, (epoch_us(ts) // {SIZE_US}) AS wk FROM b)
+SELECT partition::BIGINT AS partition, count(*) AS rows_in,
+  0::BIGINT AS late_dropped, 0::BIGINT AS dup_dropped,
+  count(DISTINCT conv_id || ':' || wk::VARCHAR)::BIGINT AS windows_emitted
+FROM w GROUP BY 1
+"""
+
+
 def _simhash_sql() -> str:
     """SimHash reproduced in SQL: md5 per token, fold the first 15 hex
     digits to a 60-bit BIGINT, per-bit +/-1 vote sums, rebuild the
@@ -996,4 +1023,5 @@ def build_oracle_sql() -> dict:
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "tumbling_role_kgram_long": SQL_TUMBLING_ROLE_KGRAM_LONG,
+        "stream_metrics": _stream_metrics_sql(),
     }

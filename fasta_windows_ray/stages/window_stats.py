@@ -24,7 +24,6 @@ post-merge from ordered turns).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -67,10 +66,17 @@ def empty_stats_frame() -> pd.DataFrame:
 
 
 def stable_bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic cross-process hash bucket per string value (crc32)."""
+    """Deterministic cross-process hash bucket per string value.
+
+    60-bit md5 prefix (first 15 hex digits) rather than crc32: exactly
+    reproducible in the DuckDB oracles (md5 + hex fold stays in signed
+    BIGINT), which lets partition-keyed outputs (stream_metrics) be
+    oracle-gated. Computed once per UNIQUE value per batch.
+    """
+    import hashlib
     uniq, inv = np.unique(np.asarray(values, dtype=object), return_inverse=True)
-    h = np.asarray([zlib.crc32(str(u).encode()) % num_buckets for u in uniq],
-                   dtype=np.int64)
+    h = np.asarray([int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                    % num_buckets for u in uniq], dtype=np.int64)
     return h[inv]
 
 
