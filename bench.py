@@ -37,13 +37,13 @@ SLIDE_STEP_US = 6 * 3600 * 1_000_000
 # with shard-prefixed conv_ids (deterministic; no synthetic data).
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "16"))
 # scaling-run replication for the stateful engine pipeline (compute-bound)
-SCALING_REPLICATE = int(os.environ.get("GRAFT_BENCH_SCALING_REPLICATE", "8"))
+SCALING_REPLICATE = int(os.environ.get("GRAFT_BENCH_SCALING_REPLICATE", "16"))
 # scaling-run replication for the VECTORIZED headline: the engine now
 # clears 16x replication in ~2.6 s at 32 CPUs, which is too short to
 # amortize the ~1.5-3 s fixed orchestration (Amdahl, not engine) — the
-# scaling measurement uses a 64x input so every level runs >= ~10 s
+# scaling measurement uses a 128x input so every level runs >= ~20 s
 SCALING_V_REPLICATE = int(os.environ.get("GRAFT_BENCH_SCALING_V_REPLICATE",
-                                         "64"))
+                                         "128"))
 # timed iterations per headline measurement; min is reported (the host VM
 # shows large transient steal — min-of-N isolates engine cost from noise)
 ITERATIONS = int(os.environ.get("GRAFT_BENCH_ITERATIONS", "2"))
@@ -70,38 +70,49 @@ def read_transcripts_replicated(sf_dir: str, k: int,
 
     path = f"{sf_dir}/events.parquet"
     cols = ["event_id", "ts", "user_id", "event_type", "props"]
-    if slices is None:
-        # block count scales with CPUs, NOT with data: Ray's sort-based
-        # shuffle moves maps x reduces objects, so a fixed 256 blocks
-        # made the sort the bottleneck (256 -> 64 blocks at 32 CPUs cut
-        # the headline 7.6 -> 2.6 s). ~2 blocks/CPU keeps blocks large
-        # and the exchange quadratic-term tiny.
-        target_blocks = max(16, 2 * NUM_CPUS)
-        slices = max(1, target_blocks // k)
+    # block count scales with CPUs, NOT with data: Ray's sort-based
+    # shuffle moves maps x reduces objects, so a fixed 256 blocks made
+    # the sort the bottleneck (256 -> 64 blocks at 32 CPUs cut the
+    # headline 7.6 -> 2.6 s). ~2 blocks/CPU keeps blocks large and the
+    # exchange quadratic-term tiny; when k shards exceed the target,
+    # several shards pack into ONE block (blocks must not grow with
+    # replication — the 100 TB rule).
+    target_blocks = (k * slices if slices is not None
+                     else max(16, 2 * NUM_CPUS))
+    if k >= target_blocks:
+        work = [[(s, 0, 1)] for s in range(k)]     # shard, slice, nslices
+        chunk = (k + target_blocks - 1) // target_blocks
+        work = [sum(work[i:i + chunk], []) for i in range(0, k, chunk)]
+    else:
+        nsl = max(1, target_blocks // k)
+        work = [[(s, sl, nsl)] for s in range(k) for sl in range(nsl)]
+    nblocks = len(work)
 
     def load(batch):
         for j in batch["id"].tolist():
-            shard, sl = divmod(int(j), slices)
-            t = pq.read_table(path, columns=cols)
-            n = len(t)
-            step = (n + slices - 1) // slices
-            t = t.slice(sl * step, step)
-            base = project_events_batch(t)
-            ci = base.column_names.index("conv_id")
-            pref = pa.array([f"s{shard}:"] * len(base), pa.string())
-            yield base.set_column(
-                ci, "conv_id",
-                pc.binary_join_element_wise(pref, base["conv_id"], ""))
+            for shard, sl, nsl in work[int(j)]:
+                t = pq.read_table(path, columns=cols)
+                n = len(t)
+                step = (n + nsl - 1) // nsl
+                t = t.slice(sl * step, step)
+                base = project_events_batch(t)
+                ci = base.column_names.index("conv_id")
+                pref = pa.array([f"s{shard}:"] * len(base), pa.string())
+                yield base.set_column(
+                    ci, "conv_id",
+                    pc.binary_join_element_wise(pref, base["conv_id"], ""))
 
-    return rd.range(k * slices, override_num_blocks=k * slices).map_batches(
+    return rd.range(nblocks, override_num_blocks=nblocks).map_batches(
         load, batch_format="numpy")
 
 
 def _consume(ds) -> int:
-    n = 0
-    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        n += b.num_rows
-    return n
+    """Distributed aggregate consume: the pipeline fully executes but
+    output rows stay in the object store (count per block), the way a
+    production run ends in write_parquet — the old driver-side
+    iter_batches drain serialized GBs through one process and dominated
+    large-replicate timings."""
+    return ds.count()
 
 
 def bench_queries() -> dict:
