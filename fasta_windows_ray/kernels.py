@@ -62,6 +62,19 @@ def entropy_from_counts(counts: Sequence[int] | np.ndarray,
     main-mode entropy passes the *window length* explicitly because its
     denominator is the full window even though every byte lands in a bin.
     """
+    if isinstance(counts, (list, tuple)):
+        # fast path for the stateful engine's small per-window lists
+        # (no numpy round-trip); same ascending-index term order and
+        # identical float ops as the array path below
+        total = float(sum(counts)) if denom is None else float(denom)
+        if total <= 0:
+            return 0.0
+        ent = 0.0
+        for c in counts:
+            if c > 0:
+                p = c / total
+                ent -= p * math.log2(p)
+        return ent
     arr = np.asarray(counts, dtype=np.float64)
     total = float(arr.sum()) if denom is None else float(denom)
     if total <= 0:

@@ -241,9 +241,23 @@ class _WindowAcc:
         for b in (up.encode() if up.isascii() else map(ord, up)):
             self.char_counts[b] = self.char_counts.get(b, 0) + 1
         for k in (2, 3, 4):
-            d = self.kgram[k]
-            for i in range(len(up) - k + 1):
-                d.add(up[i:i + k])
+            bk = self.kgram[k]
+            d = bk.exact
+            n = len(up) - k + 1
+            if d is not None:
+                # inline dict ops while exact (the hot path — a method
+                # call per k-gram occurrence costs ~40% engine slowdown)
+                get = d.get
+                for i in range(n):
+                    g = up[i:i + k]
+                    d[g] = get(g, 0) + 1
+                if n > 0:
+                    bk.total += n
+                if len(d) > bk.cap:
+                    bk._spill()
+            else:
+                for i in range(n):
+                    bk.add(up[i:i + k])
         self.big_cnt += text.count(cfg.bigram)
 
     def evict(self, ts: int, turn_uid, role: str, text: str, tool: str,
@@ -274,9 +288,20 @@ class _WindowAcc:
             if self.char_counts[b] == 0:
                 del self.char_counts[b]
         for k in (2, 3, 4):
-            d = self.kgram[k]
-            for i in range(len(up) - k + 1):
-                d.evict(up[i:i + k])
+            bk = self.kgram[k]
+            d = bk.exact
+            n = len(up) - k + 1
+            if d is not None:
+                for i in range(n):
+                    g = up[i:i + k]
+                    d[g] -= 1
+                    if d[g] == 0:
+                        del d[g]
+                if n > 0:
+                    bk.total -= n
+            else:
+                for i in range(n):
+                    bk.evict(up[i:i + k])
         self.big_cnt -= text.count(cfg.bigram)
 
     def finalize(self, conv_id: str, start_us: int, end_us: int,
@@ -360,6 +385,7 @@ class StreamEngine:
         self.seen_uids: dict[str, set] = {}   # exact dedup of (conv, turn_uid)
         self.metrics = Metrics()
         self.emitted: list[dict] = []
+        self._drains = 0      # throttles the O(#convs) GC scans in _drain
 
     # -- ingest -------------------------------------------------------------
 
@@ -451,14 +477,22 @@ class StreamEngine:
                 continue
             out.append(acc.finalize(conv, s, end, cfg))
             self.metrics.windows_emitted += 1
-        # bound dedup state: uids older than the watermark can never be
-        # replayed within lateness — prune lazily when sets grow
-        for conv, seen in self.seen_uids.items():
-            if len(seen) > 100_000:
-                self.seen_uids[conv] = {(u, ts) for (u, ts) in seen
-                                        if ts >= self.watermark}
+        # GC scans iterate every conv key, and _drain runs per watermark
+        # advance (≈ per row) — unthrottled this was O(rows × convs),
+        # 35% of engine wall (round-2 profile). Throttle: correctness is
+        # unaffected (pruning is an optimization; delayed session close
+        # still happens before flush, and emission only requires the
+        # watermark to have passed the gap).
+        self._drains += 1
+        if (self._drains & 255) == 0:
+            # bound dedup state: uids older than the watermark can never
+            # be replayed within lateness — prune lazily when sets grow
+            for conv, seen in self.seen_uids.items():
+                if len(seen) > 100_000:
+                    self.seen_uids[conv] = {(u, ts) for (u, ts) in seen
+                                            if ts >= self.watermark}
         # session GC: close sessions whose gap has definitively elapsed
-        if cfg.kind == "session":
+        if cfg.kind == "session" and (self._drains & 63) == 0:
             stale = [c for c, st in self.sessions.items()
                      if self.watermark - st[1] > cfg.gap_us]
             for c in stale:
