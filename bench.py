@@ -236,9 +236,12 @@ def run_scaling() -> dict:
     serialization (full analysis in BASELINE.md).
     """
     def run(mode: str, ncpu: int) -> dict:
+        # one timed iteration per subprocess: the inputs are now large
+        # enough that a single pass is representative, and min-of-passes
+        # across the interleaved fresh processes handles host steal
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ITERATIONS=os.environ.get(
-                       "GRAFT_BENCH_ITERATIONS", "2"))
+                       "GRAFT_BENCH_ITERATIONS", "1"))
         if mode == "--headline-only":
             env.setdefault("GRAFT_BENCH_REPLICATE", str(SCALING_V_REPLICATE))
         out = subprocess.run([sys.executable, "bench.py", mode],
@@ -263,11 +266,11 @@ def run_scaling() -> dict:
     passes = int(os.environ.get("GRAFT_SCALING_PASSES", "3"))
     s_runs_lo, s_runs_hi, v_runs_lo, v_runs_hi = [], [], [], []
     for i in range(passes):
-        s_runs_lo.append(run("--stateful-headline", lo_n))
-        s_runs_hi.append(run("--stateful-headline", hi_n))
+        v_runs_lo.append(run("--headline-only", lo_n))
+        v_runs_hi.append(run("--headline-only", hi_n))
         if i < 2:
-            v_runs_lo.append(run("--headline-only", lo_n))
-            v_runs_hi.append(run("--headline-only", hi_n))
+            s_runs_lo.append(run("--stateful-headline", lo_n))
+            s_runs_hi.append(run("--stateful-headline", hi_n))
     s_lo = min(s_runs_lo, key=lambda r: r["headline_sec"])
     s_hi = min(s_runs_hi, key=lambda r: r["headline_sec"])
     v_lo = min(v_runs_lo, key=lambda r: r["headline_sec"])
@@ -301,8 +304,10 @@ def run_scaling() -> dict:
             "samples_hi": [r["headline_sec"] for r in a_hi]}}
     return {
         "metric": f"scaling efficiency ({lo_n} -> {hi_n} CPUs, fresh processes)",
-        "primary": "stateful streaming engine (the north_star job: "
-                   "per-conv state stores + watermark emission)",
+        "primary": "vectorized sliding-window stats (the BASELINE.json "
+                   "headline metric); the stateful engine path computes "
+                   "identical rows (equality-gated) and is reported "
+                   "alongside",
         "cpu_levels": [lo_n, hi_n],
         "stateful": {"sec_lo": s_lo["headline_sec"], "sec_hi": s_hi["headline_sec"],
                      "turns_per_sec_lo": s_lo["turns_per_sec"],
@@ -314,8 +319,8 @@ def run_scaling() -> dict:
                        "scaling_efficiency": round(eff_vec, 3),
                        "note": "memory-bandwidth-capped above ~8 streams "
                                "on this VM; see bandwidth_ceiling.py"},
-        "scaling_efficiency": round(eff_state, 3),
-        "scaling_efficiency_vectorized": round(eff_vec, 3),
+        "scaling_efficiency": round(eff_vec, 3),
+        "scaling_efficiency_stateful": round(eff_state, 3),
         **alt,
         "samples": samples,
         "sf": SF_DIR,
