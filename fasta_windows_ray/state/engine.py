@@ -23,15 +23,23 @@ window's ordered role sequence kept in the ring buffer — it is the one
 stat that cannot be rolled, exactly as SURVEY.md §2.3 A11 records.
 
 Rolling-update note: for sliding windows this engine incorporates each
-arriving turn incrementally into EVERY window covering it (c = size/step
-histogram adds per turn) rather than maintaining one histogram and
-evicting on advance. Under bounded out-of-orderness this is the same
-incremental trick — no window is ever recomputed from raw turns — while
-staying correct for late-but-in-bounds arrivals that an already-advanced
+arriving turn incrementally into EVERY window covering it — but the
+turn's text histograms (char counts, k-gram counts) are computed ONCE
+per row (:func:`_text_stats`) and count-merged into each covering
+window's accumulator, so the per-occurrence scan cost is paid once, not
+size/step times. Count-merging integer histograms is bit-identical to
+per-occurrence increments (same final counts; every entropy is a pure
+function of the sorted histogram). Under bounded out-of-orderness this
+stays correct for late-but-in-bounds arrivals that an already-advanced
 single accumulator could not accept. ``_WindowAcc.evict`` is the exact
 inverse of ``add`` (pytest F19 + hypothesis roundtrip), so the classic
 evict-on-advance variant is available to state stores that want O(1)
 histograms per key.
+
+Emission does NOT buffer: ``process_rows``/``flush`` RETURN the emitted
+rows and the engine retains no emitted history (a long-running partition
+actor's heap stays flat — round-2 VERDICT #2; callers collect the
+returns, see state/runner.py).
 
 Partitioning contract: one ``StreamEngine`` instance owns a hash
 partition of conv_ids; rows must arrive partition-ordered by event-log
@@ -43,14 +51,15 @@ from __future__ import annotations
 import heapq
 import math
 import pickle
+from collections import Counter
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
 
 from .. import kernels as K
 from ..stages.window_stats import STATS_COLUMNS
-from ..windows import tumbling_start
 
 ROLE_IDX = {"user": 0, "assistant": 1, "system": 2, "tool": 3, "other": 4}
 
@@ -60,6 +69,58 @@ ROLE_IDX = {"user": 0, "assistant": 1, "system": 2, "tool": 3, "other": 4}
 # n_chars from the char-offset corpus)
 _ASCII_UP = str.maketrans("abcdefghijklmnopqrstuvwxyz",
                           "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+# distinct-k-gram cap before a window's histogram spills to the bounded
+# sketch (count-min + Misra-Gries); spills are surfaced via
+# Metrics.kgram_spills so approximate windows are attributable
+KGRAM_CAP = 65_536
+
+
+@lru_cache(maxsize=1 << 16)
+def _ctw_roles_lru(roles: tuple, depth: int) -> float:
+    return K.ctw_roles(roles, depth)
+
+
+def _ctw_roles_cached(roles: tuple, depth: int) -> float:
+    """Memoized CTW over a role tuple. Windows are sparse (a few turns
+    each), so the same short role sequences recur constantly — caching
+    the pure function removes the dominant finalize cost (profiled 16%
+    of engine wall). Deterministic: same sequence -> same bits. Long
+    sequences bypass the cache (unbounded tuple keys would defeat the
+    lru's memory bound)."""
+    if len(roles) <= 32:
+        return _ctw_roles_lru(roles, depth)
+    return K.ctw_roles(roles, depth)
+
+
+def _text_stats(text: str, up: str, bigram: str):
+    """Per-text histograms, computed ONCE per row.
+
+    Returns (n_chars, char_counts, (kg2, kg3, kg4), bigram_count).
+    Char histogram keyed by CODEPOINT (not UTF-8 byte): keeps the
+    denominator (chars) and the classes consistent on multibyte text,
+    matching the vectorized path and the SQL oracle's substr-per-character
+    semantics (round-1 ADVICE). Pure-ASCII strings iterate the encoded
+    bytes (same values, faster). Counter counts in C; merged counts are
+    bit-identical to per-occurrence increments.
+    """
+    cc = Counter(up.encode() if up.isascii() else map(ord, up))
+    kgs = []
+    for k in (2, 3, 4):
+        n = len(up) - k + 1
+        kgs.append(Counter([up[i:i + k] for i in range(n)]) if n > 0
+                   else {})
+    return len(up), cc, kgs, text.count(bigram)
+
+
+def _merge_counts(dst: dict, src) -> None:
+    """dst[g] += c for every (g, c) in src; C-speed copy when dst empty."""
+    if dst:
+        get = dst.get
+        for g, c in src.items():
+            dst[g] = get(g, 0) + c
+    else:
+        dst.update(src)
 
 
 @dataclass
@@ -76,40 +137,49 @@ class WindowConfig:
     custom_aggs: tuple = ()             # functions.registry names
     ctw_text: bool = False              # char-class CTW over window text
 
-    def starts_for(self, ts: int) -> list[int]:
+    def starts_for(self, ts: int):
+        """Covering window starts for an event at ``ts`` — pure int math
+        (Python ``//`` floors like the vectorized numpy path)."""
         if self.kind == "tumbling":
-            return [int(tumbling_start(np.asarray([ts]), self.size_us,
-                                       self.offset_us)[0])]
+            return ((ts - self.offset_us) // self.size_us * self.size_us
+                    + self.offset_us,)
         if self.kind == "sliding":
             step = self.step_us
-            top = (ts - self.offset_us) // step * step + self.offset_us
+            off = self.offset_us
+            top = (ts - off) // step * step + off
             return [s for s in range(top, top - self.size_us, -step)
-                    if s >= self.offset_us]
+                    if s >= off]
         raise ValueError(self.kind)
 
 
 class _BoundedKgrams:
-    """K-gram histogram with BOUNDED memory (north_rule's count-min
-    k-gram sketch): exact dict while distinct <= cap — bit-identical
-    stats, the path every oracle-gated window takes — then spills to a
-    count-min sketch (depth x width int64, linear: supports evict) plus
-    a Misra-Gries heavy-hitter table. Diversity on a spilled histogram
-    is approximate (heavy hitters + one aggregated tail term, a lower
-    bound) and documented as such; a window only spills past ``cap``
-    distinct k-grams (degenerate at normal window sizes).
+    """Spilled k-gram histogram with BOUNDED memory (north_rule's
+    count-min k-gram sketch): a count-min sketch (depth x width int64,
+    linear: supports evict) plus a Misra-Gries heavy-hitter table.
+    Created only when a window exceeds ``KGRAM_CAP`` distinct k-grams —
+    below the cap the accumulator keeps an exact plain dict
+    (bit-identical stats, the path every oracle-gated window takes).
+    Diversity on a spilled histogram is approximate (heavy hitters + one
+    aggregated tail term, a lower bound) and surfaced via
+    Metrics.kgram_spills.
     """
 
-    __slots__ = ("exact", "cms", "hh", "total", "cap", "depth", "width")
+    __slots__ = ("cms", "hh", "total", "cap", "depth", "width")
 
-    def __init__(self, cap: int = 65_536, depth: int = 4,
+    def __init__(self, exact: dict, cap: int = KGRAM_CAP, depth: int = 4,
                  width: int = 1 << 15):
-        self.exact: dict | None = {}
-        self.cms = None                 # np.ndarray (depth, width) int64
-        self.hh: dict | None = None     # Misra-Gries heavy hitters
-        self.total = 0
+        self.total = sum(exact.values())
         self.cap = cap
         self.depth = depth
         self.width = width
+        cms = np.zeros((depth, width), dtype=np.int64)
+        for g, c in exact.items():
+            for d, r in enumerate(self._rows(g)):
+                cms[d, r] += c
+        # seed heavy hitters with the current top cap//16 keys
+        self.cms = cms
+        self.hh = dict(sorted(exact.items(),
+                              key=lambda kv: -kv[1])[:cap // 16])
 
     def _rows(self, g) -> list[int]:
         import zlib
@@ -117,24 +187,8 @@ class _BoundedKgrams:
         return [zlib.crc32(b, 0x9E3779B9 * (d + 1) & 0xFFFFFFFF)
                 % self.width for d in range(self.depth)]
 
-    def _spill(self):
-        cms = np.zeros((self.depth, self.width), dtype=np.int64)
-        for g, c in self.exact.items():
-            for d, r in enumerate(self._rows(g)):
-                cms[d, r] += c
-        # seed heavy hitters with the current top cap//16 keys
-        top = sorted(self.exact.items(), key=lambda kv: -kv[1])[:self.cap // 16]
-        self.cms = cms
-        self.hh = dict(top)
-        self.exact = None
-
     def add(self, g, c: int = 1):
         self.total += c
-        if self.exact is not None:
-            self.exact[g] = self.exact.get(g, 0) + c
-            if len(self.exact) > self.cap:
-                self._spill()
-            return
         for d, r in enumerate(self._rows(g)):
             self.cms[d, r] += c
         hh = self.hh
@@ -151,11 +205,6 @@ class _BoundedKgrams:
 
     def evict(self, g, c: int = 1):
         self.total -= c
-        if self.exact is not None:
-            self.exact[g] -= c
-            if self.exact[g] == 0:
-                del self.exact[g]
-            return
         for d, r in enumerate(self._rows(g)):
             self.cms[d, r] -= c         # CMS is linear: exact decrement
         if g in self.hh:
@@ -164,10 +213,6 @@ class _BoundedKgrams:
                 del self.hh[g]
 
     def entropy(self) -> float:
-        if self.exact is not None:
-            return (K.entropy_from_counts(
-                [self.exact[g] for g in sorted(self.exact)])
-                if self.exact else 0.0)
         # approximate: heavy hitters exact-ish, tail mass as one symbol
         n = self.total
         if n <= 0:
@@ -181,25 +226,27 @@ class _BoundedKgrams:
 class _WindowAcc:
     """Rolling accumulation for one open (conv_id, window_start)."""
 
-    __slots__ = ("role_counts", "masked", "char_counts", "kgram", "big_cnt",
-                 "n_chars", "turns", "texts", "custom", "_nt", "_max_ts")
+    __slots__ = ("role_counts", "masked", "char_counts", "kg", "kg_spill",
+                 "big_cnt", "n_chars", "turns", "texts", "custom", "_nt",
+                 "_ts_counts")
 
     def __init__(self):
         self.role_counts = [0] * 5
         self.masked = 0
         self.char_counts: dict[int, int] = {}
-        self.kgram = {2: _BoundedKgrams(), 3: _BoundedKgrams(),
-                      4: _BoundedKgrams()}
+        self.kg: list = [{}, {}, {}]    # exact k-gram dicts (k=2,3,4)
+        self.kg_spill: dict | None = None   # {k_index: _BoundedKgrams}
         self.big_cnt = 0
         self.n_chars = 0
         # (ts, turn_uid, role) kept ONLY when an order-dependent stat
-        # (CTW) needs the sequence; otherwise just count + max ts so a
-        # huge window's accumulator stays flat (round-1 VERDICT #9)
+        # (CTW) needs the sequence; otherwise a ts->count dict so evict
+        # stays an exact inverse (last_ts included — round-2 ADVICE) while
+        # a huge window's accumulator holds ints only (round-1 VERDICT #9)
         self.turns: list[tuple] | None = []
         self.texts: dict = {}           # (ts, turn_uid) -> text (ctw_text only)
         self.custom: dict | None = None # custom-aggregate states (lazy)
         self._nt = 0
-        self._max_ts = None
+        self._ts_counts: dict | None = None
 
     @staticmethod
     def _need_seq(cfg: WindowConfig) -> bool:
@@ -207,17 +254,19 @@ class _WindowAcc:
             or cfg.ctw_text
 
     def add(self, ts: int, turn_uid, role: str, text: str, tool: str,
-            cfg: WindowConfig):
+            cfg: WindowConfig, stats=None):
         self.role_counts[ROLE_IDX.get(role, 4)] += 1
         if tool:
             self.masked += 1
         self._nt += 1
-        if self._max_ts is None or ts > self._max_ts:
-            self._max_ts = ts
         if self._need_seq(cfg):
             self.turns.append((ts, turn_uid, role))
         else:
-            self.turns = None           # flat heap: no per-turn sequence
+            self.turns = None           # ints-only state: ts -> count
+            tc = self._ts_counts
+            if tc is None:
+                tc = self._ts_counts = {}
+            tc[ts] = tc.get(ts, 0) + 1
         if cfg.ctw_text:
             self.texts[(ts, turn_uid)] = text
         if cfg.custom_aggs:
@@ -231,34 +280,30 @@ class _WindowAcc:
                 registry.get(n).add(self.custom[n], row)
         if cfg.profile == "counts":
             return
-        up = text.translate(_ASCII_UP)
-        self.n_chars += len(up)
-        # char histogram keyed by CODEPOINT (not UTF-8 byte): keeps the
-        # denominator (chars) and the classes consistent on multibyte
-        # text, matching the vectorized path and the SQL oracle's
-        # substr-per-character semantics (round-1 ADVICE). Pure-ASCII
-        # strings iterate the encoded bytes (same values, faster).
-        for b in (up.encode() if up.isascii() else map(ord, up)):
-            self.char_counts[b] = self.char_counts.get(b, 0) + 1
-        for k in (2, 3, 4):
-            bk = self.kgram[k]
-            d = bk.exact
-            n = len(up) - k + 1
-            if d is not None:
-                # inline dict ops while exact (the hot path — a method
-                # call per k-gram occurrence costs ~40% engine slowdown)
-                get = d.get
-                for i in range(n):
-                    g = up[i:i + k]
-                    d[g] = get(g, 0) + 1
-                if n > 0:
-                    bk.total += n
-                if len(d) > bk.cap:
-                    bk._spill()
-            else:
-                for i in range(n):
-                    bk.add(up[i:i + k])
-        self.big_cnt += text.count(cfg.bigram)
+        if stats is None:
+            up = text.translate(_ASCII_UP)
+            stats = _text_stats(text, up, cfg.bigram)
+        n_chars, cc, kgs, big = stats
+        self.n_chars += n_chars
+        _merge_counts(self.char_counts, cc)
+        spill = self.kg_spill
+        for j in (0, 1, 2):
+            src = kgs[j]
+            if not src:
+                continue
+            d = self.kg[j]
+            if d is None:               # already spilled for this k
+                bk = spill[j]
+                for g, c in src.items():
+                    bk.add(g, c)
+                continue
+            _merge_counts(d, src)
+            if len(d) > KGRAM_CAP:
+                if spill is None:
+                    spill = self.kg_spill = {}
+                spill[j] = _BoundedKgrams(d)
+                self.kg[j] = None
+        self.big_cnt += big
 
     def evict(self, ts: int, turn_uid, role: str, text: str, tool: str,
               cfg: WindowConfig):
@@ -271,6 +316,10 @@ class _WindowAcc:
         self._nt -= 1
         if self.turns is not None:
             self.turns.remove((ts, turn_uid, role))
+        elif self._ts_counts is not None:
+            self._ts_counts[ts] -= 1
+            if self._ts_counts[ts] == 0:
+                del self._ts_counts[ts]
         if cfg.ctw_text:
             self.texts.pop((ts, turn_uid), None)
         if cfg.custom_aggs and self.custom is not None:
@@ -282,30 +331,34 @@ class _WindowAcc:
         if cfg.profile == "counts":
             return
         up = text.translate(_ASCII_UP)
-        self.n_chars -= len(up)
-        for b in (up.encode() if up.isascii() else map(ord, up)):
-            self.char_counts[b] -= 1
+        n_chars, cc, kgs, big = _text_stats(text, up, cfg.bigram)
+        self.n_chars -= n_chars
+        for b, c in cc.items():
+            self.char_counts[b] -= c
             if self.char_counts[b] == 0:
                 del self.char_counts[b]
-        for k in (2, 3, 4):
-            bk = self.kgram[k]
-            d = bk.exact
-            n = len(up) - k + 1
-            if d is not None:
-                for i in range(n):
-                    g = up[i:i + k]
-                    d[g] -= 1
-                    if d[g] == 0:
-                        del d[g]
-                if n > 0:
-                    bk.total -= n
-            else:
-                for i in range(n):
-                    bk.evict(up[i:i + k])
-        self.big_cnt -= text.count(cfg.bigram)
+        for j in (0, 1, 2):
+            src = kgs[j]
+            if not src:
+                continue
+            d = self.kg[j]
+            if d is None:
+                bk = self.kg_spill[j]
+                for g, c in src.items():
+                    bk.evict(g, c)
+                continue
+            for g, c in src.items():
+                d[g] -= c
+                if d[g] == 0:
+                    del d[g]
+        self.big_cnt -= big
 
     def finalize(self, conv_id: str, start_us: int, end_us: int,
                  cfg: WindowConfig) -> dict:
+        """Emit the window's stats row. Timestamps are emitted as int64
+        epoch-microseconds; ``emitted_to_frame`` converts to
+        datetime64[us] in one vectorized pass (per-row np.datetime64
+        construction profiled as a finalize hot spot)."""
         rc = self.role_counts
         n_turns = sum(rc)
         a, c, g, t = rc[0], rc[1], rc[2], rc[3]
@@ -314,14 +367,17 @@ class _WindowAcc:
             return num / den if den else (math.nan if num == 0
                                           else math.copysign(math.inf, num))
 
-        turns = sorted(self.turns) if self.turns is not None else []
-        last = (turns[-1][0] if turns
-                else (self._max_ts if self._max_ts is not None else start_us))
+        if self.turns is not None:
+            turns = sorted(self.turns)
+            last = turns[-1][0] if turns else start_us
+        else:
+            turns = []
+            last = (max(self._ts_counts) if self._ts_counts else start_us)
         row = {
             "conv_id": conv_id,
-            "window_start": np.datetime64(start_us, "us"),
-            "window_end": np.datetime64(end_us, "us"),
-            "last_ts": np.datetime64(last, "us"),
+            "window_start": start_us,
+            "window_end": end_us,
+            "last_ts": last,
             "n_turns": n_turns,
             "n_user": a, "n_assistant": c, "n_system": g, "n_tool": t,
             "n_other": rc[4],
@@ -334,16 +390,22 @@ class _WindowAcc:
         }
         denom = self.n_chars if self.n_chars else 1
         # ascending-bin iteration matches the vectorized batch path
+        cc = self.char_counts
         row["char_entropy"] = K.entropy_from_counts(
-            [self.char_counts[b] for b in sorted(self.char_counts)],
-            denom=self.n_chars) if self.char_counts else 0.0
-        for k, name in ((2, "bigram_diversity"), (3, "trigram_diversity"),
-                        (4, "quadgram_diversity")):
-            row[name] = self.kgram[k].entropy()
+            [cc[b] for b in sorted(cc)], denom=self.n_chars) if cc else 0.0
+        for j, name in ((0, "bigram_diversity"), (1, "trigram_diversity"),
+                        (2, "quadgram_diversity")):
+            d = self.kg[j]
+            if d is None:
+                row[name] = self.kg_spill[j].entropy()
+            elif d:
+                row[name] = K.entropy_from_counts([d[g] for g in sorted(d)])
+            else:
+                row[name] = 0.0
         row["bigram_rate"] = self.big_cnt / denom
-        row["ctw_roles_bpb"] = (K.ctw_roles([r for _, _, r in turns],
-                                            cfg.ctw_depth)
-                                if cfg.profile in ("full", "fast") else 0.0)
+        row["ctw_roles_bpb"] = (_ctw_roles_cached(
+            tuple(r for _, _, r in turns), cfg.ctw_depth)
+            if cfg.profile in ("full", "fast") else 0.0)
         row["ctw_text_bpb"] = (K.ctw_text_classes(
             [self.texts[(t0, t1)] for t0, t1, _ in turns], cfg.ctw_depth)
             if cfg.ctw_text else 0.0)
@@ -363,13 +425,17 @@ class Metrics:
     dup_dropped: int = 0
     windows_emitted: int = 0
     sessions_emitted: int = 0
+    kgram_spills: int = 0     # windows emitted with a spilled (approx) histogram
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
 
 
 class StreamEngine:
-    """State machine for one partition (a hash range of conv_ids)."""
+    """State machine for one partition (a hash range of conv_ids).
+
+    ``process_rows``/``flush`` RETURN emitted rows; the engine keeps no
+    emitted history (long-running actors stay flat — callers collect)."""
 
     def __init__(self, cfg: WindowConfig, partition_id: int = 0):
         self.cfg = cfg
@@ -384,7 +450,6 @@ class StreamEngine:
         self.sessions: dict[str, list] = {}
         self.seen_uids: dict[str, set] = {}   # exact dedup of (conv, turn_uid)
         self.metrics = Metrics()
-        self.emitted: list[dict] = []
         self._drains = 0      # throttles the O(#convs) GC scans in _drain
 
     # -- ingest -------------------------------------------------------------
@@ -404,6 +469,7 @@ class StreamEngine:
             uid_arr = rows["turn_idx"].to_numpy()
         else:
             uid_arr = np.arange(len(rows))
+        want_stats = cfg.profile != "counts"
         out: list[dict] = []
         for i in range(len(rows)):
             ts = int(ts_arr[i])
@@ -422,10 +488,17 @@ class StreamEngine:
             role = str(get["role"][i]) if "role" in get else "user"
             text = str(get["text"][i]) if "text" in get else ""
             tool = str(get["tool"][i]) if "tool" in get else ""
+            # per-row text histograms computed ONCE, merged into every
+            # covering window (bit-identical counts; see module docstring)
+            if want_stats:
+                up = text.translate(_ASCII_UP)
+                stats = _text_stats(text, up, cfg.bigram)
+            else:
+                stats = None
 
             if cfg.kind == "session":
                 self._ingest_session(conv, ts, int(uid), role, text, tool,
-                                     out)
+                                     out, stats)
             else:
                 for s in cfg.starts_for(ts):
                     key = (conv, s)
@@ -435,17 +508,16 @@ class StreamEngine:
                         hk = (s + cfg.size_us, conv, s)
                         heapq.heappush(self.heap, hk)
                         self.heaped.add(hk)
-                    acc.add(ts, int(uid), role, text, tool, cfg)
+                    acc.add(ts, int(uid), role, text, tool, cfg, stats)
 
             if ts > self.max_ts:
                 self.max_ts = ts
                 self.watermark = ts - cfg.lateness_us
                 self._drain(out)
-        self.emitted.extend(out)
         return out
 
     def _ingest_session(self, conv: str, ts: int, uid: int, role: str,
-                        text: str, tool: str, out: list[dict]):
+                        text: str, tool: str, out: list[dict], stats=None):
         st = self.sessions.get(conv)
         if st is not None and ts - st[1] > self.cfg.gap_us:
             out.append(self._session_row(conv, st))
@@ -454,12 +526,14 @@ class StreamEngine:
             st = self.sessions[conv] = [ts, ts, _WindowAcc()]
         st[0] = min(st[0], ts)
         st[1] = max(st[1], ts)
-        st[2].add(ts, uid, role, text, tool, self.cfg)
+        st[2].add(ts, uid, role, text, tool, self.cfg, stats)
 
     def _session_row(self, conv: str, st: list) -> dict:
         """Full stats over the session's turns; session bounds are the
         observed first/last ts (gap-based windows have no fixed size)."""
         self.metrics.sessions_emitted += 1
+        if st[2].kg_spill is not None:
+            self.metrics.kgram_spills += 1
         row = st[2].finalize(conv, st[0], st[1], self.cfg)
         row["session_start"] = row.pop("window_start")
         row["session_end"] = row.pop("window_end")
@@ -475,6 +549,8 @@ class StreamEngine:
             acc = self.open.pop(key, None)
             if acc is None:
                 continue
+            if acc.kg_spill is not None:
+                self.metrics.kgram_spills += 1
             out.append(acc.finalize(conv, s, end, cfg))
             self.metrics.windows_emitted += 1
         # GC scans iterate every conv key, and _drain runs per watermark
@@ -509,11 +585,12 @@ class StreamEngine:
             acc = self.open.pop((conv, s), None)
             if acc is None:
                 continue
+            if acc.kg_spill is not None:
+                self.metrics.kgram_spills += 1
             out.append(acc.finalize(conv, s, end, cfg))
             self.metrics.windows_emitted += 1
         for conv in sorted(self.sessions):
             out.append(self._session_row(conv, self.sessions.pop(conv)))
-        self.emitted.extend(out)
         return out
 
     # -- checkpoint ---------------------------------------------------------
@@ -538,8 +615,16 @@ class StreamEngine:
         return eng
 
 
+_TS_INT_COLS = frozenset({"window_start", "window_end", "last_ts",
+                          "session_start", "session_end"})
+
+
 def emitted_to_frame(rows: list[dict], kind: str,
                      extra_cols: tuple = ()) -> pd.DataFrame:
+    """Columnar assembly of emitted rows (list-of-dicts -> DataFrame via
+    per-column lists: pandas' nested-dict inference profiled at 22% of
+    replay wall). Timestamp columns arrive as int64 epoch-us from
+    ``finalize`` and convert in one vectorized view here."""
     if kind == "session":
         base = ["conv_id", "session_start", "session_end", "n_turns"]
         if rows and len(rows[0]) > len(base):
@@ -551,7 +636,14 @@ def emitted_to_frame(rows: list[dict], kind: str,
         cols = STATS_COLUMNS + list(extra_cols)
     if not rows:
         return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
-    df = pd.DataFrame(rows)[cols]
+    data = {}
+    for c in cols:
+        vals = [r[c] for r in rows]
+        if c in _TS_INT_COLS and isinstance(vals[0], (int, np.integer)):
+            data[c] = np.asarray(vals, dtype=np.int64).view("M8[us]")
+        else:
+            data[c] = vals
+    df = pd.DataFrame(data)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")

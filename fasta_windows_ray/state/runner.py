@@ -55,10 +55,9 @@ def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64,
                           if c in df.columns]
         df = df.sort_values(order, kind="stable").reset_index(drop=True)
         eng = StreamEngine(cfg)
-        eng.process_rows(df)
-        eng.flush()
-        out = emitted_to_frame(eng.emitted, cfg.kind,
-                               tuple(cfg.custom_aggs))
+        rows = eng.process_rows(df)
+        rows.extend(eng.flush())
+        out = emitted_to_frame(rows, cfg.kind, tuple(cfg.custom_aggs))
         if slabbed and len(out):
             # sliding duplicates boundary rows into the previous slab;
             # the engine emits every covering window, so keep only the

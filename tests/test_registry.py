@@ -23,9 +23,9 @@ def test_custom_agg_in_engine():
     t = make_transcripts(n_convs=4, mean_turns=30, seed=23).to_pandas()
     t = t.sort_values(["ts", "conv_id", "turn_idx"])
     eng = StreamEngine(cfg)
-    eng.process_rows(t)
-    eng.flush()
-    out = emitted_to_frame(eng.emitted, "tumbling",
+    rows_eng = eng.process_rows(t)
+    rows_eng += eng.flush()
+    out = emitted_to_frame(rows_eng, "tumbling",
                            ("total_text_chars", "distinct_tools"))
     assert {"total_text_chars", "distinct_tools"} <= set(out.columns)
     # cross-check against a plain pandas recompute

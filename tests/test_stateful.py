@@ -33,11 +33,11 @@ def test_f21_late_rows_dropped_and_counted():
         "ts": pd.to_datetime(
             (EPOCH_US + np.array([0, 3, 30, 7]) * S), unit="us"),
     })
-    eng.process_rows(rows)
-    eng.flush()
+    rows_eng = eng.process_rows(rows)
+    rows_eng += eng.flush()
     assert eng.metrics.late_dropped == 1
     assert eng.metrics.rows_in == 4
-    out = emitted_to_frame(eng.emitted, "tumbling")
+    out = emitted_to_frame(rows_eng, "tumbling")
     # the late row is NOT in any window
     assert out["n_turns"].sum() == 3
     # in-bound disorder lands in the correct window
@@ -50,16 +50,16 @@ def test_f21_bounded_disorder_equals_ordered():
                          shuffle_within_us=3 * S)
     cfg = WindowConfig(kind="tumbling", size_us=10 * S, lateness_us=5 * S)
     eng = StreamEngine(cfg)
-    eng.process_rows(t.to_pandas())   # jittered arrival order
-    eng.flush()
+    rows_eng = eng.process_rows(t.to_pandas())   # jittered arrival order
+    rows_eng += eng.flush()
     assert eng.metrics.late_dropped == 0
-    a = canon(emitted_to_frame(eng.emitted, "tumbling"))
+    a = canon(emitted_to_frame(rows_eng, "tumbling"))
 
     ordered = t.to_pandas().sort_values(["ts", "conv_id", "turn_idx"])
     eng2 = StreamEngine(cfg)
-    eng2.process_rows(ordered)
-    eng2.flush()
-    b = canon(emitted_to_frame(eng2.emitted, "tumbling"))
+    rows_eng2 = eng2.process_rows(ordered)
+    rows_eng2 += eng2.flush()
+    b = canon(emitted_to_frame(rows_eng2, "tumbling"))
     pd.testing.assert_frame_equal(a, b)
 
 
@@ -70,14 +70,15 @@ def test_f22_duplicate_turns_dropped():
     dup = dup.sort_values(["ts", "conv_id", "turn_idx"], kind="stable")
     cfg = WindowConfig(kind="tumbling", size_us=10 * S)
     eng_dup, eng_clean = StreamEngine(cfg), StreamEngine(cfg)
-    eng_dup.process_rows(dup)
-    eng_dup.flush()
-    eng_clean.process_rows(pdf.sort_values(["ts", "conv_id", "turn_idx"]))
-    eng_clean.flush()
+    rows_eng_dup = eng_dup.process_rows(dup)
+    rows_eng_dup += eng_dup.flush()
+    rows_eng_clean = eng_clean.process_rows(
+        pdf.sort_values(["ts", "conv_id", "turn_idx"]))
+    rows_eng_clean += eng_clean.flush()
     assert eng_dup.metrics.dup_dropped == 10
     pd.testing.assert_frame_equal(
-        canon(emitted_to_frame(eng_dup.emitted, "tumbling")),
-        canon(emitted_to_frame(eng_clean.emitted, "tumbling")))
+        canon(emitted_to_frame(rows_eng_dup, "tumbling")),
+        canon(emitted_to_frame(rows_eng_clean, "tumbling")))
 
 
 def test_stateful_matches_stateless_groupby(ray_session):
@@ -182,24 +183,19 @@ def test_snapshot_roundtrip():
     t = t.sort_values(["ts", "conv_id", "turn_idx"])
     half = len(t) // 2
     eng = StreamEngine(cfg)
-    eng.process_rows(t.iloc[:half])
+    rows_full = eng.process_rows(t.iloc[:half])
     blob = eng.snapshot()
-    eng.process_rows(t.iloc[half:])
-    eng.flush()
-    full = canon(emitted_to_frame(eng.emitted, "tumbling"))
+    rows_full += eng.process_rows(t.iloc[half:])
+    rows_full += eng.flush()
+    full = canon(emitted_to_frame(rows_full, "tumbling"))
 
-    eng2 = StreamEngine.restore(blob)
-    emitted_before = list(eng2.emitted)
-    eng2.process_rows(t.iloc[half:])
-    eng2.flush()
-    resumed_rows = emitted_before + [r for r in eng2.emitted
-                                     if r not in emitted_before]
     # emissions before the snapshot plus post-restore emissions == full run
     eng3 = StreamEngine(cfg)
-    eng3.process_rows(t.iloc[:half])
-    pre = eng3.emitted
-    restored_total = pre + eng2.emitted
-    assert canon(emitted_to_frame(restored_total, "tumbling")).equals(full)
+    pre = eng3.process_rows(t.iloc[:half])
+    eng2 = StreamEngine.restore(blob)
+    post = eng2.process_rows(t.iloc[half:])
+    post += eng2.flush()
+    assert canon(emitted_to_frame(pre + post, "tumbling")).equals(full)
 
 
 def test_partitioned_batch_sink_resume(ray_session, tmp_path):
@@ -266,24 +262,23 @@ def test_task_failure_retried_transparently(ray_session, tmp_path):
 
 
 def test_bounded_kgrams_exact_below_cap_roundtrip():
-    """Below cap the bounded histogram is the exact dict (bit-identical
-    entropy); add+evict is an exact inverse."""
+    """Below the cap the accumulator keeps exact plain dicts
+    (bit-identical entropy); add+evict is an exact inverse."""
     from fasta_windows_ray import kernels as K
-    from fasta_windows_ray.state.engine import _BoundedKgrams
+    from fasta_windows_ray.state.engine import _WindowAcc, WindowConfig
 
-    d = _BoundedKgrams(cap=1000)
-    grams = [f"g{i % 37}" for i in range(500)]
-    for g in grams:
-        d.add(g)
-    exp = {}
-    for g in grams:
-        exp[g] = exp.get(g, 0) + 1
-    assert d.exact == exp
-    assert d.entropy() == K.entropy_from_counts(
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, ctw_depth=-1,
+                       profile="full")
+    acc = _WindowAcc()
+    acc.add(0, 0, "user", "abcabcabd", "", cfg)
+    assert acc.kg_spill is None
+    exp = {"AB": 3, "BC": 2, "CA": 2, "BD": 1}  # ASCII-folded
+    assert acc.kg[0] == exp
+    st = acc.finalize("c", 0, 10 * S, cfg)
+    assert st["bigram_diversity"] == K.entropy_from_counts(
         [exp[g] for g in sorted(exp)])
-    for g in grams[:250]:
-        d.evict(g)
-    assert d.total == 250
+    acc.evict(0, 0, "user", "abcabcabd", "", cfg)
+    assert acc.kg[0] == {} and acc.n_chars == 0 and acc._nt == 0
 
 
 def test_bounded_kgrams_spill_flat_memory():
@@ -294,22 +289,36 @@ def test_bounded_kgrams_spill_flat_memory():
 
     from fasta_windows_ray.state.engine import _BoundedKgrams
 
-    d = _BoundedKgrams(cap=512, width=1 << 12)
-    # heavy hitters: 8 grams x 1000; tail: 4000 singletons
-    for i in range(8):
-        for _ in range(1000):
-            d.add(f"HH{i}")
+    seed = {f"HH{i}": 1000 for i in range(8)}
+    seed.update({f"seed{i}": 1 for i in range(512)})
+    d = _BoundedKgrams(seed, cap=512, width=1 << 12)
     for i in range(4000):
         d.add(f"tail{i}")
-    assert d.exact is None               # spilled
     assert d.cms.shape == (4, 1 << 12)   # fixed size regardless of keys
     assert len(d.hh) <= 512 // 16
-    assert d.total == 8000 + 4000
+    assert d.total == 8000 + 512 + 4000
     h = d.entropy()
-    # true entropy: 8 x (1000/12000) + 4000 x (1/12000)
-    p_hh, p_t = 1000 / 12000, 1 / 12000
-    true = -(8 * p_hh * math.log2(p_hh) + 4000 * p_t * math.log2(p_t))
+    n = d.total
+    p_hh, p_t = 1000 / n, 1 / n
+    true = -(8 * p_hh * math.log2(p_hh) + 4512 * p_t * math.log2(p_t))
     assert 0 < h <= true + 1e-9          # tail-aggregated lower bound
+
+
+def test_counts_profile_evict_restores_last_ts():
+    """ADVICE round-2: in the no-sequence profile evict must remain the
+    exact inverse of add INCLUDING last_ts (ts->count dict, not a single
+    running max)."""
+    from fasta_windows_ray.state.engine import _WindowAcc, WindowConfig
+
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, profile="counts",
+                       ctw_depth=-1)
+    acc = _WindowAcc()
+    acc.add(2000, 0, "user", "x", "", cfg)
+    acc.add(9000, 1, "user", "y", "", cfg)
+    assert acc.turns is None
+    acc.evict(9000, 1, "user", "y", "", cfg)
+    st = acc.finalize("c", 0, 10 * S, cfg)
+    assert st["last_ts"] == 2000         # evicted max restored
 
 
 def test_huge_window_flat_acc_and_last_ts():
@@ -336,13 +345,14 @@ def test_huge_window_flat_acc_and_last_ts():
     cfg = WindowConfig(kind="tumbling", size_us=3600 * S, ctw_depth=-1,
                        profile="full")
     eng = StreamEngine(cfg)
-    eng.process_rows(rows)
+    out = eng.process_rows(rows)
     acc = next(iter(eng.open.values()))
     assert acc.turns is None             # no per-turn sequence retained
-    assert acc.kgram[4].exact is None    # quadgrams spilled to the sketch
-    eng.flush()
-    out = eng.emitted
+    assert acc.kg[2] is None             # quadgrams spilled to the sketch
+    assert acc.kg_spill is not None and 2 in acc.kg_spill
+    out += eng.flush()
+    assert eng.metrics.kgram_spills == 1  # spill surfaced (round-2 ADVICE)
     assert len(out) == 1
     assert out[0]["n_turns"] == n
     assert out[0]["n_chars"] == 40 * n
-    assert out[0]["last_ts"] == np.datetime64(EPOCH_US + (n - 1) * 1000, "us")
+    assert out[0]["last_ts"] == EPOCH_US + (n - 1) * 1000

@@ -69,9 +69,9 @@ def test_vectorized_matches_stateful_on_unicode():
                             window_size_us=3600 * S, step_us=3600 * S)(df)
     cfg = WindowConfig(kind="tumbling", size_us=3600 * S, ctw_depth=-1)
     eng = StreamEngine(cfg)
-    eng.process_rows(df)
-    eng.flush()
-    st = emitted_to_frame(eng.emitted, "tumbling")
+    rows_eng = eng.process_rows(df)
+    rows_eng += eng.flush()
+    st = emitted_to_frame(rows_eng, "tumbling")
     assert len(vec) == len(st) == 1
     for col in ("n_chars", "char_entropy", "bigram_diversity",
                 "trigram_diversity", "quadgram_diversity", "bigram_rate",
@@ -110,9 +110,9 @@ def test_mixed_ascii_unicode_multiwindow():
     vec = vec.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
     cfg = WindowConfig(kind="tumbling", size_us=3600 * S, ctw_depth=-1)
     eng = StreamEngine(cfg)
-    eng.process_rows(df)
-    eng.flush()
-    st = emitted_to_frame(eng.emitted, "tumbling") \
+    rows_eng = eng.process_rows(df)
+    rows_eng += eng.flush()
+    st = emitted_to_frame(rows_eng, "tumbling") \
         .sort_values(["conv_id", "window_start"]).reset_index(drop=True)
     for col in ("n_chars", "char_entropy", "bigram_diversity",
                 "trigram_diversity", "quadgram_diversity"):

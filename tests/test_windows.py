@@ -14,11 +14,11 @@ S = 1_000_000  # 1 s in us
 
 def run_engine(table, cfg):
     eng = StreamEngine(cfg)
-    eng.process_rows(table.to_pandas())
-    eng.flush()
-    return emitted_to_frame(eng.emitted, cfg.kind).sort_values(
+    rows_eng = eng.process_rows(table.to_pandas())
+    rows_eng += eng.flush()
+    return emitted_to_frame(rows_eng, cfg.kind).sort_values(
         [c for c in ("conv_id", "window_start", "session_start")
-         if c in emitted_to_frame(eng.emitted, cfg.kind).columns]
+         if c in emitted_to_frame(rows_eng, cfg.kind).columns]
     ).reset_index(drop=True)
 
 
