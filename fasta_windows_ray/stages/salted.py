@@ -111,6 +111,141 @@ def salted_window_counts(ds, size_us: int, offset_us: int = 0,
                 .groupby("_mb").map_groups(merge, batch_format="pandas"))
 
 
+def salted_session_stats(ds, gap_us: int, num_merge_buckets: int = 64,
+                         profile: str = "full", ctw_depth: int = 6,
+                         bigram: str = '"k', ctw_text: bool = False):
+    """FULL per-session stats with BOUNDED group size (round-2 VERDICT #4).
+
+    ``salted_session_counts`` stitches (start, end, n_turns) intervals;
+    this generalises the stitch to full ``_WindowAcc`` partials: each
+    batch emits one pickled accumulator per (conv, batch-local
+    gap-maximal run) — role/char/k-gram histograms, bigram count and the
+    (ts, uid, role) sequence for CTW — and the reduce stitches intervals
+    whose inter-gap <= gap by MERGING accumulators (all state is additive
+    integer counts plus a sequence that is re-sorted at finalize, so the
+    merge is bit-identical to single-pass accumulation). The shuffle
+    moves only accumulator state — histograms + 17 B/turn of (ts, uid,
+    role) — never text, so a hot conversation costs a stitch task its
+    compressed state, not 1/num_buckets of the raw corpus.
+
+    Output rows are identical to the stateful engine's session rows
+    (``StreamEngine`` kind="session" — pytest equality gate on a hot-key
+    corpus).
+    """
+    import pickle
+
+    from ..state.engine import (WindowConfig, _WindowAcc, _ASCII_UP,
+                                _merge_counts, _text_stats, emitted_to_frame)
+    from ..windows import session_ids
+
+    cfg = WindowConfig(kind="session", gap_us=gap_us, profile=profile,
+                       ctw_depth=ctw_depth, bigram=bigram, ctw_text=ctw_text)
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        n = len(t)
+        cols = t.column_names
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        uid = (t["turn_uid"].to_numpy() if "turn_uid" in cols
+               else t["turn_idx"].to_numpy() if "turn_idx" in cols
+               else np.arange(n))
+        role = (t["role"].to_numpy(zero_copy_only=False) if "role" in cols
+                else np.full(n, "user", dtype=object))
+        text = (t["text"].to_numpy(zero_copy_only=False) if "text" in cols
+                else np.full(n, "", dtype=object))
+        tool = (t["tool"].to_numpy(zero_copy_only=False) if "tool" in cols
+                else np.full(n, "", dtype=object))
+        order = np.lexsort((uid, ts, conv))
+        conv, ts, uid = conv[order], ts[order], uid[order]
+        role, text, tool = role[order], text[order], tool[order]
+        cid, cu = pd.factorize(conv)
+        starts = np.searchsorted(cid, np.arange(len(cu)))
+        stops = np.searchsorted(cid, np.arange(len(cu)), side="right")
+        want_stats = cfg.profile != "counts"
+        rows = {"conv_id": [], "start": [], "end": [], "state": []}
+        for ci in range(len(cu)):
+            lo, hi = starts[ci], stops[ci]
+            sub = ts[lo:hi]
+            sid = session_ids(sub, gap_us)
+            nloc = sid[-1] + 1 if len(sid) else 0
+            first = np.searchsorted(sid, np.arange(nloc))
+            last = np.searchsorted(sid, np.arange(nloc), side="right")
+            for s in range(nloc):
+                acc = _WindowAcc()
+                for i in range(lo + first[s], lo + last[s]):
+                    txt = str(text[i]) if text[i] is not None else ""
+                    stats = (_text_stats(txt, txt.translate(_ASCII_UP),
+                                         cfg.bigram) if want_stats else None)
+                    acc.add(int(ts[i]), int(uid[i]), str(role[i]), txt,
+                            str(tool[i]) if tool[i] is not None else "",
+                            cfg, stats)
+                rows["conv_id"].append(cu[ci])
+                rows["start"].append(int(sub[first[s]]))
+                rows["end"].append(int(sub[last[s] - 1]))
+                rows["state"].append(pickle.dumps(acc, protocol=5))
+        return pd.DataFrame(rows)
+
+    part = ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def add_mb(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+        df = df.copy()
+        df["_mb"] = [zlib.crc32(c.encode()) % num_merge_buckets
+                     for c in df["conv_id"]]
+        return df
+
+    def merge_acc(dst, src) -> None:
+        for i in range(5):
+            dst.role_counts[i] += src.role_counts[i]
+        dst.masked += src.masked
+        dst._nt += src._nt
+        dst.n_chars += src.n_chars
+        dst.big_cnt += src.big_cnt
+        _merge_counts(dst.char_counts, src.char_counts)
+        for j in (0, 1, 2):
+            if src.kg[j]:
+                _merge_counts(dst.kg[j], src.kg[j])
+        if dst.turns is not None and src.turns is not None:
+            dst.turns.extend(src.turns)
+        elif src.turns is None and src._ts_counts is not None:
+            dst.turns = None
+            if dst._ts_counts is None:
+                dst._ts_counts = {}
+            _merge_counts(dst._ts_counts, src._ts_counts)
+        dst.texts.update(src.texts)
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        emitted: list[dict] = []
+
+        def emit(conv, cur):
+            row = cur[2].finalize(conv, cur[0], cur[1], cfg)
+            row["session_start"] = row.pop("window_start")
+            row["session_end"] = row.pop("window_end")
+            del row["last_ts"]
+            emitted.append(row)
+
+        for conv, g in df.groupby("conv_id", sort=True):
+            g = g.sort_values(["start", "end"])
+            cur = None
+            for r in g.itertuples():
+                acc = pickle.loads(r.state)
+                if cur is None:
+                    cur = [r.start, r.end, acc]
+                elif r.start - cur[1] <= gap_us:
+                    cur[1] = max(cur[1], r.end)
+                    merge_acc(cur[2], acc)
+                else:
+                    emit(conv, cur)
+                    cur = [r.start, r.end, acc]
+            if cur is not None:
+                emit(conv, cur)
+        return emitted_to_frame(emitted, "session")
+
+    return (part.map_batches(add_mb, batch_format="pandas")
+                .groupby("_mb").map_groups(stitch, batch_format="pandas"))
+
+
 def salted_session_counts(ds, gap_us: int, num_merge_buckets: int = 64):
     """Session windows with salted partial assembly (hot-conversation
     safe): each batch emits per-conv partial session INTERVALS

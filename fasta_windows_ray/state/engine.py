@@ -449,8 +449,23 @@ class StreamEngine:
         # session state: conv_id -> (first_ts, last_ts, n_turns)
         self.sessions: dict[str, list] = {}
         self.seen_uids: dict[str, set] = {}   # exact dedup of (conv, turn_uid)
+        # per-conv amortized prune trigger for seen_uids (see _prune_seen)
+        self._seen_prune_at: dict[str, int] = {}
         self.metrics = Metrics()
         self._drains = 0      # throttles the O(#convs) GC scans in _drain
+
+    def _prune_seen(self, conv: str, seen: set) -> set:
+        """Bound dedup state: a duplicate with ts < watermark would be
+        late-dropped before the dedup check, so entries older than the
+        watermark can NEVER match again — dropping them is always exact.
+        Amortized O(1)/insert: a conv's set is rescanned only once it
+        doubles past its post-prune size (a genuinely hot conv with many
+        live uids inside lateness just raises its own threshold)."""
+        wm = self.watermark
+        kept = {e for e in seen if e[1] >= wm}
+        self.seen_uids[conv] = kept
+        self._seen_prune_at[conv] = max(1024, 2 * len(kept))
+        return kept
 
     # -- ingest -------------------------------------------------------------
 
@@ -485,6 +500,8 @@ class StreamEngine:
                 self.metrics.dup_dropped += 1
                 continue
             seen.add(key_uid)
+            if len(seen) >= self._seen_prune_at.get(conv, 1024):
+                seen = self._prune_seen(conv, seen)
             role = str(get["role"][i]) if "role" in get else "user"
             text = str(get["text"][i]) if "text" in get else ""
             tool = str(get["tool"][i]) if "tool" in get else ""
@@ -560,13 +577,9 @@ class StreamEngine:
         # still happens before flush, and emission only requires the
         # watermark to have passed the gap).
         self._drains += 1
-        if (self._drains & 255) == 0:
-            # bound dedup state: uids older than the watermark can never
-            # be replayed within lateness — prune lazily when sets grow
-            for conv, seen in self.seen_uids.items():
-                if len(seen) > 100_000:
-                    self.seen_uids[conv] = {(u, ts) for (u, ts) in seen
-                                            if ts >= self.watermark}
+        # (dedup-state pruning happens amortized per-conv at insert time
+        # — _prune_seen — not here: a per-drain scan of every conv was
+        # the round-2 O(rows x convs) hidden quadratic)
         # session GC: close sessions whose gap has definitively elapsed
         if cfg.kind == "session" and (self._drains & 63) == 0:
             stale = [c for c, st in self.sessions.items()

@@ -75,3 +75,37 @@ def test_salted_sessions_equal_plain(ray_session):
     b = canon(session_stats(rd.from_arrow(t), 60 * S,
                             num_buckets=8).to_pandas())
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_salted_session_full_stats_equal_engine(ray_session):
+    """Round-2 VERDICT #4: the interval-stitch of full _WindowAcc
+    partials must reproduce the stateful engine's session rows exactly
+    on a hot-key corpus split across many blocks."""
+    import numpy as np
+    import ray.data as rd
+
+    from fasta_windows_ray.state.engine import StreamEngine, WindowConfig
+    from fasta_windows_ray.stages.salted import salted_session_stats
+
+    t = make_transcripts(n_convs=12, mean_turns=20, seed=41,
+                         hot_conv_turns=2_000, turn_gap_us=40 * S)
+    ds = rd.from_arrow(t).repartition(16)   # hot conv spans many blocks
+    a = canon(salted_session_stats(ds, 60 * S, num_merge_buckets=8,
+                                   ctw_depth=3).to_pandas())
+
+    # reference: single engine fed time-ordered rows (the engine's
+    # streaming contract — conv-major order would advance the watermark
+    # past earlier convs and late-drop them)
+    eng = StreamEngine(WindowConfig(kind="session", gap_us=60 * S,
+                                    profile="full", ctw_depth=3))
+    pdf = t.to_pandas().sort_values(["ts", "turn_idx"])
+    rows = eng.process_rows(pdf)
+    rows += eng.flush()
+    from fasta_windows_ray.state.engine import emitted_to_frame
+    b = canon(emitted_to_frame(rows, "session"))
+    a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # non-vacuous: the hot conv produced multiple sessions with text stats
+    assert len(a) > 10 and (a["char_entropy"] > 0).any()
+    assert (a["ctw_roles_bpb"] > 0).any()
