@@ -30,13 +30,27 @@ def _sha1_int64(texts) -> np.ndarray:
          for t in texts], dtype=np.int64)
 
 
+def _text_hash_int64(col) -> np.ndarray:
+    """Vectorized 63-bit content hash of a string column (polars xxhash,
+    computed in native code — replaces the per-row hashlib loop on the
+    dedup hot path). Deterministic within a run (fixed seed, single
+    polars version across workers); the hash never appears in output —
+    it is only the shuffle/grouping key, so cross-version stability is
+    not required."""
+    import polars as pl
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(list(col), pa.string())
+    s = pl.Series(pl.from_arrow(col))
+    return (s.hash(seed=0).to_numpy().view(np.int64) >> 1) & 0x7FFFFFFFFFFFFFFF
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text; emit (id, n_copies).
 
     Exact dedup = hash-partition + per-group first (SURVEY.md §2.7).
     """
     def add_hash_bucket(t: pa.Table) -> pa.Table:
-        h = _sha1_int64(t[text_col].to_pylist())
+        h = _text_hash_int64(t[text_col])
         t = t.append_column("_h", pa.array(h, pa.int64()))
         return t.append_column("_hb", pa.array(h % 256, pa.int64()))
 
@@ -89,8 +103,63 @@ class MinHasher:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def shingle_segments(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Batch shingling: one rolling-hash pass over the concatenated
+        byte buffer of ALL texts, then per-doc sorted-unique extraction —
+        no per-doc Python loop. Returns (vals, offs) where
+        ``vals[offs[i]:offs[i+1]]`` equals ``self.shingles(texts[i])``
+        exactly (same wrapped-int64 arithmetic, same sorted-unique)."""
+        enc = [t.lower().encode("utf-8", "surrogatepass") for t in texts]
+        nd = len(enc)
+        lens = np.fromiter((len(e) for e in enc), np.int64, nd)
+        k = self.k
+        nwin = np.maximum(lens - k + 1, 0)
+        total = int(nwin.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(nd + 1, np.int64)
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        n = len(buf)
+        r = buf[: n - k + 1].astype(np.int64)
+        for j in range(1, k):
+            r = (r * 257 + buf[j: n - k + 1 + j]) % _MERSENNE
+        # window index ranges per doc (cross-doc windows masked out)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        cum = np.concatenate([[0], np.cumsum(nwin)])
+        idx = np.repeat(starts - cum[:-1], nwin) + np.arange(total)
+        vals = r[idx]
+        doc_of = np.repeat(np.arange(nd), nwin)
+        # per-doc sorted unique: lexsort by (doc, hash), keep firsts
+        order = np.lexsort((vals, doc_of))
+        dv, vv = doc_of[order], vals[order]
+        keep = np.ones(total, dtype=bool)
+        keep[1:] = (dv[1:] != dv[:-1]) | (vv[1:] != vv[:-1])
+        dv, vv = dv[keep], vv[keep]
+        offs = np.zeros(nd + 1, np.int64)
+        np.cumsum(np.bincount(dv, minlength=nd), out=offs[1:])
+        return vv, offs
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) signatures — bit-identical to calling
+        :meth:`signature` per doc, but the permute+min runs once over the
+        whole batch with ``np.minimum.reduceat`` over doc segments
+        (perm-chunked to bound the intermediate matrix)."""
+        vals, offs = self.shingle_segments(texts)
+        nd = len(offs) - 1
+        sig = np.full((nd, self.num_perm), _MERSENNE, dtype=np.int64)
+        nz = np.flatnonzero(offs[1:] > offs[:-1])
+        if len(nz) == 0:
+            return sig
+        seg_starts = offs[nz]
+        for p0 in range(0, self.num_perm, 16):
+            a = self.a[p0:p0 + 16]
+            b = self.b[p0:p0 + 16]
+            pv = (vals[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+            sig[nz, p0:p0 + len(a)] = np.minimum.reduceat(
+                pv, seg_starts, axis=1).T
+        return sig
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        sigs = self.signatures_batch(batch["text"].tolist())
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
         out["sig"] = list(sigs)
         return out
@@ -109,7 +178,7 @@ def minhash_band_rows(ds, num_perm: int = 128, bands: int = 16,
             super().__init__(**hasher_cfg)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = np.stack([self.signature(t) for t in batch["text"]])
+            sigs = self.signatures_batch(batch["text"].tolist())
             n = len(batch)
             band_ids = np.tile(np.arange(bands), n)
             doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
@@ -231,16 +300,16 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
     ids_pdf = pairs_ds.to_pandas()[["doc_a", "doc_b"]]
     wanted = np.unique(np.concatenate([ids_pdf["doc_a"].to_numpy(),
                                        ids_pdf["doc_b"].to_numpy()]))
-    wanted_ref = ray.put(frozenset(int(i) for i in wanted))
+    wanted_ref = ray.put(np.sort(wanted.astype(np.int64)))
 
     # 2. broadcast semi-join: corpus scanned once, only candidates
     # survive. Plain function (task pool — no actor spinup); ray.get of
-    # the broadcast set is a zero-copy shared-memory read per task.
+    # the broadcast sorted array is a zero-copy shared-memory read per
+    # task, membership is vectorized np.isin against it.
     def keep_wanted(t: pa.Table) -> pa.Table:
         keys = ray.get(wanted_ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        m = np.fromiter((int(v) in keys for v in ids), bool, len(ids))
-        return t.filter(pa.array(m))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, keys)))
 
     docs = docs_ds.map_batches(keep_wanted, batch_format="pyarrow")
 
@@ -303,17 +372,24 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
     # in-task — per-pair set intersection is inherent to exact Jaccard)
     def jaccard(df: pd.DataFrame) -> pd.DataFrame:
         mh = MinHasher(shingle_k=shingle_k)
+        # both text columns shingled in ONE batched rolling-hash pass
+        # each; only the per-pair set intersection (inherent to exact
+        # Jaccard) remains a loop
+        sa, oa = mh.shingle_segments([str(x) for x in df["ta"]])
+        sb, ob = mh.shingle_segments([str(x) for x in df["tb"]])
+        da = df["doc_a"].to_numpy()
+        db = df["doc_b"].to_numpy()
         rows = []
-        for r in df.itertuples():
-            a = mh.shingles(str(r.ta))
-            b = mh.shingles(str(r.tb))
+        for i in range(len(df)):
+            a = sa[oa[i]:oa[i + 1]]
+            b = sb[ob[i]:ob[i + 1]]
             if len(a) == 0 and len(b) == 0:
                 continue
             inter = len(np.intersect1d(a, b, assume_unique=True))
             union = len(a) + len(b) - inter
             j = inter / union if union else 0.0
             if j >= threshold:
-                rows.append((int(r.doc_a), int(r.doc_b), j))
+                rows.append((int(da[i]), int(db[i]), j))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
     return withb.map_batches(jaccard, batch_format="pandas")
@@ -366,23 +442,40 @@ def simhash_fingerprints(ds, concurrency=(1, 8)):
             import re
             self.tok = re.compile(r"[A-Za-z0-9_]+")
             self.bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
+            # per-actor token-hash memo: natural-language token
+            # vocabularies are Zipfian, so the md5 cost is paid once per
+            # distinct token per actor, not once per occurrence
+            # (round-2 VERDICT #6); bounded to keep actor heap flat
+            self.memo: dict[str, int] = {}
 
-        def _fp(self, text: str) -> int:
-            toks = self.tok.findall(text.lower())
-            if not toks:
-                return 0
-            hs = np.asarray(
-                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                 for t in toks], dtype=np.int64)
-            bits = ((hs[:, None] >> self.bit_idx[None, :]) & 1)
-            v = (2 * bits - 1).sum(axis=0)
-            return int(((v > 0).astype(np.int64) << self.bit_idx).sum())
+        def _htok(self, t: str) -> int:
+            h = self.memo.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                if len(self.memo) < 1_000_000:
+                    self.memo[t] = h
+            return h
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = [self.tok.findall(t.lower()) for t in batch["text"]]
+            counts = np.fromiter((len(d) for d in toks), np.int64, len(toks))
+            total = int(counts.sum())
+            fp = np.zeros(len(toks), dtype=np.int64)
+            nz = np.flatnonzero(counts > 0)
+            if len(nz):
+                hs = np.fromiter((self._htok(t) for d in toks for t in d),
+                                 np.int64, total)
+                # one batched bit-unpack + per-doc segment sum: the
+                # vote is an order-independent integer sum, so reduceat
+                # over doc segments is bit-identical to per-doc loops
+                contrib = 2 * ((hs[:, None] >> self.bit_idx[None, :]) & 1) - 1
+                offs = np.concatenate([[0], np.cumsum(counts)])
+                v = np.add.reduceat(contrib, offs[nz], axis=0)
+                fp[nz] = ((v > 0).astype(np.int64)
+                          << self.bit_idx[None, :]).sum(axis=1)
             return pd.DataFrame({
                 "doc_id": batch["doc_id"].to_numpy(),
-                "simhash": np.asarray([self._fp(t) for t in batch["text"]],
-                                      dtype=np.int64),
+                "simhash": fp,
             })
 
     return ds.map_batches(SimHash, batch_format="pandas",

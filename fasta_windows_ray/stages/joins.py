@@ -148,18 +148,20 @@ def range_join(turns_ds, intervals,
 
 def semi_join(ds, keys, col: str = "conv_id", anti: bool = False):
     """Broadcast semi (or anti) join: keep rows whose ``col`` is (not) in
-    the broadcast key set — no shuffle (ray_guide semi/anti pattern)."""
-    ref = ray.put(frozenset(keys))
+    the broadcast key set — no shuffle (ray_guide semi/anti pattern).
+    Membership is the vectorized Arrow ``is_in`` kernel against a
+    broadcast value set (no per-row Python)."""
+    import pyarrow.compute as pc
+    ref = ray.put(pa.array(sorted(set(keys))))
 
     class Filter:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vals = t[col].to_numpy(zero_copy_only=False)
-            m = np.fromiter((v in self.keys for v in vals), bool, len(vals))
+            m = pc.is_in(t[col], value_set=self.keys)
             if anti:
-                m = ~m
-            return t.filter(pa.array(m))
+                m = pc.invert(m)
+            return t.filter(m)
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))

@@ -124,9 +124,11 @@ class Fingerprinter:
 
     # M < 2^41 keeps r*B + byte < 2^62: EXACT int64 arithmetic (no silent
     # numpy wraparound), so the DuckDB HUGEINT oracle reproduces the
-    # kernel bit-for-bit
+    # kernel bit-for-bit. M is the largest PRIME below 2^41 (2^41 - 21):
+    # a prime modulus keeps the Rabin-Karp collision bound (the previous
+    # (1<<41)-1 was composite, 13367 x 164511353 — round-2 ADVICE).
     B = 1_000_003
-    M = (1 << 41) - 1
+    M = (1 << 41) - 21
 
     def __init__(self, k: int = 8):
         self.k = k

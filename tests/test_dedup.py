@@ -122,3 +122,25 @@ def test_distributed_verify_equals_driver_verify(ray_session):
     pd.testing.assert_frame_equal(dist, ref, check_dtype=False)
     pd.testing.assert_frame_equal(fast, ref, check_dtype=False)
     assert len(ref) > 0            # the gate is non-vacuous
+
+
+def test_signatures_batch_equals_per_doc():
+    """The batched rolling-hash/minimum-reduceat path is bit-identical to
+    the per-doc signature() loop (round-2 VERDICT #6 vectorization)."""
+    from fasta_windows_ray.stages.dedup import MinHasher
+
+    texts = ["the quick brown fox jumps over the lazy dog", "", "abc",
+             "ab", "the quick brown fox jumps over the lazy cat",
+             "héllo wörld ünïcode текст" * 3, "aaaaaaa", "ab" * 40]
+    mh = MinHasher(num_perm=64, shingle_k=5, seed=7)
+    batch = mh.signatures_batch(texts)
+    for i, t in enumerate(texts):
+        assert (batch[i] == mh.signature(t)).all()
+    vals, offs = mh.shingle_segments(texts)
+    for i, t in enumerate(texts):
+        assert (vals[offs[i]:offs[i + 1]] == mh.shingles(t)).all()
+    # all-empty batch shape
+    vals, offs = mh.shingle_segments(["", "ab"])
+    assert len(vals) == 0 and offs.tolist() == [0, 0, 0]
+    sig = mh.signatures_batch(["", "ab"])
+    assert sig.shape == (2, 64)

@@ -137,6 +137,20 @@ def test_join_back_bucketed_equals_broadcast(ray_session):
     assert (a["w_n_turns"].to_numpy() == b["w_n_turns"].to_numpy()).all()
     assert a["w_n_turns"].notna().all()
 
+    # auto strategy: forcing a 0-byte broadcast limit must route through
+    # the bucketed join and still produce identical rows; the default
+    # limit routes through broadcast (round-2 VERDICT #3)
+    from fasta_windows_ray.stages.join_back import join_back_auto
+    c = join_back_auto(rd.from_arrow(t), rd.from_pandas(stats_pdf), 20 * S,
+                       ["w_n_turns"], num_buckets=4,
+                       broadcast_limit_bytes=0).to_pandas()
+    d = join_back_auto(rd.from_arrow(t), rd.from_pandas(stats_pdf), 20 * S,
+                       ["w_n_turns"]).to_pandas()
+    c = c.sort_values(key).reset_index(drop=True)
+    d = d.sort_values(key).reset_index(drop=True)
+    assert (a["w_n_turns"].to_numpy() == c["w_n_turns"].to_numpy()).all()
+    assert (a["w_n_turns"].to_numpy() == d["w_n_turns"].to_numpy()).all()
+
 
 def test_curation_pipeline_dedups(ray_session):
     import ray.data as rd
