@@ -30,16 +30,21 @@ def full_run(sf_dir: str, out_dir: str, size_us: int = SIZE_US,
     after a partial failure recomputes only uncommitted partitions.
     """
     from ..sinks import write_partitioned
-    from ..stages.join_back import join_back_broadcast
+    from ..stages.join_back import join_back_auto
     from ..stages.window_stats import add_bucket
 
     stats = flagship(sf_dir, profile="counts", size_us=size_us,
                      num_buckets=num_buckets)
-    stats_pdf = stats.to_pandas()[["conv_id", "window_start", "n_turns",
-                                   "role_entropy"]]
-    stats_pdf = stats_pdf.rename(columns={"n_turns": "w_n_turns",
-                                          "role_entropy": "w_role_entropy"})
+
+    def _prep(df):
+        df = df[["conv_id", "window_start", "n_turns", "role_entropy"]]
+        return df.rename(columns={"n_turns": "w_n_turns",
+                                  "role_entropy": "w_role_entropy"})
+
     turns = read_transcripts(sf_dir)
-    joined = join_back_broadcast(turns, stats_pdf, size_us,
-                                 ["w_n_turns", "w_role_entropy"])
+    # strategy picked by measured stats-side size: broadcast while small,
+    # co-partitioned hash join once stats outgrow a worker heap
+    joined = join_back_auto(turns, stats.map_batches(
+        _prep, batch_format="pandas"), size_us,
+        ["w_n_turns", "w_role_entropy"], num_buckets=num_buckets)
     return write_partitioned(add_bucket(joined, num_buckets), out_dir)

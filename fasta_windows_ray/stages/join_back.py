@@ -1,7 +1,8 @@
 """Stateful join of emitted window stats back onto the turn rows
 (SURVEY.md §2.7 "Joins"; north_star join-back).
 
-Two strategies, picked by the caller:
+Three entry points; ``join_back_auto`` picks a strategy by the measured
+size of the stats side (callers should default to it):
 
 - broadcast (default here): the window-stats table is orders of magnitude
   smaller than the turns table (one row per (conv_id, window) vs one per
@@ -20,6 +21,32 @@ import pandas as pd
 import ray
 
 from .window_stats import add_bucket, tumbling_start
+
+# stats side above this goes through the co-partitioned hash join instead
+# of a driver-held broadcast table: at 100 TB of turns a year of window
+# stats is tens of GB, far past any worker heap. 256 MB keeps the
+# broadcast pandas frame + its per-actor copy comfortably inside the
+# default object-store/worker budgets.
+BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def join_back_auto(turns_ds, stats_ds, size_us: int, stat_cols: list[str],
+                   num_buckets: int = 64, offset_us: int = 0,
+                   broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES):
+    """Annotate turns with their window's stats, picking the join strategy
+    by the MEASURED stats-side size: broadcast while the stats table fits
+    comfortably in a worker heap, co-partitioned hash join past the limit.
+    The stats side is materialized either way (both strategies consume it
+    fully; blocks stay in the object store — only the under-limit path
+    ever pulls it to the driver)."""
+    stats_mat = stats_ds.materialize()
+    if stats_mat.size_bytes() <= broadcast_limit_bytes:
+        stats_pdf = stats_mat.select_columns(
+            ["conv_id", "window_start"] + stat_cols).to_pandas()
+        return join_back_broadcast(turns_ds, stats_pdf, size_us, stat_cols,
+                                   offset_us)
+    return join_back_bucketed(turns_ds, stats_mat, size_us, stat_cols,
+                              num_buckets, offset_us)
 
 
 def join_back_broadcast(turns_ds, stats_pdf: pd.DataFrame, size_us: int,
