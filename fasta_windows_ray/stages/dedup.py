@@ -96,11 +96,20 @@ class MinHasher:
         return np.unique(r)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
-        if len(sh) == 0:
+        """Per-doc MinHash signature over RAW window hashes (duplicates
+        don't change a min, so no unique/sort), with the affine permute
+        in plain wrapped int64 — no modulo. Dropping the `% M` per
+        permuted value (an int64 division, the measured hot spot) cut
+        the 5000-doc signature pass 2.18 s → 0.66 s on this host."""
+        b = np.frombuffer(text.lower().encode("utf-8", "surrogatepass"),
+                          dtype=np.uint8)
+        if len(b) < self.k:
             return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
-        # (num_perm, n_shingles) permuted hashes — vectorized min
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        r = b[: len(b) - self.k + 1].astype(np.int64)
+        for j in range(1, self.k):
+            r = (r * 257 + b[j: len(b) - self.k + 1 + j]) % _MERSENNE
+        with np.errstate(over="ignore"):
+            vals = r[None, :] * self.a[:, None] + self.b[:, None]
         return vals.min(axis=1)
 
     def shingle_segments(self, texts) -> tuple[np.ndarray, np.ndarray]:
@@ -140,22 +149,55 @@ class MinHasher:
 
     def signatures_batch(self, texts) -> np.ndarray:
         """(n_docs, num_perm) signatures — bit-identical to calling
-        :meth:`signature` per doc, but the permute+min runs once over the
-        whole batch with ``np.minimum.reduceat`` over doc segments
-        (perm-chunked to bound the intermediate matrix)."""
-        vals, offs = self.shingle_segments(texts)
-        nd = len(offs) - 1
+        :meth:`signature` per doc (pytest-gated). One rolling-hash pass
+        over the concatenated byte buffer (no per-doc unique/sort: a min
+        is invariant under duplicate shingles), then the mod-free affine
+        permute+min over doc segments via ``np.minimum.reduceat``,
+        chunked to doc blocks of <=64k window hashes x 16 perms so the
+        intermediate stays cache-resident (a flat (perm, total) permute
+        streamed hundreds of MB through RAM and measured SLOWER than the
+        per-doc loop on this bandwidth-limited host)."""
+        enc = [t.lower().encode("utf-8", "surrogatepass") for t in texts]
+        nd = len(enc)
+        k = self.k
+        lens = np.fromiter((len(e) for e in enc), np.int64, nd)
+        nwin = np.maximum(lens - k + 1, 0)
+        offs = np.zeros(nd + 1, np.int64)
+        np.cumsum(nwin, out=offs[1:])
+        total = int(offs[-1])
         sig = np.full((nd, self.num_perm), _MERSENNE, dtype=np.int64)
-        nz = np.flatnonzero(offs[1:] > offs[:-1])
-        if len(nz) == 0:
+        if total == 0:
             return sig
-        seg_starts = offs[nz]
-        for p0 in range(0, self.num_perm, 16):
-            a = self.a[p0:p0 + 16]
-            b = self.b[p0:p0 + 16]
-            pv = (vals[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-            sig[nz, p0:p0 + len(a)] = np.minimum.reduceat(
-                pv, seg_starts, axis=1).T
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        n = len(buf)
+        r = buf[: n - k + 1].astype(np.int64)
+        for j in range(1, k):
+            r = (r * 257 + buf[j: n - k + 1 + j]) % _MERSENNE
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        idx = np.repeat(starts - offs[:-1], nwin) + np.arange(total)
+        vals = r[idx]
+        empty = nwin == 0
+        d0 = 0
+        with np.errstate(over="ignore"):
+            while d0 < nd:
+                d1 = d0 + 1
+                while d1 < nd and offs[d1 + 1] - offs[d0] <= 65536:
+                    d1 += 1
+                lo, hi = int(offs[d0]), int(offs[d1])
+                if hi == lo:
+                    d0 = d1
+                    continue
+                seg = offs[d0:d1] - lo
+                v = vals[lo:hi]
+                for p0 in range(0, self.num_perm, 16):
+                    a = self.a[p0:p0 + 16]
+                    b = self.b[p0:p0 + 16]
+                    pv = v[None, :] * a[:, None] + b[:, None]
+                    sig[d0:d1, p0:p0 + len(a)] = np.minimum.reduceat(
+                        pv, seg, axis=1).T
+                # reduceat on an empty segment yields pv[seg[i]] — reset
+                sig[d0:d1][empty[d0:d1]] = _MERSENNE
+                d0 = d1
         return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -165,34 +207,44 @@ class MinHasher:
         return out
 
 
+_WORKER_STATE: dict = {}   # per-worker-process memo for cheap stage state
+
+
 def minhash_band_rows(ds, num_perm: int = 128, bands: int = 16,
                       shingle_k: int = 7, seed: int = 7,
-                      concurrency=(1, 8)):
-    """documents → (band_id, band_hash, doc_id) rows for LSH bucketing."""
+                      concurrency=None):
+    """documents → (band_id, band_hash, doc_id) rows for LSH bucketing.
+
+    Runs as a TASK-pool map_batches: the MinHasher state is 2x num_perm
+    int64s (built in ~µs), memoized per worker process, so an actor pool
+    buys nothing here and its spin-up dominated the stage at suite scale
+    (measured 3.6 s actor pool vs 1.0 s tasks for the identical batch
+    fn). Pass ``concurrency=(lo, hi)`` to pin an actor pool when a
+    hasher variant carries genuinely heavy state."""
     rows_per_band = num_perm // bands
 
     hasher_cfg = dict(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    memo_key = ("minhash", num_perm, shingle_k, seed)
 
-    class BandRows(MinHasher):
-        def __init__(self):
-            super().__init__(**hasher_cfg)
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = _WORKER_STATE.get(memo_key)
+        if mh is None:
+            mh = _WORKER_STATE[memo_key] = MinHasher(**hasher_cfg)
+        sigs = mh.signatures_batch(batch["text"].tolist())
+        n = len(batch)
+        band_ids = np.tile(np.arange(bands), n)
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
+        bh = np.empty(n * bands, dtype=np.int64)
+        for bi in range(bands):
+            seg = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.int64)
+            for c in range(rows_per_band):
+                h = (h * 1_000_003 + seg[:, c]) % _MERSENNE
+            bh[bi::bands] = h
+        return pd.DataFrame({"band_id": band_ids, "band_hash": bh,
+                             "doc_id": doc_ids})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.signatures_batch(batch["text"].tolist())
-            n = len(batch)
-            band_ids = np.tile(np.arange(bands), n)
-            doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
-            bh = np.empty(n * bands, dtype=np.int64)
-            for bi in range(bands):
-                seg = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
-                h = np.zeros(n, dtype=np.int64)
-                for c in range(rows_per_band):
-                    h = (h * 1_000_003 + seg[:, c]) % _MERSENNE
-                bh[bi::bands] = h
-            return pd.DataFrame({"band_id": band_ids, "band_hash": bh,
-                                 "doc_id": doc_ids})
-
-    return ds.map_batches(BandRows, batch_format="pandas",
+    return ds.map_batches(band_rows, batch_format="pandas",
                           concurrency=concurrency)
 
 
@@ -429,23 +481,29 @@ def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
 SIMHASH_BITS = 60
 
 
-def simhash_fingerprints(ds, concurrency=(1, 8)):
+def simhash_fingerprints(ds, concurrency=None):
     """60-bit SimHash per doc from \\w+ token hashes.
 
     Token hash = first 15 hex digits of md5 (60 bits): exact signed-int64
     arithmetic AND reproducible in the DuckDB oracle (md5 + hex-digit
     fold), which is why md5/60 replaced blake2b/64 in round 2. Per-token
     MULTIPLICITY counts (every occurrence votes, standard SimHash).
+
+    Task-pool by default: the SimHash state (compiled regex + token-hash
+    memo) lives in the per-worker-process memo, so tasks get the same
+    once-per-worker amortization as an actor pool without pool spin-up
+    latency (the memo outlives individual tasks because Ray reuses
+    worker processes).
     """
     class SimHash:
         def __init__(self):
             import re
             self.tok = re.compile(r"[A-Za-z0-9_]+")
             self.bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
-            # per-actor token-hash memo: natural-language token
+            # per-worker token-hash memo: natural-language token
             # vocabularies are Zipfian, so the md5 cost is paid once per
-            # distinct token per actor, not once per occurrence
-            # (round-2 VERDICT #6); bounded to keep actor heap flat
+            # distinct token per worker, not once per occurrence
+            # (round-2 VERDICT #6); bounded to keep the heap flat
             self.memo: dict[str, int] = {}
 
         def _htok(self, t: str) -> int:
@@ -478,8 +536,17 @@ def simhash_fingerprints(ds, concurrency=(1, 8)):
                 "simhash": fp,
             })
 
-    return ds.map_batches(SimHash, batch_format="pandas",
-                          concurrency=concurrency)
+    if concurrency is not None:          # pinned actor pool
+        return ds.map_batches(SimHash, batch_format="pandas",
+                              concurrency=concurrency)
+
+    def simhash_task(batch: pd.DataFrame) -> pd.DataFrame:
+        st = _WORKER_STATE.get("simhash")
+        if st is None:
+            st = _WORKER_STATE["simhash"] = SimHash()
+        return st(batch)
+
+    return ds.map_batches(simhash_task, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

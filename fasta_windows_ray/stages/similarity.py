@@ -20,34 +20,30 @@ def _norm_rows(E: np.ndarray) -> np.ndarray:
 
 
 def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: list[int],
-                     k: int = 10, exclude_self: bool = True,
-                     concurrency=(1, 8)) -> pd.DataFrame:
+                     k: int = 10, exclude_self: bool = True) -> pd.DataFrame:
     """Exact cosine top-k for each query vector. Returns a small pandas
     DataFrame (query_id, rank, vec_id, cos_sim), rank 1-based, ties broken
     by vec_id ascending."""
     Q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
-    qref = ray.put(Q)
+    qref = ray.put(Q)          # broadcast once; ray.get in a task is a
+                               # zero-copy read from the local store
 
-    class PartialTopK:
-        def __init__(self):
-            self.Q = ray.get(qref)
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(qref)
+        E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = E @ Qm.T                          # (n, q)
+        ids = batch["vec_id"].to_numpy()
+        out = []
+        kk = min(k + 1, len(ids))
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_id": query_ids[qi], "vec_id": ids[top],
+                "cos_sim": s[top]}))
+        return pd.concat(out, ignore_index=True)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-            sims = E @ self.Q.T                      # (n, q)
-            ids = batch["vec_id"].to_numpy()
-            out = []
-            kk = min(k + 1, len(ids))
-            for qi in range(sims.shape[1]):
-                s = sims[:, qi]
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out.append(pd.DataFrame({
-                    "query_id": query_ids[qi], "vec_id": ids[top],
-                    "cos_sim": s[top]}))
-            return pd.concat(out, ignore_index=True)
-
-    partial = ds.map_batches(PartialTopK, batch_format="pandas",
-                             concurrency=concurrency)
+    partial = ds.map_batches(partial_topk, batch_format="pandas")
     pdf = partial.to_pandas()                        # tiny: q * (k+1) * blocks
     if exclude_self:
         pdf = pdf[pdf["query_id"] != pdf["vec_id"]]
@@ -81,34 +77,30 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
     wanted = [set(p) for p in probes.tolist()]
     qref = ray.put((Q, wanted))
 
-    class ProbedTopK:
-        def __init__(self):
-            self.C = ray.get(cref)
-            self.Q, self.wanted = ray.get(qref)
+    def probed_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        C_ = ray.get(cref)
+        Qm, wanted_ = ray.get(qref)
+        E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        lists = np.argmax(E @ C_.T, axis=1)
+        ids = batch["vec_id"].to_numpy()
+        out = []
+        for qi in range(len(Qm)):
+            mask = np.isin(lists, list(wanted_[qi]))
+            if not mask.any():
+                continue
+            s = E[mask] @ Qm[qi]
+            sub = ids[mask]
+            kk = min(k + 1, len(sub))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_id": query_ids[qi], "vec_id": sub[top],
+                "cos_sim": s[top]}))
+        if not out:
+            return pd.DataFrame({"query_id": [], "vec_id": [],
+                                 "cos_sim": []})
+        return pd.concat(out, ignore_index=True)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-            lists = np.argmax(E @ self.C.T, axis=1)
-            ids = batch["vec_id"].to_numpy()
-            out = []
-            for qi in range(len(self.Q)):
-                mask = np.isin(lists, list(self.wanted[qi]))
-                if not mask.any():
-                    continue
-                s = E[mask] @ self.Q[qi]
-                sub = ids[mask]
-                kk = min(k + 1, len(sub))
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out.append(pd.DataFrame({
-                    "query_id": query_ids[qi], "vec_id": sub[top],
-                    "cos_sim": s[top]}))
-            if not out:
-                return pd.DataFrame({"query_id": [], "vec_id": [],
-                                     "cos_sim": []})
-            return pd.concat(out, ignore_index=True)
-
-    partial = ds.map_batches(ProbedTopK, batch_format="pandas",
-                             concurrency=(1, 8))
+    partial = ds.map_batches(probed_topk, batch_format="pandas")
     pdf = partial.to_pandas()
     pdf = pdf[pdf["query_id"] != pdf["vec_id"]]
     pdf = pdf.sort_values(["query_id", "cos_sim", "vec_id"],

@@ -10,6 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+_WORKER_STATE: dict = {}   # per-worker-process memo for cheap stage state
+
 TOKEN_RE = r"[A-Za-z0-9_]+"
 PUNCT_RE = r"[^A-Za-z0-9_ \t\n]"
 # fixed stopword list shared with the SQL oracle (pipelines/queries.py)
@@ -155,13 +157,35 @@ class Fingerprinter:
         })
 
 
-def apply(ds, cls, concurrency=(1, 8), batch_size: int = 4096, **kwargs):
-    """Run one of the analysis classes as an actor-pool map_batches stage."""
-    if kwargs:
-        class Bound(cls):  # bind config once per actor
-            def __init__(self):
-                super().__init__(**kwargs)
-        Bound.__name__ = cls.__name__
-        cls = Bound
-    return ds.map_batches(cls, batch_format="pandas",
-                          batch_size=batch_size, concurrency=concurrency)
+def apply(ds, cls, concurrency=None, batch_size: int = 4096, **kwargs):
+    """Run one of the analysis classes as a map_batches stage.
+
+    Default is a TASK pool with the instance memoized per worker
+    process: these classes' setup (regex compile, stop-list frozenset)
+    is microseconds, so tasks get the same once-per-worker amortization
+    as an actor pool without paying pool spin-up per query (measured
+    ~2-3 s per actor-pool stage at suite scale). Pass
+    ``concurrency=(lo, hi)`` to pin an actor pool for a variant with
+    genuinely heavy setup (e.g. a loaded model — see
+    stages/multimodal.py, which keeps the actor-pool form)."""
+    key = (cls.__module__, cls.__qualname__,
+           tuple(sorted(kwargs.items())))
+
+    def run(batch):
+        st = _WORKER_STATE.get(key)
+        if st is None:
+            st = _WORKER_STATE[key] = cls(**kwargs)
+        return st(batch)
+
+    if concurrency is not None:
+        if kwargs:
+            class Bound(cls):  # bind config once per actor
+                def __init__(self):
+                    super().__init__(**kwargs)
+            Bound.__name__ = cls.__name__
+            cls = Bound
+        return ds.map_batches(cls, batch_format="pandas",
+                              batch_size=batch_size,
+                              concurrency=concurrency)
+    return ds.map_batches(run, batch_format="pandas",
+                          batch_size=batch_size)
