@@ -936,6 +936,75 @@ def q_ann_ivf_topk(sf_dir: str):
     return exact[["query_id", "rank", "vec_id"]]
 
 
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition signals per document (duplicate-word
+    fraction + most-frequent-bigram fraction) — shuffle-free map; the
+    oracle reproduces the exact single-space tokenization with
+    string_split."""
+    from ..stages.curation_filters import repetition_stats
+    out = repetition_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return _round6(out, ["dup_word_frac", "top_bigram_frac"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION_FILTER = """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+w AS (SELECT doc_id, s[i] AS w, len(s) AS nt FROM sp,
+      LATERAL (SELECT unnest(generate_series(1, len(s))) AS i)),
+agg AS (SELECT doc_id, any_value(nt) AS total, count(DISTINCT w) AS uniq
+        FROM w GROUP BY doc_id),
+bg AS (SELECT doc_id, s[i] || ' ' || s[i+1] AS g FROM sp,
+       LATERAL (SELECT unnest(generate_series(1, len(s)-1)) AS i)
+       WHERE len(s) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bgt AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS topf FROM bgc GROUP BY 1)
+SELECT a.doc_id,
+  round(1.0 - uniq::DOUBLE / total, 6) + 0.0 AS dup_word_frac,
+  round(coalesce(topf, 0.0), 6) + 0.0 AS top_bigram_frac
+FROM agg a LEFT JOIN bgt USING (doc_id) ORDER BY doc_id
+"""
+
+DECONTAM_N = 5
+DECONTAM_EVAL_MOD = 50
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set decontamination: docs with doc_id % 50 == 0 stand in for
+    a held-out benchmark; every other doc is flagged iff it shares a
+    word 5-gram with that set (broadcast semi-join; the corpus is never
+    shuffled)."""
+    from ..stages.curation_filters import decontaminate
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    eval_ds = docs.filter(
+        lambda r: r["doc_id"] % DECONTAM_EVAL_MOD == 0)
+    corpus = docs.filter(
+        lambda r: r["doc_id"] % DECONTAM_EVAL_MOD != 0)
+    out = decontaminate(corpus, eval_ds, n=DECONTAM_N).to_pandas()
+    out["contaminated"] = out["contaminated"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = f"""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+g AS (SELECT doc_id,
+        s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+             || ' ' || s[i+4] AS g
+      FROM sp,
+      LATERAL (SELECT unnest(generate_series(1, len(s)-{DECONTAM_N - 1}))
+               AS i)
+      WHERE len(s) >= {DECONTAM_N}),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id % {DECONTAM_EVAL_MOD} = 0),
+hit AS (SELECT DISTINCT doc_id FROM g
+        WHERE doc_id % {DECONTAM_EVAL_MOD} != 0
+          AND g IN (SELECT g FROM ev))
+SELECT d.doc_id,
+  (CASE WHEN d.doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END)::BIGINT
+    AS contaminated
+FROM documents d WHERE d.doc_id % {DECONTAM_EVAL_MOD} != 0
+ORDER BY doc_id
+"""
+
+
 def q_tumbling_ctw(sf_dir: str):
     """CTW bits/base over each window's role sequence — inherently
     sequential (kmeru8.rs:170-319), no SQL oracle."""
@@ -1064,6 +1133,8 @@ def build_queries() -> dict:
         "tumbling_role_kgram_long": q_tumbling_role_kgram_long,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "repetition_filter": q_repetition_filter,
+        "decontaminate": q_decontaminate,
         # rows-only (non-SQL-expressible semantics)
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
@@ -1102,6 +1173,8 @@ def build_oracle_sql() -> dict:
         "salted_session_stats": SQL_SESSION_WINDOW_STATS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ann_ivf_topk": SQL_EMBEDDING_TOPK,
+        "repetition_filter": SQL_REPETITION_FILTER,
+        "decontaminate": SQL_DECONTAMINATE,
         "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
         "lang_id": _lang_id_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),

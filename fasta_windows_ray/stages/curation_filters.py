@@ -1,0 +1,126 @@
+"""Corpus-curation filters a large-scale training-data pipeline needs
+beyond dedup/quality: repetition statistics (the strongest single signal
+for machine-generated / boilerplate text, cf. the Gopher rules from Rae
+et al. 2021, "Scaling Language Models" App. A) and eval-set
+DECONTAMINATION (flagging training docs that share long n-grams with a
+held-out evaluation set, cf. GPT-3 App. C / PaLM App. D).
+
+Ray-Data shapes:
+- repetition_stats: pure per-batch map (segment-vectorized factorize +
+  bincount over the batch's concatenated token stream) — no shuffle.
+- decontaminate: the eval side of the comparison is SMALL by nature
+  (benchmarks are thousands of docs, the corpus is billions), so its
+  n-gram set is built once, broadcast via ``ray.put``, and each batch
+  probes it locally — a broadcast semi-join, never a shuffle of the
+  corpus (the 100-TB shape; same pattern as stages/joins.py semi_join).
+
+Word = ``text.split(' ')`` EXACTLY (single-space split, no collapsing),
+so the DuckDB oracle's ``string_split(text, ' ')`` reproduces
+tokenization bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _token_segments(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Factorized token codes for the batch's concatenated token stream,
+    plus per-doc offsets: (codes, offs); doc i's tokens are
+    codes[offs[i]:offs[i+1]]."""
+    toks = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(d) for d in toks), np.int64, len(toks))
+    offs = np.zeros(len(toks) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = [w for d in toks for w in d]
+    codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+    return codes.astype(np.int64), offs
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc repetition signals:
+
+    - ``dup_word_frac``  = 1 - distinct_words / total_words
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram
+      / total bigrams (0.0 for docs with < 2 words)
+
+    Both are functions of one document only, so the stage is a shuffle-
+    free map_batches; the per-batch kernel is segment-vectorized (one
+    factorize + np.unique over the batch, no per-doc Python loops).
+    """
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        nd = len(texts)
+        codes, offs = _token_segments(texts)
+        ntok = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(nd), ntok)
+        V = int(codes.max()) + 1 if len(codes) else 1
+
+        # distinct words per doc: unique (doc, code) pairs
+        uniq_pairs = np.unique(doc_of * V + codes)
+        distinct = np.bincount(uniq_pairs // V, minlength=nd)
+
+        # top word-bigram count per doc
+        top = np.zeros(nd, dtype=np.int64)
+        nbig = np.maximum(ntok - 1, 0)
+        if nbig.sum() > 0:
+            left_ok = np.ones(len(codes), dtype=bool)
+            left_ok[offs[1:][:-1] - 1] = False   # last token of each doc
+            left_ok[offs[-1] - 1] = False
+            li = np.flatnonzero(left_ok)
+            big = codes[li] * V + codes[li + 1]
+            dob = doc_of[li]
+            pair, cnt = np.unique(dob * (V * V) + big, return_counts=True)
+            np.maximum.at(top, pair // (V * V), cnt)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(ntok > 0, 1.0 - distinct / ntok, 0.0)
+            topf = np.where(nbig > 0, top / np.maximum(nbig, 1), 0.0)
+        return pd.DataFrame({id_col: ids,
+                             "dup_word_frac": dup,
+                             "top_bigram_frac": topf})
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _word_ngrams(text: str, n: int) -> set:
+    w = text.split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def decontaminate(ds, eval_ds, n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Flag corpus docs sharing ANY word ``n``-gram with the eval set.
+
+    ``eval_ds`` is the held-out benchmark (small side): its n-gram set is
+    collected once on the driver and broadcast with ``ray.put``; the
+    corpus streams through a map_batches probe. Output:
+    (id_col, contaminated: bool) for every corpus doc.
+
+    The broadcast side is bounded by the EVAL corpus size (benchmarks,
+    not training data) — at 100 TB of training text the eval gram set is
+    still a few hundred MB, the canonical broadcast-semi-join regime.
+    """
+    eval_pdf = eval_ds.to_pandas()          # small by contract
+    grams: set = set()
+    for t in eval_pdf[text_col]:
+        grams |= _word_ngrams(t, n)
+    gref = ray.put(grams)
+
+    def probe(t: pa.Table) -> pd.DataFrame:
+        g = ray.get(gref)                   # zero-copy local-store read
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hit = np.fromiter(
+            (any(x in g for x in _word_ngrams(txt, n)) for txt in texts),
+            dtype=bool, count=len(texts))
+        return pd.DataFrame({id_col: ids, "contaminated": hit})
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
