@@ -456,6 +456,52 @@ SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
 FROM documents
 """
 
+FRAME_BYTES = 64
+FRAME_EVERY = 4
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Video-style frame sampling (every 4th 64-byte chunk) — the
+    one-to-many media flat-map; chunking needs no codec so the stage is
+    real and md5-oracle-paired."""
+    from ..stages.multimodal import docs_as_media, frame_sample
+    media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
+    return frame_sample(media, frame_bytes=FRAME_BYTES, every=FRAME_EVERY)
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+WITH f AS (SELECT doc_id, i,
+             substr(text, (i-1)*{FRAME_BYTES}+1, {FRAME_BYTES}) AS frame
+           FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+               1, (length(text)+{FRAME_BYTES - 1})//{FRAME_BYTES})) AS i))
+SELECT doc_id AS media_id, (i-1)::BIGINT AS frame_idx,
+  length(frame)::BIGINT AS n_bytes, md5(frame) AS frame_md5
+FROM f WHERE (i-1) % {FRAME_EVERY} = 0
+ORDER BY media_id, frame_idx
+"""
+
+RESIZE_W, RESIZE_H = 32, 32
+
+
+def q_media_resize(sf_dir: str):
+    """Resize plumbing (deterministic stub transform — see ResizeStub):
+    payload re-digested under the target tag, md5-oracle-paired."""
+    from ..stages.multimodal import ResizeStub, docs_as_media
+    media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
+    return media.map_batches(
+        ResizeStub, batch_format="pandas", batch_size=256,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"width": RESIZE_W, "height": RESIZE_H})
+
+
+SQL_MEDIA_RESIZE = f"""
+SELECT doc_id AS media_id,
+  {RESIZE_W}::BIGINT AS out_width, {RESIZE_H}::BIGINT AS out_height,
+  md5(text || '|{RESIZE_W}x{RESIZE_H}') AS resized_md5
+FROM documents ORDER BY media_id
+"""
+
 
 def q_embedding_topk(sf_dir: str):
     import pyarrow.parquet as pq
@@ -834,6 +880,31 @@ def q_simhash(sf_dir: str):
 
 MINHASH_SHINGLE_K = 7     # ONE shingle space for candidates AND verify
 
+# minhash_lsh_pairs oracle: the exact char-7-gram Jaccard pair set at
+# threshold 0.5, computed by a DuckDB distinct-gram self-join. This
+# hash-gates LSH RECALL: the testdata's 25 near-dup pairs all have
+# jaccard >= 0.9 (none in (0.5, 0.9)), and a 0.9-jaccard pair collides
+# in >=1 of 16 bands with p > 0.9998, so the (seeded, deterministic)
+# LSH output must equal the exact set or the driver check fails. The
+# verify stage computes exact Jaccard on candidates, so values match.
+MINHASH_ORACLE_SQL = f"""
+WITH g AS (SELECT doc_id, substr(lower(text), i, {MINHASH_SHINGLE_K}) AS g
+           FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+               1, length(text)-{MINHASH_SHINGLE_K - 1})) AS i)
+           GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+  round(ni::DOUBLE / (sa.n + sb.n - ni), 6) + 0.0 AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
 
 def q_minhash_lsh_pairs(sf_dir: str):
     from ..stages.dedup import (lsh_candidate_pairs, minhash_band_rows,
@@ -844,6 +915,9 @@ def q_minhash_lsh_pairs(sf_dir: str):
     out = verify_jaccard_distributed(cand, docs,
                                      shingle_k=MINHASH_SHINGLE_K,
                                      threshold=0.5).to_pandas()
+    out = _round6(out, ["jaccard"])
+    out["doc_a"] = out["doc_a"].astype(np.int64)
+    out["doc_b"] = out["doc_b"].astype(np.int64)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -1120,6 +1194,8 @@ def build_queries() -> dict:
         "semi_join_convs": q_semi_join_convs,
         "anti_join_convs": q_anti_join_convs,
         "multimodal_meta": q_multimodal_meta,
+        "media_frame_sample": q_media_frame_sample,
+        "media_resize": q_media_resize,
         "embedding_topk": q_embedding_topk,
         "stateful_tumbling_counts": q_stateful_tumbling_counts,
         "stateful_session_windows": q_stateful_session_windows,
@@ -1135,10 +1211,11 @@ def build_queries() -> dict:
         "ann_ivf_topk": q_ann_ivf_topk,
         "repetition_filter": q_repetition_filter,
         "decontaminate": q_decontaminate,
-        # rows-only (non-SQL-expressible semantics)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # rows-only (non-SQL-expressible semantics: CTW state machine,
+        # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
         "tumbling_ctw_text": q_tumbling_ctw_text,
         "tumbling_kgram_freqs": q_tumbling_kgram_freqs,
@@ -1164,6 +1241,8 @@ def build_oracle_sql() -> dict:
         "semi_join_convs": SQL_SEMI_JOIN_CONVS,
         "anti_join_convs": SQL_ANTI_JOIN_CONVS,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "media_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+        "media_resize": SQL_MEDIA_RESIZE,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "stateful_tumbling_counts": SQL_TUMBLING_ROLE_COUNTS,
         "stateful_session_windows": SQL_SESSION_WINDOWS,
@@ -1182,5 +1261,6 @@ def build_oracle_sql() -> dict:
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "tumbling_role_kgram_long": SQL_TUMBLING_ROLE_KGRAM_LONG,
+        "minhash_lsh_pairs": MINHASH_ORACLE_SQL,
         "stream_metrics": _stream_metrics_sql(),
     }

@@ -88,6 +88,65 @@ class ImageDecodeStub:
         })
 
 
+def frame_sample(media_ds, frame_bytes: int = 64, every: int = 4,
+                 batch_size: int = 256):
+    """Video-style frame sampling over opaque payloads — one input row
+    fans out to one row per SAMPLED frame (every ``every``-th fixed-size
+    byte chunk), the flat-map shape a real video pipeline has. The
+    chunking itself needs no codec, so this stage is REAL (not a stub):
+    payload[i*frame_bytes:(i+1)*frame_bytes] stands in for frame i, and
+    a decoded-frame consumer slots in downstream. Output:
+    (media_id, frame_idx, n_bytes, frame_md5)."""
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        mids, idxs, sizes, digs = [], [], [], []
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            nf = (len(payload) + frame_bytes - 1) // frame_bytes
+            for fi in range(0, nf, every):
+                chunk = payload[fi * frame_bytes:(fi + 1) * frame_bytes]
+                mids.append(int(mid))
+                idxs.append(fi)
+                sizes.append(len(chunk))
+                digs.append(hashlib.md5(chunk).hexdigest())
+        return pd.DataFrame({
+            "media_id": np.asarray(mids, dtype=np.int64),
+            "frame_idx": np.asarray(idxs, dtype=np.int64),
+            "n_bytes": np.asarray(sizes, dtype=np.int64),
+            "frame_md5": digs,
+        })
+
+    return media_ds.map_batches(sample, batch_format="pandas",
+                                batch_size=batch_size)
+
+
+class ResizeStub:
+    """Resize stage with the real signature (payload + target dims in,
+    payload + dims out). STUB like ImageDecodeStub: ``strict=True``
+    raises (no image libs in this container); else the deterministic
+    fake tags the payload with the target and re-digests, so downstream
+    exactly-once / lineage plumbing sees a genuinely transformed
+    payload column."""
+
+    def __init__(self, width: int = 32, height: int = 32,
+                 strict: bool = False):
+        self.w, self.h, self.strict = width, height, strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.strict:
+            raise NotImplementedError(
+                "image resize requires PIL/cv2 — not available in this "
+                "environment; run with strict=False for the deterministic "
+                "fake resize")
+        tag = f"|{self.w}x{self.h}".encode()
+        return pd.DataFrame({
+            "media_id": batch["media_id"].to_numpy(),
+            "out_width": np.full(len(batch), self.w, dtype=np.int64),
+            "out_height": np.full(len(batch), self.h, dtype=np.int64),
+            "resized_md5": [hashlib.md5(p + tag).hexdigest()
+                            for p in batch["payload"]],
+        })
+
+
 def media_pipeline(ds, strict: bool = False, batch_size: int = 256,
                    concurrency=(1, 4)):
     """media → metadata + (stub-)decoded features, actor pools sized for

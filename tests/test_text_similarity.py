@@ -171,3 +171,33 @@ def test_curation_pipeline_dedups(ray_session):
     assert en["n_unique"] == 2           # three copies of `good` collapse
     de = out[out["lang"] == "de"].iloc[0]
     assert de["n_docs"] == 1 and de["n_quality"] == 0 and de["n_unique"] == 0
+
+
+def test_media_frame_sample_and_resize(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.multimodal import (ResizeStub,
+                                                     docs_as_media,
+                                                     frame_sample)
+
+    text = "x" * 100 + "y" * 100 + "z" * 60       # 260 bytes -> 5 frames
+    docs = pd.DataFrame({"doc_id": [1], "text": [text]})
+    media = docs_as_media(rd.from_pandas(docs))
+    out = frame_sample(media, frame_bytes=64, every=2).to_pandas() \
+        .sort_values("frame_idx").reset_index(drop=True)
+    # frames 0..4; sampled 0, 2, 4; frame 4 is the 4-byte tail
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["n_bytes"].tolist() == [64, 64, 4]
+    assert out["frame_md5"][0] == hashlib.md5(
+        text[0:64].encode()).hexdigest()
+    assert out["frame_md5"][2] == hashlib.md5(
+        text[256:260].encode()).hexdigest()
+
+    rz = media.map_batches(
+        ResizeStub, batch_format="pandas", concurrency=1,
+        fn_constructor_kwargs={"width": 8, "height": 6}).to_pandas()
+    assert rz["out_width"].tolist() == [8]
+    assert rz["resized_md5"][0] == hashlib.md5(
+        text.encode() + b"|8x6").hexdigest()
