@@ -28,6 +28,33 @@ import pyarrow as pa
 
 from .window_stats import ROLE_ORDER, tumbling_start
 
+
+def merge_window_acc(dst, src) -> None:
+    """Merge one ``_WindowAcc`` into another: all state is additive
+    integer counts plus a turn sequence that finalize re-sorts, so
+    splitting a window's rows across accumulators and merging is
+    bit-identical to single-pass accumulation (hypothesis-gated in
+    tests/test_properties.py)."""
+    from ..state.engine import _merge_counts
+    for i in range(5):
+        dst.role_counts[i] += src.role_counts[i]
+    dst.masked += src.masked
+    dst._nt += src._nt
+    dst.n_chars += src.n_chars
+    dst.big_cnt += src.big_cnt
+    _merge_counts(dst.char_counts, src.char_counts)
+    for j in (0, 1, 2):
+        if src.kg[j]:
+            _merge_counts(dst.kg[j], src.kg[j])
+    if dst.turns is not None and src.turns is not None:
+        dst.turns.extend(src.turns)
+    elif src.turns is None and src._ts_counts is not None:
+        dst.turns = None
+        if dst._ts_counts is None:
+            dst._ts_counts = {}
+        _merge_counts(dst._ts_counts, src._ts_counts)
+    dst.texts.update(src.texts)
+
 PARTIAL_COLS = ["conv_id", "window_start", "n_user", "n_assistant",
                 "n_system", "n_tool", "n_other", "n_masked"]
 
@@ -195,26 +222,6 @@ def salted_session_stats(ds, gap_us: int, num_merge_buckets: int = 64,
                      for c in df["conv_id"]]
         return df
 
-    def merge_acc(dst, src) -> None:
-        for i in range(5):
-            dst.role_counts[i] += src.role_counts[i]
-        dst.masked += src.masked
-        dst._nt += src._nt
-        dst.n_chars += src.n_chars
-        dst.big_cnt += src.big_cnt
-        _merge_counts(dst.char_counts, src.char_counts)
-        for j in (0, 1, 2):
-            if src.kg[j]:
-                _merge_counts(dst.kg[j], src.kg[j])
-        if dst.turns is not None and src.turns is not None:
-            dst.turns.extend(src.turns)
-        elif src.turns is None and src._ts_counts is not None:
-            dst.turns = None
-            if dst._ts_counts is None:
-                dst._ts_counts = {}
-            _merge_counts(dst._ts_counts, src._ts_counts)
-        dst.texts.update(src.texts)
-
     def stitch(df: pd.DataFrame) -> pd.DataFrame:
         emitted: list[dict] = []
 
@@ -234,7 +241,7 @@ def salted_session_stats(ds, gap_us: int, num_merge_buckets: int = 64,
                     cur = [r.start, r.end, acc]
                 elif r.start - cur[1] <= gap_us:
                     cur[1] = max(cur[1], r.end)
-                    merge_acc(cur[2], acc)
+                    merge_window_acc(cur[2], acc)
                 else:
                     emit(conv, cur)
                     cur = [r.start, r.end, acc]
