@@ -24,12 +24,6 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _sha1_int64(texts) -> np.ndarray:
-    return np.asarray(
-        [int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big") >> 1
-         for t in texts], dtype=np.int64)
-
-
 def _text_hash_int64(col) -> np.ndarray:
     """Vectorized 63-bit content hash of a string column (polars xxhash,
     computed in native code — replaces the per-row hashlib loop on the
