@@ -993,10 +993,11 @@ def q_ann_ivf_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     # the synthetic embeddings are near-orthogonal (no cluster structure),
-    # so IVF recall ~ probe fraction; 6/8 lists clears the 0.9 gate with
-    # margin (measured 0.97 at sf0.01). On real clustered corpora
+    # so IVF recall ~ probe fraction; 7/8 lists clears the 0.9 gate with
+    # margin at BOTH test scales (measured 0.97 at sf0.01, 1.0 at
+    # sf0.1; 6/8 dropped to 0.80 at sf0.1). On real clustered corpora
     # nprobe << n_centroids is the expected config.
-    ivf = ivf_topk(ds, Q, qids, k=10, n_centroids=8, nprobe=6)
+    ivf = ivf_topk(ds, Q, qids, k=10, n_centroids=8, nprobe=7)
     exact = brute_force_topk(ds, Q, qids, k=10)
     hits = 0
     for qid in qids:
