@@ -1048,12 +1048,21 @@ def q_decontaminate(sf_dir: str):
     a held-out benchmark; every other doc is flagged iff it shares a
     word 5-gram with that set (broadcast semi-join; the corpus is never
     shuffled)."""
+    import pyarrow.compute as _pc
+
     from ..stages.curation_filters import decontaminate
     docs = _docs(sf_dir, ["doc_id", "text"])
-    eval_ds = docs.filter(
-        lambda r: r["doc_id"] % DECONTAM_EVAL_MOD == 0)
-    corpus = docs.filter(
-        lambda r: r["doc_id"] % DECONTAM_EVAL_MOD != 0)
+
+    def _split(keep_eval: bool):
+        def f(t):
+            m = _pc.equal(_pc.mod(t["doc_id"], DECONTAM_EVAL_MOD), 0)
+            return t.filter(m if keep_eval else _pc.invert(m))
+        return f
+
+    eval_ds = docs.map_batches(_split(True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow",
+                              zero_copy_batch=True)
     out = decontaminate(corpus, eval_ds, n=DECONTAM_N).to_pandas()
     out["contaminated"] = out["contaminated"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
