@@ -1048,15 +1048,13 @@ def q_decontaminate(sf_dir: str):
     a held-out benchmark; every other doc is flagged iff it shares a
     word 5-gram with that set (broadcast semi-join; the corpus is never
     shuffled)."""
-    import pyarrow.compute as _pc
-
     from ..stages.curation_filters import decontaminate
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def _split(keep_eval: bool):
         def f(t):
-            m = _pc.equal(_pc.mod(t["doc_id"], DECONTAM_EVAL_MOD), 0)
-            return t.filter(m if keep_eval else _pc.invert(m))
+            m = t["doc_id"].to_numpy() % DECONTAM_EVAL_MOD == 0
+            return t.filter(m if keep_eval else ~m)
         return f
 
     eval_ds = docs.map_batches(_split(True), batch_format="pyarrow",
