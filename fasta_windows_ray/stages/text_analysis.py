@@ -38,7 +38,8 @@ class TokenCounter:
             self.tok = re.compile(TOKEN_RE)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        counts = batch["text"].map(lambda t: len(self.tok.findall(t)))
+        # pandas' vectorized C regex loop; == len(findall) per row
+        counts = batch["text"].str.count(self.tok)
         out = batch[[c for c in ("doc_id", "lang") if c in batch.columns]].copy()
         out["n_tokens"] = counts.astype(np.int64)
         return out
