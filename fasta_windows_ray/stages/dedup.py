@@ -181,16 +181,20 @@ class MinHasher:
                 if hi == lo:
                     d0 = d1
                     continue
-                seg = offs[d0:d1] - lo
+                # reduceat over NON-empty docs only: empty docs share
+                # their successor's offset (a trailing one would index
+                # past the array), and consecutive non-empty offsets
+                # still delimit exact per-doc segments
+                nz_local = np.flatnonzero(~empty[d0:d1])
+                seg = offs[d0:d1][nz_local] - lo
                 v = vals[lo:hi]
+                rows = d0 + nz_local
                 for p0 in range(0, self.num_perm, 16):
                     a = self.a[p0:p0 + 16]
                     b = self.b[p0:p0 + 16]
                     pv = v[None, :] * a[:, None] + b[:, None]
-                    sig[d0:d1, p0:p0 + len(a)] = np.minimum.reduceat(
+                    sig[rows, p0:p0 + len(a)] = np.minimum.reduceat(
                         pv, seg, axis=1).T
-                # reduceat on an empty segment yields pv[seg[i]] — reset
-                sig[d0:d1][empty[d0:d1]] = _MERSENNE
                 d0 = d1
         return sig
 

@@ -144,3 +144,10 @@ def test_signatures_batch_equals_per_doc():
     assert len(vals) == 0 and offs.tolist() == [0, 0, 0]
     sig = mh.signatures_batch(["", "ab"])
     assert sig.shape == (2, 64)
+    # TRAILING-empty doc: its reduceat offset equals the value-array
+    # length (regression: IndexError before the non-empty-docs-only fix)
+    for texts2 in (["hello world text", ""],
+                   ["hello world", "", "", "more text here", ""]):
+        b2 = mh.signatures_batch(texts2)
+        for i, t in enumerate(texts2):
+            assert (b2[i] == mh.signature(t)).all()
