@@ -42,7 +42,14 @@ def _norm_ts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         return arr.cast(pa.timestamp("us"))
     if pa.types.is_integer(typ):
         return arr.cast(pa.int64()).cast(pa.timestamp("us"))
-    return pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S", unit="us")
+    # Arrow's string->timestamp cast parses general ISO-8601 (with or
+    # without fractional seconds / 'T' separator); zone-suffixed strings
+    # ('Z', '+02:00') need a tz-aware cast first, then normalize to the
+    # engine's naive-UTC convention
+    try:
+        return arr.cast(pa.timestamp("us"))
+    except pa.ArrowInvalid:
+        return arr.cast(pa.timestamp("us", "UTC")).cast(pa.timestamp("us"))
 
 
 def _normalize(schema: pa.Schema, defaults: dict):
