@@ -34,22 +34,27 @@ DOCUMENT_SCHEMA = pa.schema([
 
 
 def _norm_ts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Epoch-micros ints or ISO strings → timestamp[us]."""
-    typ = col.type if not isinstance(col, pa.ChunkedArray) \
-        else col.combine_chunks().type
+    """Epoch-micros ints/floats or ISO-8601 strings → timestamp[us]."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    typ = arr.type
     if pa.types.is_timestamp(typ):
         return arr.cast(pa.timestamp("us"))
     if pa.types.is_integer(typ):
         return arr.cast(pa.int64()).cast(pa.timestamp("us"))
-    # Arrow's string->timestamp cast parses general ISO-8601 (with or
-    # without fractional seconds / 'T' separator); zone-suffixed strings
-    # ('Z', '+02:00') need a tz-aware cast first, then normalize to the
-    # engine's naive-UTC convention
+    if pa.types.is_floating(typ):
+        # JSON serializers commonly emit epoch micros as doubles
+        return pc.round(arr).cast(pa.int64()).cast(pa.timestamp("us"))
+    # Arrow's string->timestamp cast parses ISO-8601, but a file mixing
+    # naive and zone-suffixed strings fails both the naive and tz-aware
+    # casts — pandas to_datetime(utc=True) handles the mix; normalize to
+    # the engine's naive-UTC convention either way
     try:
         return arr.cast(pa.timestamp("us"))
     except pa.ArrowInvalid:
-        return arr.cast(pa.timestamp("us", "UTC")).cast(pa.timestamp("us"))
+        import pandas as pd
+        s = pd.to_datetime(arr.to_pandas(), utc=True, format="ISO8601")
+        return pa.Array.from_pandas(s.dt.tz_localize(None)) \
+            .cast(pa.timestamp("us"))
 
 
 def _normalize(schema: pa.Schema, defaults: dict):

@@ -94,32 +94,55 @@ def _word_ngrams(text: str, n: int) -> set:
     return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
 
 
+def _gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """63-bit hashes of each doc's word n-grams (with duplicates), plus
+    per-doc offsets — vectorized via the same polars content hash the
+    exact-dedup stage uses (deterministic within a run)."""
+    from .dedup import _text_hash_int64
+    grams, counts = [], []
+    for t in texts:
+        w = t.split(" ")
+        g = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        grams.extend(g)
+        counts.append(len(g))
+    offs = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(np.asarray(counts, np.int64), out=offs[1:])
+    h = (_text_hash_int64(grams) if grams
+         else np.zeros(0, np.int64))
+    return h, offs
+
+
 def decontaminate(ds, eval_ds, n: int = 5,
                   text_col: str = "text", id_col: str = "doc_id"):
     """Flag corpus docs sharing ANY word ``n``-gram with the eval set.
 
-    ``eval_ds`` is the held-out benchmark (small side): its n-gram set is
-    collected once on the driver and broadcast with ``ray.put``; the
-    corpus streams through a map_batches probe. Output:
-    (id_col, contaminated: bool) for every corpus doc.
+    ``eval_ds`` is the held-out benchmark (small side): its n-grams are
+    HASHED to a sorted int64 array, broadcast once with ``ray.put``
+    (numpy buffers are plasma-backed, so worker reads are zero-copy —
+    a Python set would be re-unpickled per task), and each corpus batch
+    probes it with one vectorized ``np.isin``. Output:
+    (id_col, contaminated: bool) per corpus doc. 63-bit hashes make a
+    false collision over even a billion-gram eval set negligible
+    (~1e-10 per probe).
 
     The broadcast side is bounded by the EVAL corpus size (benchmarks,
-    not training data) — at 100 TB of training text the eval gram set is
-    still a few hundred MB, the canonical broadcast-semi-join regime.
+    not training data) — the canonical broadcast-semi-join regime.
     """
     eval_pdf = eval_ds.to_pandas()          # small by contract
-    grams: set = set()
-    for t in eval_pdf[text_col]:
-        grams |= _word_ngrams(t, n)
-    gref = ray.put(grams)
+    eh, _ = _gram_hashes(list(eval_pdf[text_col]), n)
+    gref = ray.put(np.unique(eh))
 
     def probe(t: pa.Table) -> pd.DataFrame:
         g = ray.get(gref)                   # zero-copy local-store read
         texts = t[text_col].to_pylist()
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        hit = np.fromiter(
-            (any(x in g for x in _word_ngrams(txt, n)) for txt in texts),
-            dtype=bool, count=len(texts))
+        h, offs = _gram_hashes(texts, n)
+        hit = np.zeros(len(texts), bool)
+        # reduceat over non-empty docs only (a doc with < n words has a
+        # zero-width segment; a trailing one would index past the array)
+        nz = np.flatnonzero(offs[1:] > offs[:-1])
+        if len(h) and len(nz):
+            hit[nz] = np.logical_or.reduceat(np.isin(h, g), offs[:-1][nz])
         return pd.DataFrame({id_col: ids, "contaminated": hit})
 
     return ds.map_batches(probe, batch_format="pyarrow",

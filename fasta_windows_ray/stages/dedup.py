@@ -242,8 +242,13 @@ def minhash_band_rows(ds, num_perm: int = 128, bands: int = 16,
         return pd.DataFrame({"band_id": band_ids, "band_hash": bh,
                              "doc_id": doc_ids})
 
-    return ds.map_batches(band_rows, batch_format="pandas",
-                          concurrency=concurrency)
+    if concurrency is not None:          # pinned actor pool (heavy-state
+        class BandRows:                  # hasher variants)
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return band_rows(batch)
+        return ds.map_batches(BandRows, batch_format="pandas",
+                              concurrency=concurrency)
+    return ds.map_batches(band_rows, batch_format="pandas")
 
 
 def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
@@ -516,19 +521,39 @@ def simhash_fingerprints(ds, concurrency=None):
             toks = [self.tok.findall(t.lower()) for t in batch["text"]]
             counts = np.fromiter((len(d) for d in toks), np.int64, len(toks))
             total = int(counts.sum())
-            fp = np.zeros(len(toks), dtype=np.int64)
-            nz = np.flatnonzero(counts > 0)
-            if len(nz):
-                hs = np.fromiter((self._htok(t) for d in toks for t in d),
-                                 np.int64, total)
-                # one batched bit-unpack + per-doc segment sum: the
-                # vote is an order-independent integer sum, so reduceat
-                # over doc segments is bit-identical to per-doc loops
-                contrib = 2 * ((hs[:, None] >> self.bit_idx[None, :]) & 1) - 1
-                offs = np.concatenate([[0], np.cumsum(counts)])
-                v = np.add.reduceat(contrib, offs[nz], axis=0)
-                fp[nz] = ((v > 0).astype(np.int64)
-                          << self.bit_idx[None, :]).sum(axis=1)
+            nd = len(toks)
+            fp = np.zeros(nd, dtype=np.int64)
+            if total == 0:
+                return pd.DataFrame({
+                    "doc_id": batch["doc_id"].to_numpy(), "simhash": fp})
+            hs = np.fromiter((self._htok(t) for d in toks for t in d),
+                             np.int64, total)
+            offs = np.zeros(nd + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            empty = counts == 0
+            # batched bit-unpack + per-doc segment sum (the vote is an
+            # order-independent integer sum, so reduceat over doc
+            # segments is bit-identical to per-doc loops), CHUNKED to
+            # doc blocks of <=64k tokens: the (tokens x 60) contribution
+            # matrix costs ~1 KB/token, so a flat batch of long docs
+            # was a multi-GB transient (round-3 review finding)
+            d0 = 0
+            while d0 < nd:
+                d1 = d0 + 1
+                while d1 < nd and offs[d1 + 1] - offs[d0] <= 65536:
+                    d1 += 1
+                lo, hi = int(offs[d0]), int(offs[d1])
+                if hi == lo:
+                    d0 = d1
+                    continue
+                nz_local = np.flatnonzero(~empty[d0:d1])
+                seg = offs[d0:d1][nz_local] - lo
+                contrib = 2 * ((hs[lo:hi, None]
+                                >> self.bit_idx[None, :]) & 1) - 1
+                v = np.add.reduceat(contrib, seg, axis=0)
+                fp[d0 + nz_local] = ((v > 0).astype(np.int64)
+                                     << self.bit_idx[None, :]).sum(axis=1)
+                d0 = d1
             return pd.DataFrame({
                 "doc_id": batch["doc_id"].to_numpy(),
                 "simhash": fp,

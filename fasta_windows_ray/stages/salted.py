@@ -34,8 +34,11 @@ def merge_window_acc(dst, src) -> None:
     integer counts plus a turn sequence that finalize re-sorts, so
     splitting a window's rows across accumulators and merging is
     bit-identical to single-pass accumulation (hypothesis-gated in
-    tests/test_properties.py)."""
-    from ..state.engine import _merge_counts
+    tests/test_properties.py) — except k-gram histograms past
+    KGRAM_CAP, which spill to the bounded sketch exactly as single-pass
+    accumulation would (documented approximate; spill-merge gated in
+    tests/test_skew.py)."""
+    from ..state.engine import KGRAM_CAP, _BoundedKgrams, _merge_counts
     for i in range(5):
         dst.role_counts[i] += src.role_counts[i]
     dst.masked += src.masked
@@ -44,8 +47,30 @@ def merge_window_acc(dst, src) -> None:
     dst.big_cnt += src.big_cnt
     _merge_counts(dst.char_counts, src.char_counts)
     for j in (0, 1, 2):
-        if src.kg[j]:
-            _merge_counts(dst.kg[j], src.kg[j])
+        s_spill = src.kg_spill.get(j) if src.kg_spill else None
+        s_exact = src.kg[j]
+        d_spill = dst.kg_spill.get(j) if dst.kg_spill else None
+        if s_spill is None and not s_exact:
+            continue
+        if d_spill is None and s_spill is None:
+            d = dst.kg[j]
+            _merge_counts(d, s_exact)
+            if len(d) > KGRAM_CAP:          # re-spill past the cap
+                d_spill = _BoundedKgrams(d)
+            else:
+                continue
+        elif d_spill is None:                # dst exact, src spilled
+            d_spill = _BoundedKgrams(dst.kg[j])
+            d_spill.merge_sketch(s_spill)
+        elif s_spill is None:                # dst spilled, src exact
+            for g, c in s_exact.items():
+                d_spill.add(g, c)
+        else:                                # both spilled
+            d_spill.merge_sketch(s_spill)
+        if dst.kg_spill is None:
+            dst.kg_spill = {}
+        dst.kg_spill[j] = d_spill
+        dst.kg[j] = None
     if dst.turns is not None and src.turns is not None:
         dst.turns.extend(src.turns)
     elif src.turns is None and src._ts_counts is not None:
@@ -201,9 +226,10 @@ def salted_session_stats(ds, gap_us: int, num_merge_buckets: int = 64,
                 acc = _WindowAcc()
                 for i in range(lo + first[s], lo + last[s]):
                     txt = str(text[i]) if text[i] is not None else ""
+                    rl = str(role[i]) if role[i] is not None else "user"
                     stats = (_text_stats(txt, txt.translate(_ASCII_UP),
                                          cfg.bigram) if want_stats else None)
-                    acc.add(int(ts[i]), int(uid[i]), str(role[i]), txt,
+                    acc.add(int(ts[i]), int(uid[i]), rl, txt,
                             str(tool[i]) if tool[i] is not None else "",
                             cfg, stats)
                 rows["conv_id"].append(cu[ci])

@@ -212,6 +212,22 @@ class _BoundedKgrams:
             if self.hh[g] <= 0:
                 del self.hh[g]
 
+    def merge_sketch(self, other: "_BoundedKgrams") -> None:
+        """Merge another sketch (same fixed depth/width/hash seeds, so
+        CMS arrays are addable); heavy-hitter tables combine then trim
+        Misra-Gries-style (subtract the (cap+1)-th count) to stay
+        bounded. Used by the salted session interval-stitch when both
+        partials spilled."""
+        self.total += other.total
+        self.cms += other.cms
+        hh = self.hh
+        for g, c in other.hh.items():
+            hh[g] = hh.get(g, 0) + c
+        cap = self.cap // 16
+        if len(hh) > cap:
+            thresh = sorted(hh.values(), reverse=True)[cap]
+            self.hh = {g: c - thresh for g, c in hh.items() if c > thresh}
+
     def entropy(self) -> float:
         # approximate: heavy hitters exact-ish, tail mass as one symbol
         n = self.total
@@ -502,9 +518,16 @@ class StreamEngine:
             seen.add(key_uid)
             if len(seen) >= self._seen_prune_at.get(conv, 1024):
                 seen = self._prune_seen(conv, seen)
-            role = str(get["role"][i]) if "role" in get else "user"
-            text = str(get["text"][i]) if "text" in get else ""
-            tool = str(get["tool"][i]) if "tool" in get else ""
+            # nulls normalize to "" (str(None) would count 4 chars of
+            # "None" and make tool truthy — engine-wide null convention,
+            # shared with the salted/vectorized paths and the SQL
+            # oracles' coalesce semantics)
+            role = get["role"][i] if "role" in get else "user"
+            role = "user" if role is None or role != role else str(role)
+            text = get["text"][i] if "text" in get else ""
+            text = "" if text is None or text != text else str(text)
+            tool = get["tool"][i] if "tool" in get else ""
+            tool = "" if tool is None or tool != tool else str(tool)
             # per-row text histograms computed ONCE, merged into every
             # covering window (bit-identical counts; see module docstring)
             if want_stats:

@@ -109,3 +109,97 @@ def test_salted_session_full_stats_equal_engine(ray_session):
     # non-vacuous: the hot conv produced multiple sessions with text stats
     assert len(a) > 10 and (a["char_entropy"] > 0).any()
     assert (a["ctw_roles_bpb"] > 0).any()
+
+
+def test_merge_window_acc_spilled_kgrams(monkeypatch):
+    """Spill-aware accumulator merge (round-3 review finding): merging
+    must not crash or drop counts when either side's k-gram histogram
+    has spilled to the bounded sketch, and a merged exact dict past the
+    cap must itself spill."""
+    import random
+
+    from fasta_windows_ray.state import engine
+    from fasta_windows_ray.state.engine import (WindowConfig, _WindowAcc,
+                                                _ASCII_UP, _text_stats)
+    from fasta_windows_ray.stages.salted import merge_window_acc
+
+    monkeypatch.setattr(engine, "KGRAM_CAP", 32)
+    cfg = WindowConfig(kind="session", gap_us=10**9, profile="full",
+                       ctw_depth=-1)
+    rng = random.Random(3)
+
+    def acc_for(texts, t0):
+        a = _WindowAcc()
+        for i, txt in enumerate(texts):
+            st = _text_stats(txt, txt.translate(_ASCII_UP), cfg.bigram)
+            a.add(t0 + i, i, "user", txt, "", cfg, st)
+        return a
+
+    def rand_texts(n, length):
+        return ["".join(rng.choices("abcdefghijklmnopqrstuvwxyz", k=length))
+                for _ in range(n)]
+
+    # kg index 2 = 4-grams. length-10 texts stay exact (7 grams < 32);
+    # an 80-char text spills (77 distinct > 32).
+    # dst exact + src exact, merged past cap -> re-spill
+    a, b = acc_for(rand_texts(2, 12), 0), acc_for(rand_texts(2, 12), 10)
+    assert a.kg[2] is not None and b.kg[2] is not None
+    merge_window_acc(a, b)
+    assert a.kg[2] is None and a.kg_spill[2].total > 0
+
+    # dst spilled + src exact
+    a = acc_for(rand_texts(1, 80), 0)
+    assert a.kg_spill and 2 in a.kg_spill
+    b = acc_for(rand_texts(1, 10), 10)
+    tot = a.kg_spill[2].total + sum(b.kg[2].values())
+    merge_window_acc(a, b)
+    assert a.kg_spill[2].total == tot
+
+    # dst exact + src spilled, and both spilled
+    a, b = acc_for(rand_texts(1, 10), 0), acc_for(rand_texts(1, 80), 10)
+    tot = sum(a.kg[2].values()) + b.kg_spill[2].total
+    merge_window_acc(a, b)
+    assert a.kg_spill[2].total == tot
+    c = acc_for(rand_texts(1, 80), 20)
+    tot += c.kg_spill[2].total
+    merge_window_acc(a, c)
+    assert a.kg_spill[2].total == tot
+    # finalize runs on the merged, spilled accumulator
+    row = a.finalize("c", 0, 30, cfg)
+    assert row["n_turns"] == 3 and row["quadgram_diversity"] > 0
+
+
+def test_salted_session_stats_null_cells_match_engine(ray_session):
+    """Null text/tool/role cells (normal in parquet/JSONL) must get the
+    same ""/"user" normalization in BOTH session paths (round-3 review:
+    the engine used to count str(None)='None' as 4 chars + masked)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.salted import salted_session_stats
+    from fasta_windows_ray.state.engine import (StreamEngine, WindowConfig,
+                                                emitted_to_frame)
+
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2"],
+        "turn_idx": [0, 1, 2, 0],
+        "role": ["user", None, "assistant", "user"],
+        "text": ["hello there", None, "world", None],
+        "tool": [None, None, "grep", None],
+        "ts": pa.array([0, 10 * S, 20 * S, 15 * S]).cast(
+            pa.timestamp("us")),
+    })
+    a = canon(salted_session_stats(rd.from_arrow(t), 60 * S,
+                                   num_merge_buckets=4,
+                                   ctw_depth=3).to_pandas())
+    eng = StreamEngine(WindowConfig(kind="session", gap_us=60 * S,
+                                    profile="full", ctw_depth=3))
+    pdf = t.to_pandas().sort_values(["ts", "turn_idx"])
+    rows = eng.process_rows(pdf) + eng.flush()
+    b = canon(emitted_to_frame(rows, "session"))
+    a, b = a[sorted(a.columns)], b[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the null text contributed 0 chars, and null tool is unmasked
+    r = a[a["conv_id"] == "c1"].iloc[0]
+    assert r["n_chars"] == len("hello there") + len("world")
+    assert r["n_tool"] == 0  # null role -> "user", not "other"
