@@ -111,9 +111,11 @@ def salted_window_counts(ds, size_us: int, offset_us: int = 0,
         uk, codes = np.unique(key, return_inverse=True)
         G = len(uk)
         role_idx = np.asarray(
-            [ROLE_ORDER.index(r) if r in ROLE_ORDER else 4 for r in role])
+            [0 if r is None else
+             ROLE_ORDER.index(r) if r in ROLE_ORDER else 4 for r in role])
         rc = np.bincount(codes * 5 + role_idx, minlength=G * 5).reshape(G, 5)
-        masked = np.bincount(codes, weights=(tool != "").astype(np.int64),
+        has_tool = np.asarray([bool(x) for x in tool], dtype=np.int64)
+        masked = np.bincount(codes, weights=has_tool,
                              minlength=G).astype(np.int64)
         return pd.DataFrame({
             "conv_id": np.asarray(cu, dtype=object).take(uk // len(wsu)),

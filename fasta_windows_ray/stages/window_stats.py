@@ -249,7 +249,11 @@ class BucketWindowStats:
         ts_raw = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         cid_raw, cid_uniq = pd.factorize(df["conv_id"].to_numpy(dtype=object))
         if "role" in df.columns:
-            r_codes, r_uniq = pd.factorize(df["role"].to_numpy(dtype=object))
+            # fillna BEFORE factorize: a null factorizes to code -1,
+            # which would index the LAST unique role (engine-wide null
+            # convention: role null -> "user")
+            r_codes, r_uniq = pd.factorize(
+                df["role"].fillna("user").to_numpy(dtype=object))
             r_map = np.asarray([ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
                                 for r in r_uniq], dtype=np.int64)
             role5_raw = r_map[r_codes]
@@ -319,7 +323,9 @@ class BucketWindowStats:
             out["sys_asst_skew"] = (g - c) / (g + c)
             out["user_tool_skew"] = (a - t) / (a + t)
         if "tool" in df.columns:
-            has_tool = (df["tool"].to_numpy(dtype=object) != "").astype(np.int64)
+            # null tool is NOT masked (engine convention: null -> "")
+            has_tool = (df["tool"].fillna("").to_numpy(dtype=object)
+                        != "").astype(np.int64)
             masked = np.bincount(codes, weights=has_tool[rows], minlength=G)
         else:
             masked = np.zeros(G)
@@ -564,7 +570,8 @@ def turn_window_counts(ds, w_turns: int, num_buckets: int = 64):
         ucid = (uk // (rank.max() + 1)).astype(np.int64)
         uws = (uk % (rank.max() + 1)).astype(np.int64)
         role_idx = np.asarray(
-            [ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
+            [0 if r is None else
+             ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
              for r in df["role"].to_numpy(dtype=object)]) \
             if "role" in df.columns else np.zeros(len(df), dtype=np.int64)
         rc = np.bincount(codes * 5 + role_idx, minlength=G * 5).reshape(G, 5)

@@ -2,6 +2,7 @@
 the unsalted groupby path; turn-window boundary semantics."""
 
 import pandas as pd
+import pytest
 
 from fasta_windows_ray.synth import make_transcripts
 
@@ -203,3 +204,38 @@ def test_salted_session_stats_null_cells_match_engine(ray_session):
     r = a[a["conv_id"] == "c1"].iloc[0]
     assert r["n_chars"] == len("hello there") + len("world")
     assert r["n_tool"] == 0  # null role -> "user", not "other"
+
+
+def test_vectorized_window_stats_null_cells_match_engine(ray_session):
+    """The vectorized tumbling path shares the engine's null
+    convention: null role factorized to -1 used to index the LAST
+    unique role, and null tool counted as masked (round-3 review)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.window_stats import window_stats
+    from fasta_windows_ray.state.engine import (StreamEngine, WindowConfig,
+                                                emitted_to_frame)
+
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2"],
+        "turn_idx": [0, 1, 2, 0],
+        "role": ["user", None, "assistant", "user"],
+        "text": ["hello there", None, "world", None],
+        "tool": [None, None, "grep", None],
+        "ts": pa.array([0, 10 * S, 20 * S, 15 * S]).cast(
+            pa.timestamp("us")),
+    })
+    v = window_stats(rd.from_arrow(t), 3600 * S, profile="full",
+                     num_buckets=2).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    eng = StreamEngine(WindowConfig(kind="tumbling", size_us=3600 * S,
+                                    profile="full"))
+    pdf = t.to_pandas().sort_values(["ts", "turn_idx"])
+    rows = eng.process_rows(pdf) + eng.flush()
+    e = emitted_to_frame(rows, "tumbling") \
+        .sort_values("conv_id").reset_index(drop=True)
+    cols = sorted(set(v.columns) & set(e.columns))
+    pd.testing.assert_frame_equal(v[cols], e[cols], check_dtype=False)
+    assert v["n_user"].tolist() == [2, 1]       # null role -> user
+    assert v["masked_share"].tolist()[0] == pytest.approx(1 / 3)
