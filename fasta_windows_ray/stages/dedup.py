@@ -69,8 +69,9 @@ _MERSENNE = (1 << 61) - 1
 
 
 class MinHasher:
-    """Per-actor state: the random (a,b) permutation parameters (seeded,
-    built once in __init__ — the map_batches actor-pool pattern)."""
+    """The random (a,b) permutation parameters, seeded and built once in
+    __init__ (instances are memoized per worker process by the
+    task-pool stages — see minhash_band_rows)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
