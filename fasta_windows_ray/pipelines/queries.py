@@ -1181,6 +1181,162 @@ def q_multimodal_features(sf_dir: str):
     return feats.select_columns(["media_id", "height", "width"])
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-5 heaviest users per event_type (heavy hitters): per-batch
+    combiner → (group, key) groupby-sum → per-group top-k. Ranking is by
+    exact integer row count (ties by user_id) so output is bit-stable;
+    the float value sum rides along rounded to 6 dp."""
+    import ray.data as rd
+    from ..stages.analytics import grouped_topk
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+    out = grouped_topk(ev, "event_type", "user_id", k=5,
+                       weight_col="value").to_pandas()
+    out["sum_weight"] = np.round(out["sum_weight"], 6) + 0.0
+    return out
+
+
+SQL_GROUPED_TOPK = """
+WITH agg AS (
+  SELECT event_type, user_id, count(*) AS n_rows, sum(value) AS sw
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, n_rows,
+    round(sw, 6) + 0.0 AS sum_weight,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_rows DESC, user_id) AS rank
+  FROM agg)
+SELECT event_type, user_id, n_rows, sum_weight, rank FROM r WHERE rank <= 5
+"""
+
+
+SAMPLE_DEFAULT_PERMILLE = 120
+SAMPLE_STRATA_PERMILLE = {"en": 50, "zh": 400}
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic stratified hash sample of documents: membership is a
+    pure function of md5(doc_id) so any re-run / re-partitioning selects
+    the identical rows — reproduced exactly by the SQL md5 fold."""
+    from ..stages.sampling import hash_sample
+    out = hash_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
+                      SAMPLE_DEFAULT_PERMILLE, strata_col="lang",
+                      strata_permille=SAMPLE_STRATA_PERMILLE)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_HASH_SAMPLE = f"""
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+s AS (SELECT doc_id, lang, ({_hex_fold("h", 15)}) % 1000 AS slot FROM h)
+SELECT doc_id, lang FROM s
+WHERE slot < CASE lang WHEN 'en' THEN {SAMPLE_STRATA_PERMILLE["en"]}
+                       WHEN 'zh' THEN {SAMPLE_STRATA_PERMILLE["zh"]}
+                       ELSE {SAMPLE_DEFAULT_PERMILLE} END
+ORDER BY doc_id
+"""
+
+
+QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def q_exact_quantiles(sf_dir: str):
+    """Exact distributed quantiles of document length (inverted-CDF /
+    quantile_disc semantics) via per-batch value histograms merged with
+    one bounded groupby — no sort, no full collect."""
+    from ..stages.analytics import exact_quantiles
+    out = exact_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars",
+                          QUANTILE_QS)
+    out["value"] = out["value"].astype(np.int64)
+    return out
+
+
+SQL_EXACT_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT {q}::DOUBLE AS q, quantile_disc(n_chars, {q})::BIGINT AS value "
+    f"FROM documents" for q in QUANTILE_QS)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over documents with deterministically PLANTED
+    emails / phones / IPv4s (the synthetic corpus has none): counts per
+    kind plus the redacted text, byte-identical to the DuckDB
+    regexp_replace oracle (same RE2 engine, same pattern order)."""
+    import pyarrow as _pa
+    from ..stages.pii import redact_pii
+
+    def plant(t: _pa.Table) -> _pa.Table:
+        ids = t["doc_id"].to_numpy()
+        s = pd.Series(t["text"].to_pylist(), dtype=object)
+        sid = pd.Series(ids.astype(str), dtype=object)
+        s = s + np.where(ids % 7 == 0,
+                         " contact user" + sid + "@example.com now", "")
+        s = s + np.where(ids % 11 == 0, " call 555-" + pd.Series(
+            (ids * 37) % 10000).astype(str).str.zfill(4), "")
+        s = s + np.where(ids % 13 == 0,
+                         " from 10." + pd.Series(ids % 256).astype(str)
+                         + ".0." + pd.Series((ids * 7) % 256).astype(str), "")
+        return t.set_column(t.schema.get_field_index("text"), "text",
+                            _pa.array(s, _pa.string()))
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True)
+    out = redact_pii(docs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = r"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id
+            || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+            || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.' || (doc_id % 256)
+            || '.0.' || ((doc_id * 7) % 256) ELSE '' END AS text
+  FROM documents),
+e AS (SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  regexp_replace(text, '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS text FROM planted),
+p AS (SELECT doc_id, n_email,
+  len(regexp_extract_all(text, '555-\d{4}'))::BIGINT AS n_phone,
+  regexp_replace(text, '555-\d{4}', '[PHONE]', 'g') AS text FROM e),
+i AS (SELECT doc_id, n_email, n_phone,
+  len(regexp_extract_all(text,
+      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::BIGINT AS n_ip,
+  regexp_replace(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}',
+                 '[IP]', 'g') AS text FROM p)
+SELECT doc_id, n_email, n_phone, n_ip, text FROM i ORDER BY doc_id
+"""
+
+
+def q_windowed_distinct(sf_dir: str):
+    """Tumbling-window event rollup with EXACT count-distinct users via
+    two pre-aggregated exchanges ((window, user) partials, then the
+    per-window rollup) — never a global user set."""
+    import ray.data as rd
+    from ..stages.analytics import windowed_distinct
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+    out = windowed_distinct(ev, "ts", "user_id", SIZE_US,
+                            value_col="value").to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out["sum_value"] = np.round(out["sum_value"], 6) + 0.0
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+SQL_WINDOWED_DISTINCT = f"""
+SELECT make_timestamp((epoch_us(ts) // {SIZE_US}) * {SIZE_US})
+         AS window_start,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  round(sum(value), 6) + 0.0 AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1222,6 +1378,11 @@ def build_queries() -> dict:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
+        "grouped_topk": q_grouped_topk,
+        "hash_sample": q_hash_sample,
+        "exact_quantiles": q_exact_quantiles,
+        "pii_redact": q_pii_redact,
+        "windowed_distinct": q_windowed_distinct,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1271,4 +1432,9 @@ def build_oracle_sql() -> dict:
         "tumbling_role_kgram_long": SQL_TUMBLING_ROLE_KGRAM_LONG,
         "minhash_lsh_pairs": MINHASH_ORACLE_SQL,
         "stream_metrics": _stream_metrics_sql(),
+        "grouped_topk": SQL_GROUPED_TOPK,
+        "hash_sample": SQL_HASH_SAMPLE,
+        "exact_quantiles": SQL_EXACT_QUANTILES,
+        "pii_redact": SQL_PII_REDACT,
+        "windowed_distinct": SQL_WINDOWED_DISTINCT,
     }

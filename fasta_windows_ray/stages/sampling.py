@@ -1,0 +1,47 @@
+"""Deterministic hash-based sampling — the reproducible alternative to
+``Dataset.random_sample`` for corpus curation: membership depends only
+on the row's key, so a resumed / re-sharded / re-ordered run selects the
+IDENTICAL sample (and a DuckDB oracle can reproduce it bit-for-bit).
+
+Shape: pure shuffle-free ``map_batches`` filter; the md5-slot hash is
+the engine-wide convention (stages/window_stats.py stable_bucket_of —
+60-bit md5 prefix, exactly reproducible in signed-BIGINT SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .window_stats import stable_bucket_of
+
+SLOTS = 1000  # permille resolution
+
+
+def hash_sample(ds, key_col: str, permille: int,
+                strata_col: str | None = None,
+                strata_permille: dict | None = None):
+    """Keep a row iff md5-slot(key) % 1000 < rate.
+
+    ``permille`` is the default rate; with ``strata_col`` +
+    ``strata_permille`` the rate varies per stratum (stratified
+    sampling, e.g. downsample dominant languages harder). Rates are
+    exact at the population level in expectation and exactly
+    reproducible row-for-row across runs and partitionings.
+    """
+    strata_permille = strata_permille or {}
+
+    def keep(t: pa.Table) -> pa.Table:
+        slot = stable_bucket_of(t[key_col].to_numpy(zero_copy_only=False),
+                                SLOTS)
+        if strata_col is None:
+            mask = slot < permille
+        else:
+            strata = t[strata_col].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(strata.astype(object), return_inverse=True)
+            per_u = np.asarray([strata_permille.get(s, permille)
+                                for s in uniq], dtype=np.int64)
+            mask = slot < per_u[inv]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,134 @@
+"""Analytics / sampling / PII operators: grouped top-k, exact
+quantiles, windowed distinct, deterministic hash sampling, redaction —
+each gated against an independent local ground truth (pandas / numpy /
+Python re), with multi-batch inputs so the partial-aggregate merge
+paths are exercised."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=5000, seed=7, n_users=40, n_types=4):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "ts": pd.to_datetime(
+            rng.integers(0, 40 * 3600, n) * 1_000_000, unit="us"),
+        "user_id": rng.integers(0, n_users, n),
+        "event_type": np.asarray(["t%d" % i for i in
+                                  rng.integers(0, n_types, n)], object),
+        "value": np.round(rng.normal(10, 3, n), 3),
+    })
+
+
+def _ds(df, blocks=7):
+    import ray.data as rd
+    return rd.from_pandas([d for d in np.array_split(df, blocks)])
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from fasta_windows_ray.stages.analytics import grouped_topk
+    df = _events()
+    out = grouped_topk(_ds(df), "event_type", "user_id", k=5,
+                       weight_col="value").to_pandas()
+    out = out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+    agg = df.groupby(["event_type", "user_id"]).agg(
+        n_rows=("user_id", "size"), sum_weight=("value", "sum")).reset_index()
+    want = (agg.sort_values(["n_rows", "user_id"], ascending=[False, True])
+               .groupby("event_type").head(5)
+               .sort_values(["event_type", "n_rows", "user_id"],
+                            ascending=[True, False, True])
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["event_type", "user_id", "n_rows"]],
+        want[["event_type", "user_id", "n_rows"]])
+    assert np.allclose(out["sum_weight"], want["sum_weight"])
+    assert (out.groupby("event_type")["rank"].apply(
+        lambda r: list(r) == list(range(1, len(r) + 1)))).all()
+
+
+@pytest.mark.parametrize("n,hi", [(1, 5), (997, 50), (5000, 3)])
+def test_exact_quantiles_inverted_cdf(ray_session, n, hi):
+    from fasta_windows_ray.stages.analytics import exact_quantiles
+    rng = np.random.default_rng(n)
+    vals = rng.integers(0, hi, n)
+    df = pd.DataFrame({"x": vals})
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    out = exact_quantiles(_ds(df, blocks=min(n, 5)), "x", qs)
+    srt = np.sort(vals)
+    for q, v in zip(out["q"], out["value"]):
+        idx = 0 if q <= 0 else int(np.ceil(q * n)) - 1
+        assert v == srt[idx], (q, v, srt[idx])
+
+
+def test_windowed_distinct_exact(ray_session):
+    from fasta_windows_ray.stages.analytics import windowed_distinct
+    df = _events()
+    size = 6 * 3600 * 1_000_000
+    out = windowed_distinct(_ds(df), "ts", "user_id", size,
+                            value_col="value").to_pandas()
+    out = out.sort_values("window_start").reset_index(drop=True)
+    w = (df["ts"].astype("datetime64[us]").astype("int64") // size) * size
+    want = df.assign(w=w).groupby("w").agg(
+        n_events=("user_id", "size"), n_users=("user_id", "nunique"),
+        sum_value=("value", "sum")).reset_index()
+    assert list(out["window_start"]) == list(want["w"])
+    assert list(out["n_events"]) == list(want["n_events"])
+    assert list(out["n_users"]) == list(want["n_users"])
+    assert np.allclose(out["sum_value"], want["sum_value"])
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    from fasta_windows_ray.stages.sampling import hash_sample
+    df = pd.DataFrame({
+        "doc_id": np.arange(4000),
+        "lang": np.where(np.arange(4000) % 3 == 0, "en", "de"),
+    })
+    kw = dict(permille=200, strata_col="lang",
+              strata_permille={"en": 50})
+    a = hash_sample(_ds(df, 3), "doc_id", **kw).to_pandas()
+    b = hash_sample(_ds(df.iloc[::-1], 11), "doc_id", **kw).to_pandas()
+    ka = set(a["doc_id"])
+    assert ka == set(b["doc_id"])          # partitioning-invariant
+    # rates land near the target (binomial, generous tolerance)
+    n_en = (df["lang"] == "en").sum()
+    got_en = (a["lang"] == "en").sum()
+    got_de = len(a) - got_en
+    assert abs(got_en / n_en - 0.05) < 0.03
+    assert abs(got_de / (len(df) - n_en) - 0.2) < 0.05
+    # membership is a pure function of the key
+    from fasta_windows_ray.stages.window_stats import stable_bucket_of
+    slots = stable_bucket_of(df["doc_id"].to_numpy(), 1000)
+    want = set(df.loc[(slots < np.where(df["lang"] == "en", 50, 200)),
+                      "doc_id"])
+    assert ka == want
+
+
+def test_redact_pii_counts_and_text(ray_session):
+    from fasta_windows_ray.stages.pii import PII_PATTERNS, redact_pii
+    texts = [
+        "write to bob.smith@corp.example.org today",
+        "call 555-0199 or 555-12345 from 192.168.0.1",
+        "no pii here",
+        "a@b.io then c_d@e-f.co and 8.8.8.8",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    out = redact_pii(_ds(df, 2)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # independent ground truth via Python re, same order
+    want_counts = {f"n_{k}": [] for k, _, _ in PII_PATTERNS}
+    want_text = []
+    for t in texts:
+        for kind, pat, rep in PII_PATTERNS:
+            want_counts[f"n_{kind}"].append(len(re.findall(pat, t)))
+            t = re.sub(pat, rep, t)
+        want_text.append(t)
+    for k, v in want_counts.items():
+        assert list(out[k]) == v, k
+    assert list(out["text"]) == want_text
+    # the 555-12345 tail: first 4 digits match, 5th survives
+    assert "[PHONE]5" in out["text"][1]
