@@ -156,6 +156,15 @@ def bench_queries() -> dict:
         res = Q.q_quality_score(SF_DIR)
         return _consume(res) if hasattr(res, "iter_batches") else len(res)
 
+    def pii_redact():
+        return len(Q.q_pii_redact(SF_DIR))
+
+    def grouped_topk():
+        return len(Q.q_grouped_topk(SF_DIR))
+
+    def windowed_distinct():
+        return len(Q.q_windowed_distinct(SF_DIR))
+
     return {
         "sliding_window_stats": sliding_full,
         "tumbling_window_stats": tumbling_full,
@@ -163,6 +172,9 @@ def bench_queries() -> dict:
         "minhash_lsh_dedup": minhash_lsh,
         "embedding_topk": embedding_topk,
         "quality_score": token_quality,
+        "pii_redact": pii_redact,
+        "grouped_topk": grouped_topk,
+        "windowed_distinct": windowed_distinct,
     }
 
 

@@ -1337,6 +1337,46 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+N_SEM_CLUSTERS = 8
+
+
+def q_semantic_clusters(sf_dir: str):
+    """SemDeDup-style semantic grouping: every embedding assigned to its
+    nearest of the 8 lowest-vec_id seed centroids by cosine
+    (iterations=0 so the assignment is SQL-expressible; the iterative
+    Lloyd refinement path is pytest-gated against a local numpy
+    reference)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ..stages.similarity import semantic_clusters
+    ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id"])["vec_id"].to_numpy()
+    seeds = np.sort(ids)[:N_SEM_CLUSTERS]
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(np.isin(t["vec_id"].to_numpy(), seeds))
+    order = np.argsort(t["vec_id"].to_numpy())
+    C = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = semantic_clusters(ds, C, iterations=0).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_SEMANTIC_CLUSTERS = f"""
+WITH c AS (SELECT embedding AS ce,
+             row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+           FROM embeddings ORDER BY vec_id LIMIT {N_SEM_CLUSTERS}),
+s AS (SELECT e.vec_id, c.cluster,
+        list_cosine_similarity(e.embedding, c.ce) AS cs
+      FROM embeddings e CROSS JOIN c)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
+  FROM s) WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1383,6 +1423,7 @@ def build_queries() -> dict:
         "exact_quantiles": q_exact_quantiles,
         "pii_redact": q_pii_redact,
         "windowed_distinct": q_windowed_distinct,
+        "semantic_clusters": q_semantic_clusters,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1437,4 +1478,5 @@ def build_oracle_sql() -> dict:
         "exact_quantiles": SQL_EXACT_QUANTILES,
         "pii_redact": SQL_PII_REDACT,
         "windowed_distinct": SQL_WINDOWED_DISTINCT,
+        "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
     }

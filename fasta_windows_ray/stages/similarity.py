@@ -6,6 +6,12 @@
 - IVF variant: k-means-ish coarse centroids (seeded, trained on a sample),
   batches route vectors to nearest centroid, search probes only the
   closest ``nprobe`` lists — the 100-TB path where brute force won't.
+- semantic_clusters: distributed Lloyd k-means over the FULL corpus
+  (SemDeDup-style semantic grouping, Abbas et al. 2023): centroids are
+  broadcast per iteration, each batch emits K partial (sum, count)
+  rows, the driver folds the tiny partials into new centroids. The
+  corpus is never shuffled or collected; per-iteration traffic is
+  O(K * d * blocks).
 """
 
 from __future__ import annotations
@@ -52,6 +58,60 @@ def brute_force_topk(ds, query_vecs: np.ndarray, query_ids: list[int],
     pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
     return pdf[["query_id", "rank", "vec_id", "cos_sim"]]
+
+
+def semantic_clusters(ds, init_centroids: np.ndarray, iterations: int = 0
+                      ) -> "ray.data.Dataset":
+    """Assign every vector to its nearest centroid by cosine, optionally
+    refining centroids with ``iterations`` rounds of distributed Lloyd
+    k-means first. Deterministic: ties break toward the lower cluster
+    index (numpy argmax first-max), matching a SQL
+    ``row_number() ... ORDER BY c DESC, cluster`` oracle when
+    ``iterations=0``.
+
+    Each refinement round broadcasts the K×d centroid matrix
+    (``ray.put``) and map_batches emits at most K partial
+    (cluster, vec_sum, count) rows per batch; the driver folds those
+    partials — the small-side-merge shape, never a corpus shuffle.
+    Empty clusters keep their previous centroid. Returns a Dataset of
+    (vec_id, cluster).
+    """
+    C = _norm_rows(np.asarray(init_centroids, dtype=np.float64))
+
+    for _ in range(iterations):
+        cref = ray.put(C)
+
+        def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+            C_ = ray.get(cref)
+            E = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            assign = np.argmax(_norm_rows(E) @ C_.T, axis=1)
+            rows = []
+            for ci in np.unique(assign):
+                m = assign == ci
+                rows.append((int(ci), E[m].sum(axis=0), int(m.sum())))
+            return pd.DataFrame(rows, columns=["cluster", "vsum", "n"])
+
+        parts = ds.map_batches(partial_sums,
+                               batch_format="pandas").to_pandas()
+        newC = C.copy()
+        for ci, grp in parts.groupby("cluster"):
+            tot = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            n = grp["n"].sum()
+            if n:
+                newC[ci] = tot / n
+        C = _norm_rows(newC)
+
+    cref = ray.put(C)
+
+    def assign_final(batch: pd.DataFrame) -> pd.DataFrame:
+        C_ = ray.get(cref)
+        E = _norm_rows(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(),
+            "cluster": np.argmax(E @ C_.T, axis=1).astype(np.int64)})
+
+    return ds.map_batches(assign_final, batch_format="pandas")
 
 
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,

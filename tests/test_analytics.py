@@ -107,6 +107,40 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     assert ka == want
 
 
+def test_semantic_clusters_matches_local_lloyd(ray_session):
+    """Distributed k-means (broadcast centroids + partial-sum fold)
+    must equal a single-process Lloyd run with the same init, both at
+    iterations=0 (pure assignment) and after refinement rounds."""
+    from fasta_windows_ray.stages.similarity import (_norm_rows,
+                                                     semantic_clusters)
+    rng = np.random.default_rng(11)
+    n, d, k = 600, 16, 5
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": list(E)})
+    C0 = E[:k].astype(np.float64)
+
+    def local(iters):
+        C = _norm_rows(C0.copy())
+        X = E.astype(np.float64)
+        for _ in range(iters):
+            a = np.argmax(_norm_rows(X) @ C.T, axis=1)
+            newC = C.copy()
+            for ci in range(k):
+                m = a == ci
+                if m.any():
+                    newC[ci] = X[m].sum(axis=0) / m.sum()
+            C = _norm_rows(newC)
+        return np.argmax(_norm_rows(X) @ C.T, axis=1)
+
+    for iters in (0, 3):
+        out = (semantic_clusters(_ds(df, 6), C0, iterations=iters)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        assert list(out["cluster"]) == list(local(iters)), iters
+    # refinement should change at least one assignment on random data
+    assert (local(0) != local(3)).any()
+
+
 def test_redact_pii_counts_and_text(ray_session):
     from fasta_windows_ray.stages.pii import PII_PATTERNS, redact_pii
     texts = [
