@@ -1191,7 +1191,7 @@ def q_grouped_topk(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id", "value"])
     out = grouped_topk(ev, "event_type", "user_id", k=5,
-                       weight_col="value").to_pandas()
+                       weight_col="value")
     out["sum_weight"] = np.round(out["sum_weight"], 6) + 0.0
     return out
 
@@ -1314,14 +1314,14 @@ SELECT doc_id, n_email, n_phone, n_ip, text FROM i ORDER BY doc_id
 
 def q_windowed_distinct(sf_dir: str):
     """Tumbling-window event rollup with EXACT count-distinct users via
-    two pre-aggregated exchanges ((window, user) partials, then the
-    per-window rollup) — never a global user set."""
+    one pre-aggregated (window, user) exchange plus additive per-block
+    rollups — never a global user set."""
     import ray.data as rd
     from ..stages.analytics import windowed_distinct
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id", "value"])
     out = windowed_distinct(ev, "ts", "user_id", SIZE_US,
-                            value_col="value").to_pandas()
+                            value_col="value")
     out["window_start"] = out["window_start"].astype("datetime64[us]")
     out["sum_value"] = np.round(out["sum_value"], 6) + 0.0
     return out.sort_values("window_start").reset_index(drop=True)
@@ -1334,6 +1334,51 @@ SELECT make_timestamp((epoch_us(ts) // {SIZE_US}) * {SIZE_US})
   count(DISTINCT user_id) AS n_users,
   round(sum(value), 6) + 0.0 AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+CEP_PATTERN = ["view", "click", "purchase"]
+# 48 h: per-user inter-event gaps in the synthetic stream average ~10 h,
+# so a tighter span yields zero matches at test scale (vacuous oracle)
+CEP_WITHIN_US = 48 * 3600 * 1_000_000
+
+
+def q_cep_sequence(sf_dir: str):
+    """CEP MATCH_RECOGNIZE-style pattern detection: per user, strictly
+    consecutive view→click→purchase with total span ≤ 48 h — one
+    key-bucket shuffle then a vectorized shift-compare scan; the oracle
+    is the equivalent lead() window query."""
+    import ray.data as rd
+    from ..stages.cep import match_sequence
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    out = match_sequence(ev, "user_id", "event_type", "ts", "event_id",
+                         CEP_PATTERN, CEP_WITHIN_US).to_pandas()
+    if out.empty:        # zero matches: keep the typed schema
+        out = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                            "start_event_id": pd.Series(dtype=np.int64),
+                            "end_event_id": pd.Series(dtype=np.int64),
+                            "start_ts": pd.Series(dtype="datetime64[us]")})
+    return (out.sort_values(["user_id", "start_event_id"])
+               .reset_index(drop=True))
+
+
+SQL_CEP_SEQUENCE = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+    lead(event_type, 1) OVER w AS t1,
+    lead(event_type, 2) OVER w AS t2,
+    lead(ts, 2)         OVER w AS ts2,
+    lead(event_id, 2)   OVER w AS eid2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS start_event_id, eid2 AS end_event_id,
+       ts AS start_ts
+FROM o
+WHERE event_type = '{CEP_PATTERN[0]}' AND t1 = '{CEP_PATTERN[1]}'
+  AND t2 = '{CEP_PATTERN[2]}'
+  AND epoch_us(ts2) - epoch_us(ts) <= {CEP_WITHIN_US}
+ORDER BY user_id, start_event_id
 """
 
 
@@ -1424,6 +1469,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "windowed_distinct": q_windowed_distinct,
         "semantic_clusters": q_semantic_clusters,
+        "cep_sequence": q_cep_sequence,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1479,4 +1525,5 @@ def build_oracle_sql() -> dict:
         "pii_redact": SQL_PII_REDACT,
         "windowed_distinct": SQL_WINDOWED_DISTINCT,
         "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
+        "cep_sequence": SQL_CEP_SEQUENCE,
     }

@@ -9,18 +9,21 @@ bounding what crosses the shuffle):
 
 - grouped_topk: per-batch combiner (pandas groupby-sum inside
   map_batches) so the all-to-all exchange only carries pre-aggregated
-  (group, key) partials, then a multi-key ``Dataset.groupby().sum()``
-  and a per-group ``map_groups`` top-k. The shuffle volume is bounded by
-  the number of DISTINCT (group, key) pairs, not input rows.
+  (group, key) partials, then a multi-key ``Dataset.groupby().sum()``;
+  the final top-k needs no second shuffle — post-sum pairs are unique,
+  so per-block top-k candidates (k per group per block) contain the
+  global answer and a tiny driver merge finishes. Shuffle volume is
+  bounded by the number of DISTINCT (group, key) pairs, not input rows.
 - exact_quantiles: per-batch value histogram (np.unique) → groupby-sum
   over distinct values → tiny driver-side cumulative walk. Exactness
   relies on the column having bounded distinct cardinality (lengths,
   counts, scores in fixed grids); the distinct-value table IS the small
   result, so collecting it is not a driver-side materialization of data.
 - windowed_distinct: exact COUNT(DISTINCT user) per tumbling window via
-  two pre-aggregated exchanges: (window, user) partials first (dedups
-  and partial-sums inside the batch), then per-window rollup. Never
-  ships raw rows twice, never holds a global user set anywhere.
+  ONE pre-aggregated exchange: (window, user) partials (deduped and
+  partial-summed inside the batch) are globally summed, then per-block
+  partial rollups (pair counts are additive post-dedup) fold on the
+  driver into the per-window result. Never holds a global user set.
 """
 
 from __future__ import annotations
@@ -42,13 +45,17 @@ def grouped_topk(ds, group_col: str, key_col: str, k: int,
     """
     cols = [group_col, key_col] + ([weight_col] if weight_col else [])
 
-    def combine(t: pa.Table) -> pd.DataFrame:
+    def combine(t: pa.Table) -> pa.Table:
         df = t.select(cols).to_pandas()
         gb = df.groupby([group_col, key_col], sort=False)
         agg = {"n_rows": (key_col, "size")}
         if weight_col:
             agg["sum_weight"] = (weight_col, "sum")
-        return gb.agg(**agg).reset_index()
+        # Arrow out: pandas-format blocks route Ray Data's Aggregate
+        # through a pathological slow path (measured 21 s vs 4 s on a
+        # 100 k-row input at 32 CPUs)
+        return pa.Table.from_pandas(gb.agg(**agg).reset_index(),
+                                    preserve_index=False)
 
     partial = ds.map_batches(combine, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -56,14 +63,28 @@ def grouped_topk(ds, group_col: str, key_col: str, k: int,
     total = gb.sum(["n_rows", "sum_weight"] if weight_col else ["n_rows"])
     ren = {"sum(n_rows)": "n_rows", "sum(sum_weight)": "sum_weight"}
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
+    # After the global sum each (group, key) exists exactly once, so the
+    # global top-k per group is contained in the union of per-block
+    # top-k candidates: emit k candidates per (block, group) and merge
+    # the tiny result on the driver — one all-to-all total, instead of a
+    # second groupby shuffle whose barrier dominated at suite scale.
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.rename(columns={c: ren[c] for c in df.columns if c in ren})
         df = df.sort_values(["n_rows", key_col], ascending=[False, True],
-                            kind="stable").head(k).reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+                            kind="stable")
+        return df.groupby(group_col, sort=False).head(k)
 
-    return total.groupby(group_col).map_groups(topk, batch_format="pandas")
+    cand = total.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["n_rows", key_col], ascending=[False, True],
+                            kind="stable")
+    out = (cand.groupby(group_col, sort=True).head(k)
+               .sort_values([group_col, "n_rows", key_col],
+                            ascending=[True, False, True], kind="stable")
+               .reset_index(drop=True))
+    out["rank"] = out.groupby(group_col).cumcount() + 1
+    cols_out = [group_col, key_col, "n_rows"] + (
+        ["sum_weight"] if weight_col else []) + ["rank"]
+    return out[cols_out]
 
 
 def exact_quantiles(ds, col: str, qs: list[float]):
@@ -79,10 +100,11 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     Returns a pandas frame (q, value).
     """
 
-    def hist(t: pa.Table) -> pd.DataFrame:
+    def hist(t: pa.Table) -> pa.Table:
         v, c = np.unique(t[col].to_numpy(zero_copy_only=False),
                          return_counts=True)
-        return pd.DataFrame({col: v, "cnt": c.astype(np.int64)})
+        return pa.table({col: pa.array(v),
+                         "cnt": pa.array(c.astype(np.int64))})
 
     merged = (ds.map_batches(hist, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -115,28 +137,43 @@ def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,
     """
     cols = [ts_col, user_col] + ([value_col] if value_col else [])
 
-    def assign(t: pa.Table) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         df = t.select(cols).to_pandas()
         ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         df["window_start"] = (ts // size_us) * size_us
         agg = {"n_events": (user_col, "size")}
         if value_col:
             agg["sum_value"] = (value_col, "sum")
-        return (df.groupby(["window_start", user_col], sort=False)
-                  .agg(**agg).reset_index())
+        out = (df.groupby(["window_start", user_col], sort=False)
+                 .agg(**agg).reset_index())
+        # Arrow out — see combine() above
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partial = ds.map_batches(assign, batch_format="pyarrow",
                              zero_copy_batch=True)
     per_pair = partial.groupby(["window_start", user_col]).sum(
         ["n_events", "sum_value"] if value_col else ["n_events"])
 
-    def roll(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"window_start": [np.int64(df["window_start"].iloc[0])],
-               "n_events": [np.int64(df["sum(n_events)"].sum())],
-               "n_users": [np.int64(len(df))]}
+    # Post-sum, every (window, user) pair is globally unique, so
+    # per-block partial rollups (count of pairs = distinct users) are
+    # additive: one all-to-all, then a tiny per-block partial + driver
+    # fold instead of a second groupby shuffle.
+    def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n_events": ("sum(n_events)", "sum"),
+               "n_users": (user_col, "size")}
         if value_col:
-            out["sum_value"] = [float(df["sum(sum_value)"].sum())]
-        return pd.DataFrame(out)
+            agg["sum_value"] = ("sum(sum_value)", "sum")
+        return (df.groupby("window_start", sort=False)
+                  .agg(**agg).reset_index())
 
-    return per_pair.groupby("window_start").map_groups(
-        roll, batch_format="pandas")
+    parts = per_pair.map_batches(roll_partial,
+                                 batch_format="pandas").to_pandas()
+    agg = {"n_events": ("n_events", "sum"), "n_users": ("n_users", "sum")}
+    if value_col:
+        agg["sum_value"] = ("sum_value", "sum")
+    out = (parts.groupby("window_start", sort=True).agg(**agg)
+                .reset_index())
+    out["window_start"] = out["window_start"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out

@@ -1,0 +1,85 @@
+"""CEP sequence-pattern matching — the classic complex-event-processing
+operator (MATCH_RECOGNIZE / "A followed by B followed by C within T")
+over a keyed event stream.
+
+Semantics: strict contiguity per key — the pattern matches at position i
+of the key's (ts, id)-ordered event sequence iff the next ``m`` events'
+types equal the pattern and the span from first to last matched event is
+≤ ``within_us``. Strict contiguity keeps the operator a pure vectorized
+shift-compare (no backtracking automaton) AND makes it exactly
+expressible as a ``lead()`` window-function oracle; skip-till-next-match
+variants can be composed by pre-filtering the stream to the pattern's
+alphabet (``pc.is_in``) before matching.
+
+Ray-Data shape: one hash-bucket shuffle on the key (the engine-wide
+md5-slot convention, many keys per bucket so groups stay bounded), then
+a per-bucket sort + segment-vectorized scan in ``map_groups`` — the same
+partitioning discipline as the windowed-stats core, reused because the
+reference's windows and CEP patterns share the "ordered replay per key"
+execution shape (SURVEY §2.6 St1/O1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .window_stats import stable_bucket_of
+
+
+def match_sequence(ds, key_col: str, type_col: str, ts_col: str,
+                   id_col: str, pattern: list[str], within_us: int,
+                   num_buckets: int = 64):
+    """Emit one row per pattern occurrence: (key, start id/ts, end id).
+
+    ``pattern`` is the ordered list of required ``type_col`` values.
+    Events are ordered by (ts, id) within each key; ties are therefore
+    deterministic. Returns columns: key_col, start_event_id,
+    end_event_id, start_ts.
+    """
+    if len(pattern) < 1:
+        raise ValueError("pattern must have at least one element")
+    m = len(pattern)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_of(t[key_col].to_numpy(zero_copy_only=False),
+                             num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col],
+                            kind="stable").reset_index(drop=True)
+        n = len(df)
+        empty = pd.DataFrame({
+            key_col: pd.Series(dtype=df[key_col].dtype),
+            "start_event_id": pd.Series(dtype=np.int64),
+            "end_event_id": pd.Series(dtype=np.int64),
+            "start_ts": pd.Series(dtype="datetime64[us]")})
+        if n < m:
+            return empty
+        types = df[type_col].to_numpy()
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        ids = df[id_col].to_numpy()
+        lim = n - m + 1
+        ok = types[:lim] == pattern[0]
+        for j in range(1, m):
+            ok &= types[j:lim + j] == pattern[j]
+        # whole match inside one key's segment: first and last key equal
+        # (the frame is key-sorted, so equality implies containment)
+        ok &= keys[:lim] == keys[m - 1:]
+        ok &= ts[m - 1:] - ts[:lim] <= within_us
+        idx = np.flatnonzero(ok)
+        if not len(idx):
+            return empty
+        return pd.DataFrame({
+            key_col: keys[idx],
+            "start_event_id": ids[idx].astype(np.int64),
+            "end_event_id": ids[idx + m - 1].astype(np.int64),
+            "start_ts": ts[idx].astype("datetime64[us]")})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(scan, batch_format="pandas"))

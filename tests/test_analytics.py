@@ -32,7 +32,7 @@ def test_grouped_topk_matches_pandas(ray_session):
     from fasta_windows_ray.stages.analytics import grouped_topk
     df = _events()
     out = grouped_topk(_ds(df), "event_type", "user_id", k=5,
-                       weight_col="value").to_pandas()
+                       weight_col="value")
     out = out.sort_values(["event_type", "rank"]).reset_index(drop=True)
 
     agg = df.groupby(["event_type", "user_id"]).agg(
@@ -69,7 +69,7 @@ def test_windowed_distinct_exact(ray_session):
     df = _events()
     size = 6 * 3600 * 1_000_000
     out = windowed_distinct(_ds(df), "ts", "user_id", size,
-                            value_col="value").to_pandas()
+                            value_col="value")
     out = out.sort_values("window_start").reset_index(drop=True)
     w = (df["ts"].astype("datetime64[us]").astype("int64") // size) * size
     want = df.assign(w=w).groupby("w").agg(
@@ -139,6 +139,34 @@ def test_semantic_clusters_matches_local_lloyd(ray_session):
         assert list(out["cluster"]) == list(local(iters)), iters
     # refinement should change at least one assignment on random data
     assert (local(0) != local(3)).any()
+
+
+def test_cep_match_sequence(ray_session):
+    """Strict-contiguity pattern matching vs a per-key Python reference,
+    including the within-span cutoff and cross-key non-matches."""
+    from fasta_windows_ray.stages.cep import match_sequence
+    df = _events(n=4000, seed=3, n_users=25, n_types=3)
+    pat = ["t0", "t1", "t2"]
+    within = 3 * 3600 * 1_000_000
+    df2 = df.copy()
+    df2["event_id"] = np.arange(len(df2))
+    out = match_sequence(_ds(df2, 5), "user_id", "event_type", "ts",
+                         "event_id", pat, within, num_buckets=8).to_pandas()
+    out = out.sort_values(["user_id", "start_event_id"]).reset_index(drop=True)
+
+    want = []
+    for uid, g in df2.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t = g["event_type"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(len(g) - 2):
+            if (list(t[i:i + 3]) == pat
+                    and ts[i + 2] - ts[i] <= within):
+                want.append((uid, ids[i], ids[i + 2]))
+    want = sorted(want)
+    got = list(zip(out["user_id"], out["start_event_id"],
+                   out["end_event_id"]))
+    assert got == want and len(want) > 0
 
 
 def test_redact_pii_counts_and_text(ray_session):
