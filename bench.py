@@ -165,6 +165,9 @@ def bench_queries() -> dict:
     def windowed_distinct():
         return len(Q.q_windowed_distinct(SF_DIR))
 
+    def cep_sequence():
+        return len(Q.q_cep_sequence(SF_DIR))
+
     return {
         "sliding_window_stats": sliding_full,
         "tumbling_window_stats": tumbling_full,
@@ -175,6 +178,7 @@ def bench_queries() -> dict:
         "pii_redact": pii_redact,
         "grouped_topk": grouped_topk,
         "windowed_distinct": windowed_distinct,
+        "cep_sequence": cep_sequence,
     }
 
 

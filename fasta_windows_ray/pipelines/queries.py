@@ -1355,10 +1355,8 @@ def q_cep_sequence(sf_dir: str):
     out = match_sequence(ev, "user_id", "event_type", "ts", "event_id",
                          CEP_PATTERN, CEP_WITHIN_US).to_pandas()
     if out.empty:        # zero matches: keep the typed schema
-        out = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
-                            "start_event_id": pd.Series(dtype=np.int64),
-                            "end_event_id": pd.Series(dtype=np.int64),
-                            "start_ts": pd.Series(dtype="datetime64[us]")})
+        from ..stages.cep import empty_matches
+        out = empty_matches("user_id")
     return (out.sort_values(["user_id", "start_event_id"])
                .reset_index(drop=True))
 
@@ -1397,9 +1395,11 @@ def q_semantic_clusters(sf_dir: str):
     ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id"])["vec_id"].to_numpy()
     seeds = np.sort(ids)[:N_SEM_CLUSTERS]
+    # row-filter pushed into the parquet scan: the driver never holds
+    # more than the K seed rows of the big table
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    t = t.filter(np.isin(t["vec_id"].to_numpy(), seeds))
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", seeds.tolist())])
     order = np.argsort(t["vec_id"].to_numpy())
     C = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order])
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

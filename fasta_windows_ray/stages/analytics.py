@@ -114,6 +114,9 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     values = merged[col].to_numpy()
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(dtype=float),
+                             "value": pd.Series(dtype=merged[col].dtype)})
     out = []
     for q in qs:
         target = 1 if q <= 0 else int(np.ceil(q * n))
@@ -138,9 +141,10 @@ def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,
     cols = [ts_col, user_col] + ([value_col] if value_col else [])
 
     def assign(t: pa.Table) -> pa.Table:
+        from ..windows import tumbling_start
         df = t.select(cols).to_pandas()
         ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        df["window_start"] = (ts // size_us) * size_us
+        df["window_start"] = tumbling_start(ts, size_us)
         agg = {"n_events": (user_col, "size")}
         if value_col:
             agg["sum_value"] = (value_col, "sum")

@@ -28,6 +28,17 @@ import pyarrow as pa
 from .window_stats import stable_bucket_of
 
 
+def empty_matches(key_col: str, key_dtype="int64") -> pd.DataFrame:
+    """Typed zero-row result frame — the single definition of the
+    operator's output schema (reused by callers guarding the all-empty
+    ``to_pandas()`` case, which loses column names)."""
+    return pd.DataFrame({
+        key_col: pd.Series(dtype=key_dtype),
+        "start_event_id": pd.Series(dtype=np.int64),
+        "end_event_id": pd.Series(dtype=np.int64),
+        "start_ts": pd.Series(dtype="datetime64[us]")})
+
+
 def match_sequence(ds, key_col: str, type_col: str, ts_col: str,
                    id_col: str, pattern: list[str], within_us: int,
                    num_buckets: int = 64):
@@ -51,11 +62,7 @@ def match_sequence(ds, key_col: str, type_col: str, ts_col: str,
         df = df.sort_values([key_col, ts_col, id_col],
                             kind="stable").reset_index(drop=True)
         n = len(df)
-        empty = pd.DataFrame({
-            key_col: pd.Series(dtype=df[key_col].dtype),
-            "start_event_id": pd.Series(dtype=np.int64),
-            "end_event_id": pd.Series(dtype=np.int64),
-            "start_ts": pd.Series(dtype="datetime64[us]")})
+        empty = empty_matches(key_col, df[key_col].dtype)
         if n < m:
             return empty
         types = df[type_col].to_numpy()

@@ -37,7 +37,12 @@ def hash_sample(ds, key_col: str, permille: int,
         if strata_col is None:
             mask = slot < permille
         else:
-            strata = t[strata_col].to_numpy(zero_copy_only=False)
+            # null stratum -> "" -> default rate (np.unique would raise
+            # comparing None to str otherwise)
+            sc = t[strata_col]
+            if isinstance(sc, pa.ChunkedArray):
+                sc = sc.combine_chunks()
+            strata = sc.fill_null("").to_numpy(zero_copy_only=False)
             uniq, inv = np.unique(strata.astype(object), return_inverse=True)
             per_u = np.asarray([strata_permille.get(s, permille)
                                 for s in uniq], dtype=np.int64)

@@ -78,6 +78,11 @@ def semantic_clusters(ds, init_centroids: np.ndarray, iterations: int = 0
     """
     C = _norm_rows(np.asarray(init_centroids, dtype=np.float64))
 
+    if iterations:
+        # cache upstream blocks once: each refinement round re-executes
+        # the lazy plan otherwise (N reads of the corpus for N rounds)
+        ds = ds.materialize()
+
     for _ in range(iterations):
         cref = ray.put(C)
 
