@@ -1380,6 +1380,38 @@ ORDER BY user_id, start_event_id
 """
 
 
+def q_response_latency(sf_dir: str):
+    """Turn-taking analysis: per conversation, the latency of every
+    adjacent user→assistant pair (count, exact-sum mean, max) — one
+    md5-bucket shuffle + vectorized shift-compare, lead() oracle."""
+    from ..stages.cep import adjacent_delays
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid",
+                                           "role", "ts"])
+    out = adjacent_delays(ds, "conv_id", "role", "ts", "turn_uid",
+                          "user", "assistant").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({
+            "conv_id": pd.Series(dtype=object),
+            "n_pairs": pd.Series(dtype=np.int64),
+            "mean_delay_us": pd.Series(dtype=np.float64),
+            "max_delay_us": pd.Series(dtype=np.int64)})
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+SQL_RESPONSE_LATENCY = f"""
+WITH t AS ({_T}),
+o AS (SELECT conv_id, role, ts,
+        lead(role) OVER w AS r1, lead(ts) OVER w AS ts1
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_uid))
+SELECT conv_id, count(*) AS n_pairs,
+  round(sum(epoch_us(ts1) - epoch_us(ts))::DOUBLE / count(*), 6)
+    AS mean_delay_us,
+  max(epoch_us(ts1) - epoch_us(ts)) AS max_delay_us
+FROM o WHERE role = 'user' AND r1 = 'assistant'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 N_SEM_CLUSTERS = 8
 
 
@@ -1470,6 +1502,7 @@ def build_queries() -> dict:
         "windowed_distinct": q_windowed_distinct,
         "semantic_clusters": q_semantic_clusters,
         "cep_sequence": q_cep_sequence,
+        "response_latency": q_response_latency,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1526,4 +1559,5 @@ def build_oracle_sql() -> dict:
         "windowed_distinct": SQL_WINDOWED_DISTINCT,
         "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
         "cep_sequence": SQL_CEP_SEQUENCE,
+        "response_latency": SQL_RESPONSE_LATENCY,
     }

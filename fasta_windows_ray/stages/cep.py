@@ -28,6 +28,63 @@ import pyarrow as pa
 from .window_stats import stable_bucket_of
 
 
+def adjacent_delays(ds, key_col: str, type_col: str, ts_col: str,
+                    id_col: str, from_type: str, to_type: str,
+                    num_buckets: int = 64):
+    """Turn-taking latency: for every ADJACENT (from_type → to_type)
+    pair in each key's (ts, id)-ordered sequence, the time delta —
+    aggregated per key to (n_pairs, mean_delay_us, max_delay_us).
+
+    The transcript-payload use case is user→assistant response latency
+    per conversation. Same partitioning/scan shape as match_sequence
+    (one md5-bucket shuffle, vectorized shift-compare), plus a per-key
+    segment aggregation of the matched deltas. Delay sums are exact
+    int64, so the mean is reproducible bit-for-bit by a lead() SQL
+    oracle (both sides divide the same exact sum).
+    """
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_of(t[key_col].to_numpy(zero_copy_only=False),
+                             num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col],
+                            kind="stable").reset_index(drop=True)
+        empty = pd.DataFrame({
+            key_col: pd.Series(dtype=df[key_col].dtype),
+            "n_pairs": pd.Series(dtype=np.int64),
+            "mean_delay_us": pd.Series(dtype=np.float64),
+            "max_delay_us": pd.Series(dtype=np.int64)})
+        if len(df) < 2:
+            return empty
+        types = df[type_col].to_numpy()
+        keys = df[key_col].to_numpy()
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        ok = ((types[:-1] == from_type) & (types[1:] == to_type)
+              & (keys[:-1] == keys[1:]))
+        idx = np.flatnonzero(ok)
+        if not len(idx):
+            return empty
+        delays = ts[idx + 1] - ts[idx]
+        pk = keys[idx]
+        uniq, inv = np.unique(pk.astype(object), return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        tot = np.bincount(inv, weights=delays,
+                          minlength=len(uniq)).astype(np.int64)
+        mx = np.full(len(uniq), np.int64(0))
+        np.maximum.at(mx, inv, delays)
+        return pd.DataFrame({
+            key_col: uniq, "n_pairs": n,
+            "mean_delay_us": np.round(tot / n, 6),
+            "max_delay_us": mx})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(scan, batch_format="pandas"))
+
+
 def empty_matches(key_col: str, key_dtype="int64") -> pd.DataFrame:
     """Typed zero-row result frame — the single definition of the
     operator's output schema (reused by callers guarding the all-empty

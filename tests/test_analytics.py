@@ -169,6 +169,40 @@ def test_cep_match_sequence(ray_session):
     assert got == want and len(want) > 0
 
 
+def test_adjacent_delays_matches_reference(ray_session):
+    from fasta_windows_ray.stages.cep import adjacent_delays
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "conv_id": np.asarray([f"c{i}" for i in
+                               rng.integers(0, 40, n)], object),
+        "turn_uid": np.arange(n),
+        "role": np.asarray(rng.choice(["user", "assistant", "tool"], n),
+                           object),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="us"),
+    })
+    out = adjacent_delays(_ds(df, 6), "conv_id", "role", "ts", "turn_uid",
+                          "user", "assistant", num_buckets=8).to_pandas()
+    out = out.sort_values("conv_id").reset_index(drop=True)
+
+    want = []
+    for cid, g in df.sort_values(["ts", "turn_uid"]).groupby("conv_id"):
+        r = g["role"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = ts[1:][(r[:-1] == "user") & (r[1:] == "assistant")] - \
+            ts[:-1][(r[:-1] == "user") & (r[1:] == "assistant")]
+        if len(d):
+            want.append((cid, len(d), round(d.sum() / len(d), 6), d.max()))
+    want = pd.DataFrame(want, columns=["conv_id", "n_pairs",
+                                       "mean_delay_us", "max_delay_us"])
+    want = want.sort_values("conv_id").reset_index(drop=True)
+    assert list(out["conv_id"]) == list(want["conv_id"])
+    assert list(out["n_pairs"]) == list(want["n_pairs"])
+    assert np.allclose(out["mean_delay_us"], want["mean_delay_us"])
+    assert list(out["max_delay_us"]) == list(want["max_delay_us"])
+    assert len(want) > 10
+
+
 def test_redact_pii_counts_and_text(ray_session):
     from fasta_windows_ray.stages.pii import PII_PATTERNS, redact_pii
     texts = [
