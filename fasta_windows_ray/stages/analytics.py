@@ -87,6 +87,23 @@ def grouped_topk(ds, group_col: str, key_col: str, k: int,
     return out[cols_out]
 
 
+def quantiles_from_hist(values: np.ndarray, counts: np.ndarray,
+                        qs: list[float]) -> list[tuple[float, float]]:
+    """Inverted-CDF quantiles from a sorted (value, count) histogram:
+    the smallest value whose cumulative count reaches ``ceil(q*n)``
+    (q=0 → minimum) — DuckDB ``quantile_disc`` semantics, verified
+    empirically. Pure function (property-tested against sorted-array
+    indexing)."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        target = 1 if q <= 0 else int(np.ceil(q * n))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append((float(q), values[min(idx, len(values) - 1)]))
+    return out
+
+
 def exact_quantiles(ds, col: str, qs: list[float]):
     """Exact quantiles of a bounded-cardinality column, distributed.
 
@@ -112,17 +129,11 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     merged = merged.sort_values(col).reset_index(drop=True)
     counts = merged["sum(cnt)"].to_numpy()
     values = merged[col].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-    if n == 0:
+    if not counts.sum():
         return pd.DataFrame({"q": pd.Series(dtype=float),
                              "value": pd.Series(dtype=merged[col].dtype)})
-    out = []
-    for q in qs:
-        target = 1 if q <= 0 else int(np.ceil(q * n))
-        idx = int(np.searchsorted(cum, target, side="left"))
-        out.append((float(q), values[min(idx, len(values) - 1)]))
-    return pd.DataFrame(out, columns=["q", "value"])
+    return pd.DataFrame(quantiles_from_hist(values, counts, qs),
+                        columns=["q", "value"])
 
 
 def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,

@@ -117,3 +117,20 @@ def test_window_acc_split_merge_equals_single_pass(rows, cuts):
     a = one.finalize("c", lo_ts, hi_ts, cfg)
     b = merged.finalize("c", lo_ts, hi_ts, cfg)
     assert a == b
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
+       st.lists(st.floats(0.0, 1.0, allow_nan=False), min_size=1,
+                max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_quantiles_from_hist_equals_sorted_indexing(vals, qs):
+    """Histogram-walk quantiles == inverted-CDF indexing of the fully
+    sorted array, for any multiset and any q in [0, 1]."""
+    from fasta_windows_ray.stages.analytics import quantiles_from_hist
+    arr = np.asarray(vals, dtype=np.int64)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    srt = np.sort(arr)
+    n = len(arr)
+    for q, v in quantiles_from_hist(uniq, cnt, qs):
+        idx = 0 if q <= 0 else int(np.ceil(q * n)) - 1
+        assert v == srt[idx]
