@@ -1412,6 +1412,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+PACK_BUDGET_TOKENS = 512
+
+
+def q_pack_documents(sf_dir: str):
+    """Sequence packing: documents assigned (in doc_id order) to
+    fixed-512-token training packs via a distributed two-phase prefix
+    scan — per-slab sums, driver cumsum of the tiny slab table, local
+    exclusive cumsums. Oracle: sum() OVER (ORDER BY doc_id)."""
+    from ..stages.analytics import pack_documents
+    from ..stages.text_analysis import TokenCounter, apply
+    counted = apply(_docs(sf_dir, ["doc_id", "text"]), TokenCounter)
+    # two-pass scan reads its input twice; cache the counted projection
+    counted = counted.materialize()
+    out = pack_documents(counted, PACK_BUDGET_TOKENS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PACK_DOCUMENTS = f"""
+WITH c AS (SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+  ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    - n_tokens) // {PACK_BUDGET_TOKENS})::BIGINT AS pack_id
+FROM c ORDER BY doc_id
+"""
+
+
 N_SEM_CLUSTERS = 8
 
 
@@ -1503,6 +1531,7 @@ def build_queries() -> dict:
         "semantic_clusters": q_semantic_clusters,
         "cep_sequence": q_cep_sequence,
         "response_latency": q_response_latency,
+        "pack_documents": q_pack_documents,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1560,4 +1589,5 @@ def build_oracle_sql() -> dict:
         "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
         "cep_sequence": SQL_CEP_SEQUENCE,
         "response_latency": SQL_RESPONSE_LATENCY,
+        "pack_documents": SQL_PACK_DOCUMENTS,
     }

@@ -136,6 +136,69 @@ def exact_quantiles(ds, col: str, qs: list[float]):
                         columns=["q", "value"])
 
 
+def pack_documents(ds, budget_tokens: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens", slab: int = 4096):
+    """Sequence packing for training: assign each document (in id order)
+    to a fixed-token-budget pack via the running token total —
+    ``pack_id = exclusive_prefix_sum(n_tokens) // budget`` — computed as
+    a DISTRIBUTED TWO-PHASE PREFIX SCAN, the standard parallel-scan
+    shape:
+
+    1. slab = id // ``slab``; per-slab token sums via per-batch partial
+       + one bounded groupby (the only all-to-all);
+    2. the tiny (n_slabs) slab-sum table is cumulated on the driver and
+       broadcast as exclusive slab offsets;
+    3. each slab's rows sort locally by id inside ``map_groups`` and add
+       slab offset + local exclusive cumsum.
+
+    Driver state is O(n_docs / slab) — bounded by the slab constant, not
+    data. Input must already carry ``tokens_col`` (compose with
+    TokenCounter); ids must be non-negative ints. Returns a Dataset of
+    (id, n_tokens, pack_id). Matches a SQL
+    ``sum() OVER (ORDER BY id)`` oracle exactly.
+    """
+    import ray
+
+    def slab_sums(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        tok = t[tokens_col].to_numpy()
+        sl = ids // slab
+        uniq, inv = np.unique(sl, return_inverse=True)
+        tot = np.bincount(inv, weights=tok, minlength=len(uniq)) \
+                .astype(np.int64)
+        return pa.table({"_slab": pa.array(uniq, pa.int64()),
+                         "tok": pa.array(tot)})
+
+    sums = (ds.map_batches(slab_sums, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("_slab").sum("tok").to_pandas()
+              .sort_values("_slab").reset_index(drop=True))
+    totals = sums["sum(tok)"].to_numpy()
+    offsets = {int(s): int(o) for s, o in zip(
+        sums["_slab"], np.concatenate(([0], np.cumsum(totals)[:-1])))}
+    oref = ray.put(offsets)
+
+    def add_slab(t: pa.Table) -> pa.Table:
+        sl = t[id_col].to_numpy() // slab
+        return t.append_column("_slab", pa.array(sl, pa.int64()))
+
+    def assign_pack(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(oref)
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        tok = df[tokens_col].to_numpy()
+        prefix_excl = offs[int(df["_slab"].iloc[0])] \
+            + np.concatenate(([0], np.cumsum(tok)[:-1]))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            tokens_col: tok.astype(np.int64),
+            "pack_id": (prefix_excl // budget_tokens).astype(np.int64)})
+
+    return (ds.map_batches(add_slab, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("_slab")
+              .map_groups(assign_pack, batch_format="pandas"))
+
+
 def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,
                       value_col: str | None = None):
     """Tumbling-window rollup over an event stream with EXACT distinct

@@ -141,6 +141,26 @@ def test_semantic_clusters_matches_local_lloyd(ray_session):
     assert (local(0) != local(3)).any()
 
 
+def test_pack_documents_prefix_scan(ray_session):
+    """Distributed two-phase prefix scan == local exclusive cumsum, for
+    non-contiguous ids across many blocks and slab boundaries."""
+    from fasta_windows_ray.stages.analytics import pack_documents
+    rng = np.random.default_rng(9)
+    ids = np.sort(rng.choice(100_000, 3000, replace=False))
+    df = pd.DataFrame({"doc_id": ids,
+                       "n_tokens": rng.integers(1, 400, len(ids))})
+    out = (pack_documents(_ds(df.sample(frac=1.0, random_state=1), 9),
+                          budget_tokens=1000, slab=777)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    srt = df.sort_values("doc_id").reset_index(drop=True)
+    prefix_excl = np.concatenate(([0],
+                                  np.cumsum(srt["n_tokens"].to_numpy())[:-1]))
+    assert list(out["doc_id"]) == list(srt["doc_id"])
+    assert list(out["pack_id"]) == list(prefix_excl // 1000)
+    # packs are contiguous and ordered
+    assert (np.diff(out["pack_id"]) >= 0).all()
+
+
 def test_cep_match_sequence(ray_session):
     """Strict-contiguity pattern matching vs a per-key Python reference,
     including the within-span cutoff and cross-key non-matches."""
