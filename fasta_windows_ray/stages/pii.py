@@ -19,7 +19,10 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# RE2-safe, and identical semantics in Python re / Arrow / DuckDB.
+# RE2-safe; identical semantics in Arrow and DuckDB (both RE2). Python
+# re agrees on ASCII input but NOT universally: RE2's \d is ASCII-only
+# while Python's \d is Unicode-aware — the engine contract is the RE2
+# behaviour (what the oracle computes).
 # Applied IN ORDER (email first: its char class can overlap an IP-ish
 # tail; order is part of the operator contract and mirrored in SQL).
 PII_PATTERNS: list[tuple[str, str, str]] = [

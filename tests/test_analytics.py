@@ -50,6 +50,31 @@ def test_grouped_topk_matches_pandas(ray_session):
         lambda r: list(r) == list(range(1, len(r) + 1)))).all()
 
 
+def test_grouped_topk_no_weight(ray_session):
+    from fasta_windows_ray.stages.analytics import grouped_topk
+    df = _events(n=800, seed=2)
+    out = grouped_topk(_ds(df, 3), "event_type", "user_id", k=3)
+    assert list(out.columns) == ["event_type", "user_id", "n_rows", "rank"]
+    want = (df.groupby(["event_type", "user_id"]).size()
+              .rename("n_rows").reset_index()
+              .sort_values(["n_rows", "user_id"], ascending=[False, True])
+              .groupby("event_type").head(3))
+    got = out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["event_type", "n_rows", "user_id"],
+                            ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_type", "user_id", "n_rows"]], want)
+
+
+def test_hash_sample_unstratified(ray_session):
+    from fasta_windows_ray.stages.sampling import hash_sample
+    from fasta_windows_ray.stages.window_stats import stable_bucket_of
+    df = pd.DataFrame({"doc_id": np.arange(2500)})
+    out = hash_sample(_ds(df, 4), "doc_id", permille=150).to_pandas()
+    slots = stable_bucket_of(df["doc_id"].to_numpy(), 1000)
+    assert set(out["doc_id"]) == set(df.loc[slots < 150, "doc_id"])
+
+
 @pytest.mark.parametrize("n,hi", [(1, 5), (997, 50), (5000, 3)])
 def test_exact_quantiles_inverted_cdf(ray_session, n, hi):
     from fasta_windows_ray.stages.analytics import exact_quantiles
