@@ -17,6 +17,15 @@ a per-bucket sort + segment-vectorized scan in ``map_groups`` — the same
 partitioning discipline as the windowed-stats core, reused because the
 reference's windows and CEP patterns share the "ordered replay per key"
 execution shape (SURVEY §2.6 St1/O1).
+
+PARTITIONING ASSUMPTION (100 TB): a key's whole event sequence must
+land in one group (matches may straddle any time split), so groups are
+keyed by bucket only and a group's size is n/num_buckets — callers must
+scale ``num_buckets`` with input size (it is a free parameter; per-key
+sequences are never split, and per-key length is bounded by real
+conversation/user activity, not corpus size). A time-slab refinement à
+la ``add_bucket_slab`` would need (pattern_len-1)-event overlap stitching
+at slab boundaries; not implemented because bucket scaling suffices.
 """
 
 from __future__ import annotations
