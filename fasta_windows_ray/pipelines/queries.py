@@ -1412,6 +1412,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+LM_TRAIN_MOD = 10
+
+
+def q_lm_quality_score(sf_dir: str):
+    """Model-based quality scoring: char-bigram LM fitted on the
+    doc_id%10==0 in-domain sample (counts via one bounded groupby,
+    model broadcast once), every doc scored by mean Laplace-smoothed
+    bigram log-likelihood — the KenLM-perplexity-filter analogue. The
+    oracle recomputes the identical model and score in SQL (byte ==
+    char semantics on this ASCII corpus)."""
+    from ..stages.text_analysis import lm_quality_score
+    out = lm_quality_score(_docs(sf_dir, ["doc_id", "text"]),
+                           train_mod=LM_TRAIN_MOD).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LM_QUALITY_SCORE = f"""
+WITH g AS (
+  SELECT doc_id, substr(text, i, 2) AS bg, substr(text, i, 1) AS c1
+  FROM documents,
+  LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)
+  WHERE length(text) >= 2),
+tb AS (SELECT bg, count(*) AS c FROM g
+       WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+tc AS (SELECT c1, count(*) AS c FROM g
+       WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY 1),
+v AS (SELECT count(*) AS v FROM tc),
+s AS (SELECT g.doc_id,
+        ln((coalesce(tb.c, 0) + 1)::DOUBLE
+           / (coalesce(tc.c, 0) + (SELECT v FROM v))) AS lp
+      FROM g LEFT JOIN tb USING (bg) LEFT JOIN tc USING (c1)),
+sc AS (SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(lp), 6) + 0.0 AS lm_score FROM s GROUP BY 1)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+  coalesce(sc.lm_score, 0.0) + 0.0 AS lm_score
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id
+"""
+
+
 PACK_BUDGET_TOKENS = 512
 
 
@@ -1532,6 +1571,7 @@ def build_queries() -> dict:
         "cep_sequence": q_cep_sequence,
         "response_latency": q_response_latency,
         "pack_documents": q_pack_documents,
+        "lm_quality_score": q_lm_quality_score,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1590,4 +1630,5 @@ def build_oracle_sql() -> dict:
         "cep_sequence": SQL_CEP_SEQUENCE,
         "response_latency": SQL_RESPONSE_LATENCY,
         "pack_documents": SQL_PACK_DOCUMENTS,
+        "lm_quality_score": SQL_LM_QUALITY_SCORE,
     }

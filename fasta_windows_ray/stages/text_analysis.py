@@ -158,6 +158,95 @@ class Fingerprinter:
         })
 
 
+def _byte_bigrams(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc utf-8 byte-bigram ranks (a*256+b), no case fold, bigrams
+    never cross docs: (ranks, first_bytes, offs) with doc i's bigrams at
+    ranks[offs[i]:offs[i+1]]. Byte semantics == character semantics on
+    ASCII corpora (the engine-wide oracle convention)."""
+    rs, fs, lens = [], [], []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8", "surrogatepass"), np.uint8)
+        if len(b) < 2:
+            lens.append(0)
+            continue
+        rs.append(b[:-1].astype(np.int64) * 256 + b[1:])
+        fs.append(b[:-1])
+        lens.append(len(b) - 1)
+    offs = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(np.asarray(lens, np.int64), out=offs[1:])
+    if not rs:
+        return (np.empty(0, np.int64), np.empty(0, np.uint8), offs)
+    return np.concatenate(rs), np.concatenate(fs), offs
+
+
+def lm_quality_score(ds, train_mod: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """KenLM-style model-based quality scoring with a char(byte)-bigram
+    LM: docs with ``id % train_mod == 0`` form the in-domain training
+    sample; every doc is scored by its mean Laplace-smoothed bigram
+    log-likelihood ``avg ln((c(ab)+1)/(c(a·)+V))`` under that model
+    (V = distinct training context bytes; unseen context → ln(1/V);
+    docs shorter than 2 bytes score the 0.0 sentinel).
+
+    Ray-Data shape: training counts are a per-batch vectorized
+    histogram + one bounded groupby (vocabulary ≤ 65,536 ranks — the
+    result table IS small); the fitted model is broadcast once
+    (``ray.put``) and scoring is a shuffle-free vectorized map with
+    searchsorted lookups — the standard "fit small, broadcast, score
+    wide" pattern (same discipline as decontaminate's broadcast set).
+    Returns a Dataset of (id, n_bigrams, lm_score round-6).
+    """
+    import pyarrow as pa
+    import ray
+
+    def train_counts(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        mask = ids % train_mod == 0
+        texts = [x for x, m in zip(t[text_col].to_pylist(), mask) if m]
+        r, _, _ = _byte_bigrams(texts)
+        uniq, cnt = np.unique(r, return_counts=True)
+        return pa.table({"rank": pa.array(uniq, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    tb = (ds.map_batches(train_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("rank").sum("c").to_pandas())
+    ranks = tb["rank"].to_numpy(dtype=np.int64)
+    counts = tb["sum(c)"].to_numpy(dtype=np.int64)
+    order = np.argsort(ranks)
+    ranks, counts = ranks[order], counts[order]
+    ctx = ranks // 256
+    ctx_u = np.unique(ctx)
+    ctx_c = np.zeros(256, np.int64)
+    np.add.at(ctx_c, ctx, counts)          # context totals per first byte
+    V = len(ctx_u)
+    model = ray.put((ranks, counts, ctx_c, V))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        rk, cn, cc, v = ray.get(model)
+        texts = t[text_col].to_pylist()
+        r, f, offs = _byte_bigrams(texts)
+        n = offs[1:] - offs[:-1]
+        seg_sum = np.zeros(len(texts))
+        if len(r) and v:
+            pos = np.minimum(np.searchsorted(rk, r), len(rk) - 1)
+            hit = np.where(rk[pos] == r, cn[pos], 0)
+            lp = np.log((hit + 1.0) / (cc[f.astype(np.int64)] + float(v)))
+            nz = np.flatnonzero(n)
+            # empty segments add no lp entries, so the nonempty starts
+            # are contiguous in lp coordinates — reduceat is exact here
+            seg_sum[nz] = np.add.reduceat(lp, offs[nz])
+        return pd.DataFrame({
+            id_col: t[id_col].to_numpy(),
+            "n_bigrams": n.astype(np.int64),
+            "lm_score": np.round(
+                np.divide(seg_sum, n, out=np.zeros(len(n), np.float64),
+                          where=n > 0), 6) + 0.0})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def apply(ds, cls, concurrency=None, batch_size: int = 4096, **kwargs):
     """Run one of the analysis classes as a map_batches stage.
 

@@ -132,6 +132,39 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     assert ka == want
 
 
+def test_lm_quality_score_matches_reference(ray_session):
+    """Distributed bigram-LM scoring == a from-scratch Python model:
+    Laplace smoothing, unseen bigrams/contexts, empty and 1-char docs."""
+    import math
+    from collections import Counter
+    from fasta_windows_ray.stages.text_analysis import lm_quality_score
+    texts = ["abcabc", "abcd", "", "x", "zzzz", "abc xyz", "aa"]
+    ids = np.arange(len(texts)) * 5          # ids 0,5,10.. -> %10==0 trains
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    out = (lm_quality_score(_ds(df, 3), train_mod=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    train = [t for i, t in zip(ids, texts) if i % 10 == 0]
+    cb: Counter = Counter()
+    for t in train:
+        cb.update(t[i:i + 2] for i in range(len(t) - 1))
+    cc: Counter = Counter()
+    for (a, _), c in cb.items():
+        cc[a] += c
+    V = len(cc)
+    for i, t in enumerate(texts):
+        bgs = [t[j:j + 2] for j in range(len(t) - 1)]
+        if not bgs:
+            want = 0.0
+        else:
+            want = round(sum(
+                math.log((cb.get(b, 0) + 1) / (cc.get(b[0], 0) + V))
+                for b in bgs) / len(bgs), 6)
+        row = out[out["doc_id"] == ids[i]].iloc[0]
+        assert row["n_bigrams"] == len(bgs)
+        assert abs(row["lm_score"] - want) < 1e-9, (t, row["lm_score"], want)
+
+
 def test_semantic_clusters_matches_local_lloyd(ray_session):
     """Distributed k-means (broadcast centroids + partial-sum fold)
     must equal a single-process Lloyd run with the same init, both at
