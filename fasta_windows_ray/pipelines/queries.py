@@ -1390,11 +1390,8 @@ def q_response_latency(sf_dir: str):
     out = adjacent_delays(ds, "conv_id", "role", "ts", "turn_uid",
                           "user", "assistant").to_pandas()
     if out.empty:
-        out = pd.DataFrame({
-            "conv_id": pd.Series(dtype=object),
-            "n_pairs": pd.Series(dtype=np.int64),
-            "mean_delay_us": pd.Series(dtype=np.float64),
-            "max_delay_us": pd.Series(dtype=np.int64)})
+        from ..stages.cep import empty_delays
+        out = empty_delays("conv_id")
     return out.sort_values("conv_id").reset_index(drop=True)
 
 

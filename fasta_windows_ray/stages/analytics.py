@@ -145,10 +145,11 @@ def pack_documents(ds, budget_tokens: int, id_col: str = "doc_id",
     shape:
 
     1. slab = id // ``slab``; per-slab token sums via per-batch partial
-       + one bounded groupby (the only all-to-all);
+       + one bounded groupby (a tiny exchange — only slab partials);
     2. the tiny (n_slabs) slab-sum table is cumulated on the driver and
        broadcast as exclusive slab offsets;
-    3. each slab's rows sort locally by id inside ``map_groups`` and add
+    3. each slab's rows sort locally by id inside ``map_groups`` (this
+       per-slab co-location is the one FULL-data all-to-all) and add
        slab offset + local exclusive cumsum.
 
     Driver state is O(n_docs / slab) — bounded by the slab constant, not
@@ -164,8 +165,10 @@ def pack_documents(ds, budget_tokens: int, id_col: str = "doc_id",
         tok = t[tokens_col].to_numpy()
         sl = ids // slab
         uniq, inv = np.unique(sl, return_inverse=True)
-        tot = np.bincount(inv, weights=tok, minlength=len(uniq)) \
-                .astype(np.int64)
+        # int64 accumulation: float64 bincount weights lose exactness
+        # past 2^53, breaking the exact-integer prefix-sum contract
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, tok)
         return pa.table({"_slab": pa.array(uniq, pa.int64()),
                          "tok": pa.array(tot)})
 

@@ -60,11 +60,7 @@ def adjacent_delays(ds, key_col: str, type_col: str, ts_col: str,
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col, id_col],
                             kind="stable").reset_index(drop=True)
-        empty = pd.DataFrame({
-            key_col: pd.Series(dtype=df[key_col].dtype),
-            "n_pairs": pd.Series(dtype=np.int64),
-            "mean_delay_us": pd.Series(dtype=np.float64),
-            "max_delay_us": pd.Series(dtype=np.int64)})
+        empty = empty_delays(key_col, df[key_col].dtype)
         if len(df) < 2:
             return empty
         types = df[type_col].to_numpy()
@@ -79,9 +75,11 @@ def adjacent_delays(ds, key_col: str, type_col: str, ts_col: str,
         pk = keys[idx]
         uniq, inv = np.unique(pk.astype(object), return_inverse=True)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        tot = np.bincount(inv, weights=delays,
-                          minlength=len(uniq)).astype(np.int64)
-        mx = np.full(len(uniq), np.int64(0))
+        # int64 accumulation (bincount weights= would go through float64
+        # and lose exactness past 2^53 us, breaking oracle bit-equality)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, delays)
+        mx = np.zeros(len(uniq), np.int64)
         np.maximum.at(mx, inv, delays)
         return pd.DataFrame({
             key_col: uniq, "n_pairs": n,
@@ -92,6 +90,17 @@ def adjacent_delays(ds, key_col: str, type_col: str, ts_col: str,
                            zero_copy_batch=True)
               .groupby("bucket")
               .map_groups(scan, batch_format="pandas"))
+
+
+def empty_delays(key_col: str, key_dtype="object") -> pd.DataFrame:
+    """Typed zero-row adjacent_delays result — single schema definition
+    (mirrors empty_matches; reused by callers guarding the all-empty
+    ``to_pandas()`` case)."""
+    return pd.DataFrame({
+        key_col: pd.Series(dtype=key_dtype),
+        "n_pairs": pd.Series(dtype=np.int64),
+        "mean_delay_us": pd.Series(dtype=np.float64),
+        "max_delay_us": pd.Series(dtype=np.int64)})
 
 
 def empty_matches(key_col: str, key_dtype="int64") -> pd.DataFrame:

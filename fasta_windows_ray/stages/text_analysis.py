@@ -200,9 +200,10 @@ def lm_quality_score(ds, train_mod: int = 10, id_col: str = "doc_id",
     import ray
 
     def train_counts(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy()
-        mask = ids % train_mod == 0
-        texts = [x for x, m in zip(t[text_col].to_pylist(), mask) if m]
+        mask = t[id_col].to_numpy() % train_mod == 0
+        # Arrow-filter BEFORE the python-string materialization: only
+        # ~1/train_mod of each batch pays the to_pylist cost
+        texts = t.filter(pa.array(mask))[text_col].to_pylist()
         r, _, _ = _byte_bigrams(texts)
         uniq, cnt = np.unique(r, return_counts=True)
         return pa.table({"rank": pa.array(uniq, pa.int64()),
@@ -220,6 +221,11 @@ def lm_quality_score(ds, train_mod: int = 10, id_col: str = "doc_id",
     ctx_c = np.zeros(256, np.int64)
     np.add.at(ctx_c, ctx, counts)          # context totals per first byte
     V = len(ctx_u)
+    if V == 0:
+        raise ValueError(
+            f"lm_quality_score: no document has {id_col} % {train_mod} "
+            "== 0 (empty training sample) — scores would be "
+            "indistinguishable from the short-doc 0.0 sentinel")
     model = ray.put((ranks, counts, ctx_c, V))
 
     def score(t: pa.Table) -> pd.DataFrame:
