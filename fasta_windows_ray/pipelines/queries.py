@@ -1409,6 +1409,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hash_join_enrich(sf_dir: str):
+    """Big-big shuffle equi-join: every turn enriched with its
+    conversation's profile (turn count + first ts). The profile side
+    has one row per conversation — at corpus scale that is itself a
+    big table, so this is the hash-join shape, not a broadcast."""
+    import pyarrow as _pa
+    from ..stages.joins import hash_join
+    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+
+    def profile_partial(t: _pa.Table) -> _pa.Table:
+        df = t.to_pandas()
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        out = (df.assign(_ts=ts).groupby("conv_id", sort=False)
+                 .agg(conv_turns=("conv_id", "size"), first_ts=("_ts", "min"))
+                 .reset_index())
+        return _pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
+    prof = (read_transcripts(sf_dir, columns=["conv_id", "ts"])
+            .map_batches(profile_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("conv_id")
+            .aggregate(Sum("conv_turns", alias_name="conv_turns"),
+                       Min("first_ts", alias_name="first_ts")))
+    out = hash_join(turns, prof, on="conv_id",
+                    num_partitions=32).to_pandas()
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    out["first_ts"] = out["first_ts"].astype("datetime64[us]")
+    out["conv_turns"] = out["conv_turns"].astype(np.int64)
+    return (out.sort_values(["conv_id", "turn_uid"])
+               .reset_index(drop=True))
+
+
+SQL_HASH_JOIN_ENRICH = f"""
+WITH t AS ({_T}),
+p AS (SELECT conv_id, count(*) AS conv_turns, min(ts) AS first_ts
+      FROM t GROUP BY 1)
+SELECT t.conv_id, t.turn_uid, t.ts, p.conv_turns, p.first_ts
+FROM t JOIN p USING (conv_id)
+ORDER BY conv_id, turn_uid
+"""
+
+
 LM_TRAIN_MOD = 10
 
 
@@ -1569,6 +1612,7 @@ def build_queries() -> dict:
         "response_latency": q_response_latency,
         "pack_documents": q_pack_documents,
         "lm_quality_score": q_lm_quality_score,
+        "hash_join_enrich": q_hash_join_enrich,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1628,4 +1672,5 @@ def build_oracle_sql() -> dict:
         "response_latency": SQL_RESPONSE_LATENCY,
         "pack_documents": SQL_PACK_DOCUMENTS,
         "lm_quality_score": SQL_LM_QUALITY_SCORE,
+        "hash_join_enrich": SQL_HASH_JOIN_ENRICH,
     }

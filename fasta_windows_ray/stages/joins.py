@@ -165,3 +165,19 @@ def semi_join(ds, keys, col: str = "conv_id", anti: bool = False):
             return t.filter(m)
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def hash_join(left, right, on: str, num_partitions: int = 64,
+              join_type: str = "inner", right_suffix: str = "_r"):
+    """Big-big shuffle equi-join: both sides hash-partitioned on ``on``
+    and merged per partition — the join shape for two LARGE tables,
+    where neither side fits a broadcast (``semi_join``) and there is no
+    interval/order structure for ``asof_join``/``range_join``.
+
+    Thin wrapper over Ray Data's native ``Dataset.join`` (hash shuffle
+    with streaming aggregators) so the engine exposes one consistent
+    entry; ``num_partitions`` must scale with input size (same contract
+    as the bucket counts elsewhere)."""
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions, on=(on,),
+                     right_suffix=right_suffix)

@@ -46,3 +46,26 @@ def test_asof_and_range_edges(ray_session):
     assert set(s["conv_id"]) == {"a"} and len(s) == 3
     an = semi_join(rd.from_pandas(turns), {"a"}, anti=True).to_pandas()
     assert set(an["conv_id"]) == {"b"} and len(an) == 1
+
+
+def test_hash_join_matches_pandas_merge(ray_session):
+    import ray.data as rd
+    from fasta_windows_ray.stages.joins import hash_join
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500),
+                         "v": np.arange(500)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2),
+                          "w": np.arange(30) * 10})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                    num_partitions=8).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    key = ["k", "v", "w"]
+    out = out[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+    lo = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                   num_partitions=8, join_type="left_outer").to_pandas()
+    wl = left.merge(right, on="k", how="left")
+    assert len(lo) == len(wl)
+    assert lo["w"].isna().sum() == wl["w"].isna().sum()
