@@ -1409,6 +1409,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_window_topk_convs(sf_dir: str):
+    """Composition exhibit: top-3 most-active conversations per
+    tumbling window = assign_tumbling ∘ grouped_topk — no new operator
+    code, the engine's primitives compose."""
+    from ..stages.analytics import grouped_topk
+    from ..stages.window_stats import assign_tumbling
+    ds = read_transcripts(sf_dir, columns=["conv_id", "ts"])
+    out = grouped_topk(assign_tumbling(ds, SIZE_US), "window_start",
+                       "conv_id", k=3)
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return (out.sort_values(["window_start", "rank"])
+               .reset_index(drop=True))
+
+
+SQL_WINDOW_TOPK_CONVS = f"""
+WITH t AS ({_T}),
+agg AS (SELECT make_timestamp((epoch_us(ts) // {SIZE_US}) * {SIZE_US})
+          AS window_start, conv_id, count(*) AS n_rows
+        FROM t GROUP BY 1, 2),
+r AS (SELECT window_start, conv_id, n_rows,
+        row_number() OVER (PARTITION BY window_start
+                           ORDER BY n_rows DESC, conv_id) AS rank
+      FROM agg)
+SELECT window_start, conv_id, n_rows, rank FROM r WHERE rank <= 3
+ORDER BY window_start, rank
+"""
+
+
 def q_hash_join_enrich(sf_dir: str):
     """Big-big shuffle equi-join: every turn enriched with its
     conversation's profile (turn count + first ts). The profile side
@@ -1613,6 +1641,7 @@ def build_queries() -> dict:
         "pack_documents": q_pack_documents,
         "lm_quality_score": q_lm_quality_score,
         "hash_join_enrich": q_hash_join_enrich,
+        "window_topk_convs": q_window_topk_convs,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1673,4 +1702,5 @@ def build_oracle_sql() -> dict:
         "pack_documents": SQL_PACK_DOCUMENTS,
         "lm_quality_score": SQL_LM_QUALITY_SCORE,
         "hash_join_enrich": SQL_HASH_JOIN_ENRICH,
+        "window_topk_convs": SQL_WINDOW_TOPK_CONVS,
     }
