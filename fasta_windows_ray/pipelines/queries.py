@@ -1461,8 +1461,9 @@ def q_hash_join_enrich(sf_dir: str):
             .groupby("conv_id")
             .aggregate(Sum("conv_turns", alias_name="conv_turns"),
                        Min("first_ts", alias_name="first_ts")))
+
     out = hash_join(turns, prof, on="conv_id",
-                    num_partitions=32).to_pandas()
+                    num_buckets=32).to_pandas()
     out["ts"] = out["ts"].astype("datetime64[us]")
     out["first_ts"] = out["first_ts"].astype("datetime64[us]")
     out["conv_turns"] = out["conv_turns"].astype(np.int64)

@@ -167,17 +167,44 @@ def semi_join(ds, keys, col: str = "conv_id", anti: bool = False):
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
 
 
-def hash_join(left, right, on: str, num_partitions: int = 64,
-              join_type: str = "inner", right_suffix: str = "_r"):
-    """Big-big shuffle equi-join: both sides hash-partitioned on ``on``
-    and merged per partition — the join shape for two LARGE tables,
-    where neither side fits a broadcast (``semi_join``) and there is no
+def hash_join(left, right, on: str, num_buckets: int = 64,
+              how: str = "inner", right_suffix: str = "_r"):
+    """Big-big shuffle equi-join: both sides hash-bucketed on ``on``
+    and merged per bucket — the join shape for two LARGE tables, where
+    neither side fits a broadcast (``semi_join``) and there is no
     interval/order structure for ``asof_join``/``range_join``.
 
-    Thin wrapper over Ray Data's native ``Dataset.join`` (hash shuffle
-    with streaming aggregators) so the engine exposes one consistent
-    entry; ``num_partitions`` must scale with input size (same contract
-    as the bucket counts elsewhere)."""
-    return left.join(right, join_type=join_type,
-                     num_partitions=num_partitions, on=(on,),
-                     right_suffix=right_suffix)
+    Built on the engine's own co-partition machinery (union-tag +
+    md5-bucket + per-group pandas merge) rather than Ray Data's native
+    ``Dataset.join``: the native hash join races on schema inference
+    when empty upstream partitions emit schema-less blocks (observed
+    nondeterministic ArrowInvalid "no match for key field on right
+    side" at small inputs). One all-to-all; ``num_buckets`` must scale
+    with input size, many keys per bucket keep groups bounded.
+    ``how``: "inner" or "left"."""
+    from .window_stats import stable_bucket_of
+
+    left = _as_dataset(left)
+    right = _as_dataset(right)
+    int_names = _int_cols(left) | _int_cols(right)
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        b = stable_bucket_of(t[on].to_numpy(zero_copy_only=False),
+                             num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    both = _union_tagged(
+        left.map_batches(bucketer, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        right.map_batches(bucketer, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["_side"] == "L", left_cols]
+        r = df.loc[df["_side"] == "R", right_cols]
+        out = l.merge(r, on=on, how=how, suffixes=("", right_suffix))
+        return _restore_ints(out, int_names)
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -57,7 +57,7 @@ def test_hash_join_matches_pandas_merge(ray_session):
     right = pd.DataFrame({"k": np.arange(0, 60, 2),
                           "w": np.arange(30) * 10})
     out = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
-                    num_partitions=8).to_pandas()
+                    num_buckets=8).to_pandas()
     want = left.merge(right, on="k", how="inner")
     key = ["k", "v", "w"]
     out = out[key].sort_values(key).reset_index(drop=True)
@@ -65,7 +65,7 @@ def test_hash_join_matches_pandas_merge(ray_session):
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
 
     lo = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
-                   num_partitions=8, join_type="left_outer").to_pandas()
+                   num_buckets=8, how="left").to_pandas()
     wl = left.merge(right, on="k", how="left")
     assert len(lo) == len(wl)
     assert lo["w"].isna().sum() == wl["w"].isna().sum()
