@@ -632,6 +632,35 @@ def q_stateful_tumbling_counts(sf_dir: str):
                                "n_assistant", "n_system", "n_tool", "n_other"])
 
 
+def q_stateful_custom_aggs(sf_dir: str):
+    """The UDF extension surface under the driver gate: tumbling windows
+    through the stateful engine with the two REGISTERED custom window
+    aggregates (functions/registry: rolling add/evict state machines for
+    total_text_chars and distinct_tools) — each contributes one output
+    column, both reproduced exactly by plain SQL."""
+    from ..state.engine import WindowConfig
+    from ..state.runner import stateful_window_run
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "role",
+                                           "text", "tool", "ts"])
+    cfg = WindowConfig(kind="tumbling", size_us=SIZE_US, profile="counts",
+                       custom_aggs=("total_text_chars", "distinct_tools"))
+    out = stateful_window_run(ds, cfg, num_buckets=16)
+    return out.select_columns(["conv_id", "window_start", "n_turns",
+                               "total_text_chars", "distinct_tools"])
+
+
+SQL_STATEFUL_CUSTOM_AGGS = f"""
+WITH t AS ({_T})
+SELECT conv_id,
+  make_timestamp((epoch_us(ts) // {SIZE_US}) * {SIZE_US}) AS window_start,
+  count(*) AS n_turns,
+  sum(length(coalesce(text, '')))::DOUBLE AS total_text_chars,
+  count(DISTINCT CASE WHEN tool IS NOT NULL AND tool <> '' THEN tool
+                 END)::DOUBLE AS distinct_tools
+FROM t GROUP BY 1, 2
+"""
+
+
 def q_stateful_session_windows(sf_dir: str):
     """Session windows via the stateful engine — same oracle as the
     map_groups sessions stage."""
@@ -1643,6 +1672,7 @@ def build_queries() -> dict:
         "lm_quality_score": q_lm_quality_score,
         "hash_join_enrich": q_hash_join_enrich,
         "window_topk_convs": q_window_topk_convs,
+        "stateful_custom_aggs": q_stateful_custom_aggs,
         # rows-only (non-SQL-expressible semantics: CTW state machine,
         # list-typed freq vectors — long-format twin is oracle-paired)
         "tumbling_ctw": q_tumbling_ctw,
@@ -1704,4 +1734,5 @@ def build_oracle_sql() -> dict:
         "lm_quality_score": SQL_LM_QUALITY_SCORE,
         "hash_join_enrich": SQL_HASH_JOIN_ENRICH,
         "window_topk_convs": SQL_WINDOW_TOPK_CONVS,
+        "stateful_custom_aggs": SQL_STATEFUL_CUSTOM_AGGS,
     }
