@@ -181,18 +181,38 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
     nondeterministic ArrowInvalid "no match for key field on right
     side" at small inputs). One all-to-all; ``num_buckets`` must scale
     with input size, many keys per bucket keep groups bounded.
-    ``how``: "inner" or "left"."""
+    ``how``: "inner" or "left".
+
+    Caveat (Ray behavior, not fixable in-operator): a join with ZERO
+    total matches yields an all-empty Dataset whose ``to_pandas()``
+    loses column names — callers needing a typed empty frame should
+    guard like q_cep_sequence does with a schema helper."""
     from .window_stats import stable_bucket_of
 
     left = _as_dataset(left)
     right = _as_dataset(right)
+    if left.schema() is None or right.schema() is None:
+        raise ValueError("hash_join: cannot infer a side's schema (empty "
+                         "dataset with no recorded schema) — materialize "
+                         "a typed empty block upstream or skip the join")
     int_names = _int_cols(left) | _int_cols(right)
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
 
     def bucketer(t: pa.Table) -> pa.Table:
-        b = stable_bucket_of(t[on].to_numpy(zero_copy_only=False),
-                             num_buckets)
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # bucket on a representation CONSISTENT WITH MERGE EQUALITY:
+        # numerics cast to float64 (pandas merge upcasts int-vs-float to
+        # float equality; str(2) != str(2.0) would split merge-equal
+        # keys across buckets), nulls filled (np.unique over None
+        # raises; collisions are safe — the per-group merge decides)
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        else:
+            vals = col.fill_null("").to_numpy(zero_copy_only=False)
+        b = stable_bucket_of(vals, num_buckets)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     both = _union_tagged(
@@ -201,10 +221,13 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
         right.map_batches(bucketer, batch_format="pyarrow",
                           zero_copy_batch=True))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["_side"] == "L", left_cols]
         r = df.loc[df["_side"] == "R", right_cols]
         out = l.merge(r, on=on, how=how, suffixes=("", right_suffix))
-        return _restore_ints(out, int_names)
+        # Arrow out so a zero-match group stays a TYPED empty block
+        # (all-empty pandas blocks lose column names through to_pandas)
+        return pa.Table.from_pandas(_restore_ints(out, int_names),
+                                    preserve_index=False)
 
     return both.groupby("bucket").map_groups(merge, batch_format="pandas")

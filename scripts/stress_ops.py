@@ -47,9 +47,7 @@ def main() -> dict:
     num_buckets = 8 * ncpu                       # scale buckets with input
 
     def turns():
-        ds = bench.read_transcripts_replicated(sf, replicate)
-        # CEP scans need an id column for deterministic tie-break
-        return ds
+        return bench.read_transcripts_replicated(sf, replicate)
 
     def run_cep():
         out = match_sequence(turns(), "conv_id", "role", "ts", "turn_uid",
