@@ -1266,6 +1266,30 @@ ORDER BY doc_id
 """
 
 
+SAMPLE_TOPK_K = 12
+
+
+def q_hash_topk_sample(sf_dir: str):
+    """Exact-k deterministic per-language sample (hash-order top-k, the
+    reproducible reservoir-sampling analogue): per-batch k-candidates,
+    tiny driver merge, zero shuffles."""
+    from ..stages.sampling import hash_topk_sample
+    return hash_topk_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
+                            SAMPLE_TOPK_K, strata_col="lang")
+
+
+SQL_HASH_TOPK_SAMPLE = f"""
+WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+s AS (SELECT doc_id, lang, ({_hex_fold("h", 15)}) % 1000 AS slot FROM h),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang ORDER BY slot, doc_id) AS rn
+      FROM s)
+SELECT doc_id, lang FROM r WHERE rn <= {SAMPLE_TOPK_K}
+ORDER BY lang, doc_id
+"""
+
+
 QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
@@ -1662,6 +1686,7 @@ def build_queries() -> dict:
         "simhash": q_simhash,
         "grouped_topk": q_grouped_topk,
         "hash_sample": q_hash_sample,
+        "hash_topk_sample": q_hash_topk_sample,
         "exact_quantiles": q_exact_quantiles,
         "pii_redact": q_pii_redact,
         "windowed_distinct": q_windowed_distinct,
@@ -1724,6 +1749,7 @@ def build_oracle_sql() -> dict:
         "stream_metrics": _stream_metrics_sql(),
         "grouped_topk": SQL_GROUPED_TOPK,
         "hash_sample": SQL_HASH_SAMPLE,
+        "hash_topk_sample": SQL_HASH_TOPK_SAMPLE,
         "exact_quantiles": SQL_EXACT_QUANTILES,
         "pii_redact": SQL_PII_REDACT,
         "windowed_distinct": SQL_WINDOWED_DISTINCT,

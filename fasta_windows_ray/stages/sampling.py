@@ -50,3 +50,39 @@ def hash_sample(ds, key_col: str, permille: int,
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_topk_sample(ds, key_col: str, k: int,
+                     strata_col: str | None = None):
+    """EXACT-k deterministic sample (per stratum): keep the k rows with
+    the smallest (md5-slot, key) — the reproducible analogue of
+    reservoir sampling (same k rows regardless of partitioning, runs,
+    or data order; adding unrelated rows can only displace by hash
+    order, never reshuffle the survivors randomly).
+
+    Combiner shape (same argument as grouped_topk): a global top-k by
+    hash is contained in the union of per-batch top-k candidates, so
+    each batch emits ≤ k rows per stratum and a tiny driver merge
+    finishes — no shuffle at all. Returns a pandas frame of the
+    sampled rows (driver-small by construction: ≤ k × strata rows).
+    """
+    import pandas as pd
+
+    strata = [strata_col] if strata_col else []
+
+    def cand(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["_slot"] = stable_bucket_of(
+            t[key_col].to_numpy(zero_copy_only=False), SLOTS)
+        df = df.sort_values(["_slot", key_col], kind="stable")
+        return (df.groupby(strata_col, sort=False).head(k)
+                if strata_col else df.head(k))
+
+    c = ds.map_batches(cand, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    c = c.sort_values(["_slot", key_col], kind="stable")
+    out = (c.groupby(strata_col, sort=False).head(k)
+           if strata_col else c.head(k))
+    return (out.drop(columns=["_slot"])
+               .sort_values(strata + [key_col])
+               .reset_index(drop=True))

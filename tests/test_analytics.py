@@ -281,6 +281,28 @@ def test_adjacent_delays_matches_reference(ray_session):
     assert len(want) > 10
 
 
+def test_hash_topk_sample_exact_k_and_stable(ray_session):
+    """Exact-k per stratum; survivors invariant under re-partitioning
+    AND under adding rows that hash later (the reservoir property)."""
+    from fasta_windows_ray.stages.sampling import hash_topk_sample
+    from fasta_windows_ray.stages.window_stats import stable_bucket_of
+    df = pd.DataFrame({"doc_id": np.arange(900),
+                       "lang": np.where(np.arange(900) % 4 == 0,
+                                        "en", "de")})
+    a = hash_topk_sample(_ds(df, 7), "doc_id", 10, strata_col="lang")
+    b = hash_topk_sample(_ds(df.iloc[::-1], 3), "doc_id", 10,
+                         strata_col="lang")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a.groupby("lang").size() == 10).all()
+    # matches the definition: k smallest (slot, doc_id) per stratum
+    slots = stable_bucket_of(df["doc_id"].to_numpy(), 1000)
+    want = (df.assign(slot=slots)
+              .sort_values(["slot", "doc_id"], kind="stable")
+              .groupby("lang", sort=False).head(10)
+              .sort_values(["lang", "doc_id"]))
+    assert a["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 def test_redact_pii_counts_and_text(ray_session):
     from fasta_windows_ray.stages.pii import PII_PATTERNS, redact_pii
     texts = [
