@@ -1390,6 +1390,42 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_label_centroid_sim(sf_dir: str):
+    """Class-prototype analysis: mean-pool embeddings per label
+    (per-batch partial sums, driver fold — bounded by label count) and
+    report pairwise cosine between prototypes; the oracle recomputes
+    centroids position-wise in SQL."""
+    import itertools
+    import ray.data as rd
+    from ..stages.similarity import label_centroids
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    labels, C, _ = label_centroids(ds)
+    norms = np.linalg.norm(C, axis=1)
+    rows = []
+    for i, j in itertools.combinations(range(len(labels)), 2):
+        cs = float(C[i] @ C[j] / (norms[i] * norms[j]))
+        rows.append((int(labels[i]), int(labels[j]), np.round(cs, 6) + 0.0))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
+    out["label_a"] = out["label_a"].astype(np.int32)
+    out["label_b"] = out["label_b"].astype(np.int32)
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROID_SIM = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings),
+c AS (SELECT label, pos, avg(x) AS m FROM u GROUP BY 1, 2),
+cl AS (SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY 1)
+SELECT a.label AS label_a, b.label AS label_b,
+  round(list_cosine_similarity(a.centroid, b.centroid), 6) + 0.0 AS cos_sim
+FROM cl a JOIN cl b ON a.label < b.label
+ORDER BY 1, 2
+"""
+
+
 CEP_PATTERN = ["view", "click", "purchase"]
 # 48 h: per-user inter-event gaps in the synthetic stream average ~10 h,
 # so a tighter span yields zero matches at test scale (vacuous oracle)
@@ -1691,6 +1727,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "windowed_distinct": q_windowed_distinct,
         "semantic_clusters": q_semantic_clusters,
+        "label_centroid_sim": q_label_centroid_sim,
         "cep_sequence": q_cep_sequence,
         "response_latency": q_response_latency,
         "pack_documents": q_pack_documents,
@@ -1754,6 +1791,7 @@ def build_oracle_sql() -> dict:
         "pii_redact": SQL_PII_REDACT,
         "windowed_distinct": SQL_WINDOWED_DISTINCT,
         "semantic_clusters": SQL_SEMANTIC_CLUSTERS,
+        "label_centroid_sim": SQL_LABEL_CENTROID_SIM,
         "cep_sequence": SQL_CEP_SEQUENCE,
         "response_latency": SQL_RESPONSE_LATENCY,
         "pack_documents": SQL_PACK_DOCUMENTS,

@@ -119,6 +119,33 @@ def semantic_clusters(ds, init_centroids: np.ndarray, iterations: int = 0
     return ds.map_batches(assign_final, batch_format="pandas")
 
 
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding"):
+    """Mean-pool embeddings per label (class prototypes — the building
+    block for SemDeDup-style semantic dedup diagnostics and prototype
+    classifiers): per-batch partial (sum, count) per label, tiny driver
+    fold — label cardinality is bounded, the corpus never moves.
+    Returns (labels, centroid_matrix float64, counts)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        labels = batch[label_col].to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        rows = [(u, E[inv == i].sum(axis=0), int((inv == i).sum()))
+                for i, u in enumerate(uniq)]
+        return pd.DataFrame(rows, columns=[label_col, "vsum", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_labels, cents, counts = [], [], []
+    for lab, grp in parts.groupby(label_col, sort=True):
+        tot = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+        n = int(grp["n"].sum())
+        out_labels.append(lab)
+        cents.append(tot / n)
+        counts.append(n)
+    return out_labels, np.stack(cents), np.asarray(counts, np.int64)
+
+
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
              train_sample: int = 2048) -> pd.DataFrame:

@@ -219,6 +219,20 @@ def test_pack_documents_prefix_scan(ray_session):
     assert (np.diff(out["pack_id"]) >= 0).all()
 
 
+def test_label_centroids_matches_numpy(ray_session):
+    from fasta_windows_ray.stages.similarity import label_centroids
+    rng = np.random.default_rng(21)
+    n, d = 400, 8
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    labs = rng.integers(0, 5, n)
+    df = pd.DataFrame({"label": labs, "embedding": list(E)})
+    labels, C, counts = label_centroids(_ds(df, 7))
+    for i, lab in enumerate(labels):
+        m = labs == lab
+        assert counts[i] == m.sum()
+        assert np.allclose(C[i], E[m].astype(np.float64).mean(axis=0))
+
+
 def test_cep_match_sequence(ray_session):
     """Strict-contiguity pattern matching vs a per-key Python reference,
     including the within-span cutoff and cross-key non-matches."""
