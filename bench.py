@@ -168,6 +168,12 @@ def bench_queries() -> dict:
     def cep_sequence():
         return len(Q.q_cep_sequence(SF_DIR))
 
+    def lm_quality():
+        return len(Q.q_lm_quality_score(SF_DIR))
+
+    def hash_join_enrich():
+        return len(Q.q_hash_join_enrich(SF_DIR))
+
     return {
         "sliding_window_stats": sliding_full,
         "tumbling_window_stats": tumbling_full,
@@ -179,6 +185,8 @@ def bench_queries() -> dict:
         "grouped_topk": grouped_topk,
         "windowed_distinct": windowed_distinct,
         "cep_sequence": cep_sequence,
+        "lm_quality_score": lm_quality,
+        "hash_join_enrich": hash_join_enrich,
     }
 
 

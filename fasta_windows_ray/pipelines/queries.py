@@ -333,7 +333,13 @@ def q_asof_join_sessions(sf_dir: str):
 
     sess = sess.map_batches(prep, batch_format="pyarrow")
     turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
-    out = asof_join(turns, sess, value_cols=["session_start", "s_n_turns"])
+    out = asof_join(
+        turns, sess, value_cols=["session_start", "s_n_turns"],
+        schemas=({"conv_id": pa.string(), "turn_uid": pa.int64(),
+                  "ts": pa.timestamp("us")},
+                 {"conv_id": pa.string(), "ts": pa.timestamp("us"),
+                  "session_start": pa.timestamp("us"),
+                  "s_n_turns": pa.int64()}))
     return out.select_columns(["conv_id", "turn_uid", "session_start",
                                "s_n_turns"])
 
@@ -360,11 +366,18 @@ def q_range_join_sessions(sf_dir: str):
     its ts (searchsorted per conversation)."""
     from ..stages.joins import range_join
     from ..stages.sessions import session_stats
+    import pyarrow as pa
     sess = session_stats(read_transcripts(sf_dir, columns=["conv_id", "ts"]),
                          SESSION_GAP_US).select_columns(
         ["conv_id", "session_start", "session_end"])
     turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
-    out = range_join(turns, sess)
+    out = range_join(
+        turns, sess,
+        schemas=({"conv_id": pa.string(), "turn_uid": pa.int64(),
+                  "ts": pa.timestamp("us")},
+                 {"conv_id": pa.string(),
+                  "session_start": pa.timestamp("us"),
+                  "session_end": pa.timestamp("us")}))
     return out.select_columns(["conv_id", "turn_uid", "session_start",
                                "session_end"])
 
@@ -1551,8 +1564,14 @@ def q_hash_join_enrich(sf_dir: str):
             .aggregate(Sum("conv_turns", alias_name="conv_turns"),
                        Min("first_ts", alias_name="first_ts")))
 
-    out = hash_join(turns, prof, on="conv_id",
-                    num_buckets=32).to_pandas()
+    # static schemas: skips the Dataset.schema() limit-1 probe
+    # executions (Ray-core refcount race hazard, README Known limits)
+    out = hash_join(
+        turns, prof, on="conv_id", num_buckets=32,
+        left_schema={"conv_id": _pa.string(), "turn_uid": _pa.int64(),
+                     "ts": _pa.timestamp("us")},
+        right_schema={"conv_id": _pa.string(), "conv_turns": _pa.int64(),
+                      "first_ts": _pa.int64()}).to_pandas()
     out["ts"] = out["ts"].astype("datetime64[us]")
     out["first_ts"] = out["first_ts"].astype("datetime64[us]")
     out["conv_turns"] = out["conv_turns"].astype(np.int64)

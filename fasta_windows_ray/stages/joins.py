@@ -17,9 +17,18 @@ import ray
 from .window_stats import add_bucket
 
 
-def _union_tagged(left, right, tag_col: str = "_side"):
-    cols_l = {f.name: f.type for f in left.schema().base_schema}
-    cols_r = {f.name: f.type for f in right.schema().base_schema}
+def _union_tagged(left, right, tag_col: str = "_side", schemas=None):
+    """``schemas``: optional (dict_l, dict_r) of name -> pa.DataType.
+    When provided, the ``Dataset.schema()`` probes are skipped — each
+    probe executes a limit-1 plan, and rapid sequences of those can
+    trip a Ray-core refcount race (reference_count.cc:581, see README
+    Known limitations); callers that know their schemas statically
+    should pass them."""
+    if schemas is not None:
+        cols_l, cols_r = dict(schemas[0]), dict(schemas[1])
+    else:
+        cols_l = {f.name: f.type for f in left.schema().base_schema}
+        cols_r = {f.name: f.type for f in right.schema().base_schema}
     all_cols = list(dict.fromkeys(list(cols_l) + list(cols_r) + [tag_col]))
     types = {**cols_r, **cols_l, tag_col: pa.string()}
 
@@ -75,7 +84,8 @@ def _restore_ints(df: pd.DataFrame, int_names: set) -> pd.DataFrame:
 
 
 def asof_join(turns_ds, events, value_cols: list[str],
-              on: str = "ts", by: str = "conv_id", num_buckets: int = 32):
+              on: str = "ts", by: str = "conv_id", num_buckets: int = 32,
+              schemas=None):
     """For each turn, attach the most recent (backward) event row of the
     same conversation: pd.merge_asof per conv_id hash bucket.
 
@@ -84,9 +94,18 @@ def asof_join(turns_ds, events, value_cols: list[str],
     distributed end-to-end) or a small pandas frame.
     """
     right = _as_dataset(events)
-    int_names = _int_cols(turns_ds) | _int_cols(right)
+    if schemas is not None:
+        # static schemas skip the Dataset.schema() limit-1 probes
+        # (Ray-core refcount race hazard — see _union_tagged)
+        int_names = {n for s in schemas for n, t in s.items()
+                     if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+        bkt = {"bucket": pa.int64()}
+        sch = ({**schemas[0], **bkt}, {**schemas[1], **bkt})
+    else:
+        int_names = _int_cols(turns_ds) | _int_cols(right)
+        sch = None
     both = _union_tagged(add_bucket(turns_ds, num_buckets),
-                         add_bucket(right, num_buckets))
+                         add_bucket(right, num_buckets), schemas=sch)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == "L"].drop(columns=["_side"])
@@ -104,16 +123,23 @@ def asof_join(turns_ds, events, value_cols: list[str],
 def range_join(turns_ds, intervals,
                lo_col: str = "session_start", hi_col: str = "session_end",
                value_cols: list[str] | None = None,
-               by: str = "conv_id", num_buckets: int = 32):
+               by: str = "conv_id", num_buckets: int = 32, schemas=None):
     """Attach the interval containing each turn's ts (inclusive bounds):
     per-conversation searchsorted against the sorted interval starts.
     Intervals must be non-overlapping per key (true for sessions).
     ``intervals`` may be a Dataset (stays distributed) or a pandas frame."""
     value_cols = value_cols or []
     right = _as_dataset(intervals)
-    int_names = _int_cols(turns_ds) | _int_cols(right)
+    if schemas is not None:
+        int_names = {n for s in schemas for n, t in s.items()
+                     if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+        bkt = {"bucket": pa.int64()}
+        sch = ({**schemas[0], **bkt}, {**schemas[1], **bkt})
+    else:
+        int_names = _int_cols(turns_ds) | _int_cols(right)
+        sch = None
     both = _union_tagged(add_bucket(turns_ds, num_buckets),
-                         add_bucket(right, num_buckets))
+                         add_bucket(right, num_buckets), schemas=sch)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == "L"].drop(columns=["_side"]).dropna(
@@ -168,7 +194,8 @@ def semi_join(ds, keys, col: str = "conv_id", anti: bool = False):
 
 
 def hash_join(left, right, on: str, num_buckets: int = 64,
-              how: str = "inner", right_suffix: str = "_r"):
+              how: str = "inner", right_suffix: str = "_r",
+              left_schema=None, right_schema=None):
     """Big-big shuffle equi-join: both sides hash-bucketed on ``on``
     and merged per bucket — the join shape for two LARGE tables, where
     neither side fits a broadcast (``semi_join``) and there is no
@@ -191,13 +218,20 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
 
     left = _as_dataset(left)
     right = _as_dataset(right)
-    if left.schema() is None or right.schema() is None:
-        raise ValueError("hash_join: cannot infer a side's schema (empty "
-                         "dataset with no recorded schema) — materialize "
-                         "a typed empty block upstream or skip the join")
-    int_names = _int_cols(left) | _int_cols(right)
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
+    if left_schema is None or right_schema is None:
+        if left.schema() is None or right.schema() is None:
+            raise ValueError(
+                "hash_join: cannot infer a side's schema (empty dataset "
+                "with no recorded schema) — pass left_schema/right_schema "
+                "or materialize a typed empty block upstream")
+    sch_l = (dict(left_schema) if left_schema is not None
+             else {f.name: f.type for f in left.schema().base_schema})
+    sch_r = (dict(right_schema) if right_schema is not None
+             else {f.name: f.type for f in right.schema().base_schema})
+    int_names = {n for s in (sch_l, sch_r) for n, t in s.items()
+                 if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+    left_cols = list(sch_l)
+    right_cols = list(sch_r)
 
     def bucketer(t: pa.Table) -> pa.Table:
         col = t[on]
@@ -215,11 +249,13 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
         b = stable_bucket_of(vals, num_buckets)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
+    bkt = {"bucket": pa.int64()}
     both = _union_tagged(
         left.map_batches(bucketer, batch_format="pyarrow",
                          zero_copy_batch=True),
         right.map_batches(bucketer, batch_format="pyarrow",
-                          zero_copy_batch=True))
+                          zero_copy_batch=True),
+        schemas=({**sch_l, **bkt}, {**sch_r, **bkt}))
 
     def merge(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["_side"] == "L", left_cols]
