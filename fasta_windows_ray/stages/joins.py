@@ -83,6 +83,19 @@ def _restore_ints(df: pd.DataFrame, int_names: set) -> pd.DataFrame:
     return df
 
 
+def _schema_hints(schemas):
+    """Shared handling of static (left, right) schema hints: returns
+    (int_names for _restore_ints, bucket-augmented schema tuple for
+    _union_tagged) — one definition of which types count as integer and
+    of the appended bucket column. ``schemas=None`` -> (None, None)."""
+    if schemas is None:
+        return None, None
+    int_names = {n for s in schemas for n, t in s.items()
+                 if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+    bkt = {"bucket": pa.int64()}
+    return int_names, ({**schemas[0], **bkt}, {**schemas[1], **bkt})
+
+
 def asof_join(turns_ds, events, value_cols: list[str],
               on: str = "ts", by: str = "conv_id", num_buckets: int = 32,
               schemas=None):
@@ -94,16 +107,9 @@ def asof_join(turns_ds, events, value_cols: list[str],
     distributed end-to-end) or a small pandas frame.
     """
     right = _as_dataset(events)
-    if schemas is not None:
-        # static schemas skip the Dataset.schema() limit-1 probes
-        # (Ray-core refcount race hazard — see _union_tagged)
-        int_names = {n for s in schemas for n, t in s.items()
-                     if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
-        bkt = {"bucket": pa.int64()}
-        sch = ({**schemas[0], **bkt}, {**schemas[1], **bkt})
-    else:
+    int_names, sch = _schema_hints(schemas)
+    if int_names is None:
         int_names = _int_cols(turns_ds) | _int_cols(right)
-        sch = None
     both = _union_tagged(add_bucket(turns_ds, num_buckets),
                          add_bucket(right, num_buckets), schemas=sch)
 
@@ -130,14 +136,9 @@ def range_join(turns_ds, intervals,
     ``intervals`` may be a Dataset (stays distributed) or a pandas frame."""
     value_cols = value_cols or []
     right = _as_dataset(intervals)
-    if schemas is not None:
-        int_names = {n for s in schemas for n, t in s.items()
-                     if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
-        bkt = {"bucket": pa.int64()}
-        sch = ({**schemas[0], **bkt}, {**schemas[1], **bkt})
-    else:
+    int_names, sch = _schema_hints(schemas)
+    if int_names is None:
         int_names = _int_cols(turns_ds) | _int_cols(right)
-        sch = None
     both = _union_tagged(add_bucket(turns_ds, num_buckets),
                          add_bucket(right, num_buckets), schemas=sch)
 
@@ -218,18 +219,23 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
 
     left = _as_dataset(left)
     right = _as_dataset(right)
-    if left_schema is None or right_schema is None:
-        if left.schema() is None or right.schema() is None:
+
+    def resolve(side_ds, hint, name):
+        # probe ONLY the side whose hint is missing (each probe is a
+        # limit-1 execution — the refcount-race hazard the hints avoid)
+        if hint is not None:
+            return dict(hint)
+        s = side_ds.schema()
+        if s is None:
             raise ValueError(
-                "hash_join: cannot infer a side's schema (empty dataset "
-                "with no recorded schema) — pass left_schema/right_schema "
-                "or materialize a typed empty block upstream")
-    sch_l = (dict(left_schema) if left_schema is not None
-             else {f.name: f.type for f in left.schema().base_schema})
-    sch_r = (dict(right_schema) if right_schema is not None
-             else {f.name: f.type for f in right.schema().base_schema})
-    int_names = {n for s in (sch_l, sch_r) for n, t in s.items()
-                 if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+                f"hash_join: cannot infer the {name} side's schema "
+                "(empty dataset) — pass left_schema/right_schema or "
+                "materialize a typed empty block upstream")
+        return {f.name: f.type for f in s.base_schema}
+
+    sch_l = resolve(left, left_schema, "left")
+    sch_r = resolve(right, right_schema, "right")
+    int_names, sch_bkt = _schema_hints((sch_l, sch_r))
     left_cols = list(sch_l)
     right_cols = list(sch_r)
 
@@ -249,13 +255,12 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
         b = stable_bucket_of(vals, num_buckets)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
-    bkt = {"bucket": pa.int64()}
     both = _union_tagged(
         left.map_batches(bucketer, batch_format="pyarrow",
                          zero_copy_batch=True),
         right.map_batches(bucketer, batch_format="pyarrow",
                           zero_copy_batch=True),
-        schemas=({**sch_l, **bkt}, {**sch_r, **bkt}))
+        schemas=sch_bkt)
 
     def merge(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["_side"] == "L", left_cols]

@@ -72,6 +72,11 @@ def hash_topk_sample(ds, key_col: str, k: int,
 
     def cand(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
+        if strata_col:
+            # null stratum folds to "" (engine-wide convention, same as
+            # hash_sample) — pandas groupby would silently DROP NaN
+            # strata otherwise
+            df[strata_col] = df[strata_col].fillna("")
         df["_slot"] = stable_bucket_of(
             t[key_col].to_numpy(zero_copy_only=False), SLOTS)
         df = df.sort_values(["_slot", key_col], kind="stable")
@@ -80,6 +85,8 @@ def hash_topk_sample(ds, key_col: str, k: int,
 
     c = ds.map_batches(cand, batch_format="pyarrow",
                        zero_copy_batch=True).to_pandas()
+    if c.empty:          # all-empty dataset loses columns through Ray
+        return c
     c = c.sort_values(["_slot", key_col], kind="stable")
     out = (c.groupby(strata_col, sort=False).head(k)
            if strata_col else c.head(k))

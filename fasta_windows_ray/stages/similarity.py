@@ -136,6 +136,9 @@ def label_centroids(ds, label_col: str = "label",
         return pd.DataFrame(rows, columns=[label_col, "vsum", "n"])
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        raise ValueError("label_centroids: empty input dataset — no "
+                         "labels to pool")
     out_labels, cents, counts = [], [], []
     for lab, grp in parts.groupby(label_col, sort=True):
         tot = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
