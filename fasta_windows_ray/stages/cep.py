@@ -126,7 +126,6 @@ def match_sequence(ds, key_col: str, type_col: str, ts_col: str,
     """
     if len(pattern) < 1:
         raise ValueError("pattern must have at least one element")
-    m = len(pattern)
 
     def bucket(t: pa.Table) -> pa.Table:
         b = stable_bucket_of(t[key_col].to_numpy(zero_copy_only=False),
@@ -134,34 +133,44 @@ def match_sequence(ds, key_col: str, type_col: str, ts_col: str,
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col, ts_col, id_col],
-                            kind="stable").reset_index(drop=True)
-        n = len(df)
-        empty = empty_matches(key_col, df[key_col].dtype)
-        if n < m:
-            return empty
-        types = df[type_col].to_numpy()
-        keys = df[key_col].to_numpy()
-        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        ids = df[id_col].to_numpy()
-        lim = n - m + 1
-        ok = types[:lim] == pattern[0]
-        for j in range(1, m):
-            ok &= types[j:lim + j] == pattern[j]
-        # whole match inside one key's segment: first and last key equal
-        # (the frame is key-sorted, so equality implies containment)
-        ok &= keys[:lim] == keys[m - 1:]
-        ok &= ts[m - 1:] - ts[:lim] <= within_us
-        idx = np.flatnonzero(ok)
-        if not len(idx):
-            return empty
-        return pd.DataFrame({
-            key_col: keys[idx],
-            "start_event_id": ids[idx].astype(np.int64),
-            "end_event_id": ids[idx + m - 1].astype(np.int64),
-            "start_ts": ts[idx].astype("datetime64[us]")})
+        return scan_matches(df, key_col, type_col, ts_col, id_col,
+                            pattern, within_us)
 
     return (ds.map_batches(bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("bucket")
               .map_groups(scan, batch_format="pandas"))
+
+
+def scan_matches(df: pd.DataFrame, key_col: str, type_col: str,
+                 ts_col: str, id_col: str, pattern: list[str],
+                 within_us: int) -> pd.DataFrame:
+    """The pure per-group scan body of :func:`match_sequence` (module
+    scope so the hypothesis property test drives the REAL kernel)."""
+    m = len(pattern)
+    df = df.sort_values([key_col, ts_col, id_col],
+                        kind="stable").reset_index(drop=True)
+    n = len(df)
+    empty = empty_matches(key_col, df[key_col].dtype)
+    if n < m:
+        return empty
+    types = df[type_col].to_numpy()
+    keys = df[key_col].to_numpy()
+    ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+    ids = df[id_col].to_numpy()
+    lim = n - m + 1
+    ok = types[:lim] == pattern[0]
+    for j in range(1, m):
+        ok &= types[j:lim + j] == pattern[j]
+    # whole match inside one key's segment: first and last key equal
+    # (the frame is key-sorted, so equality implies containment)
+    ok &= keys[:lim] == keys[m - 1:]
+    ok &= ts[m - 1:] - ts[:lim] <= within_us
+    idx = np.flatnonzero(ok)
+    if not len(idx):
+        return empty
+    return pd.DataFrame({
+        key_col: keys[idx],
+        "start_event_id": ids[idx].astype(np.int64),
+        "end_event_id": ids[idx + m - 1].astype(np.int64),
+        "start_ts": ts[idx].astype("datetime64[us]")})

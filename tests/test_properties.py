@@ -134,3 +134,35 @@ def test_quantiles_from_hist_equals_sorted_indexing(vals, qs):
     for q, v in quantiles_from_hist(uniq, cnt, qs):
         idx = 0 if q <= 0 else int(np.ceil(q * n)) - 1
         assert v == srt[idx]
+
+
+@given(st.lists(st.tuples(st.integers(0, 3),      # key
+                          st.integers(0, 5),      # ts (many ties)
+                          st.integers(0, 2)),     # type code
+                min_size=0, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_match_sequence_scan_equals_reference(rows):
+    """The REAL vectorized shift-compare CEP kernel (cep.scan_matches)
+    == a per-key Python scan, including heavy ts ties (deterministic
+    (ts, id) ordering) and cross-key boundaries."""
+    import pandas as pd
+    from fasta_windows_ray.stages.cep import scan_matches
+    pat = ["t0", "t1"]
+    within = 10**9
+    df = pd.DataFrame({
+        "k": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] * 1000 for r in rows], unit="us"),
+        "eid": np.arange(len(rows)),
+        "ty": ["t%d" % r[2] for r in rows],
+    })
+    out = scan_matches(df, "k", "ty", "ts", "eid", pat, within)
+    got = sorted(zip(out["k"], out["start_event_id"], out["end_event_id"]))
+    want = []
+    for k, g in df.sort_values(["ts", "eid"]).groupby("k"):
+        t = g["ty"].to_numpy(); e = g["eid"].to_numpy()
+        tt = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        for i in range(len(g) - 1):
+            if t[i] == pat[0] and t[i + 1] == pat[1] \
+                    and tt[i + 1] - tt[i] <= within:
+                want.append((k, e[i], e[i + 1]))
+    assert got == sorted(want)
