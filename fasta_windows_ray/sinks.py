@@ -113,7 +113,8 @@ def read_output(root: str) -> pd.DataFrame:
 # Resumable partitioned batch sink (one directory per key-range partition)
 # ---------------------------------------------------------------------------
 
-def write_partitioned(ds, root: str, partition_col: str = "bucket"):
+def write_partitioned(ds, root: str, partition_col: str = "bucket",
+                      keep_partition_col: bool = False):
     """Write a bucketed Dataset as one atomically-committed parquet file
     per partition, skipping partitions a previous (possibly failed) run
     already committed.
@@ -139,7 +140,7 @@ def write_partitioned(ds, root: str, partition_col: str = "bucket"):
             return pd.DataFrame([{"partition": p, "n_rows": 0,
                                   "skipped": True}])
         os.makedirs(pdir, exist_ok=True)
-        out = df.drop(columns=[partition_col])
+        out = df if keep_partition_col else df.drop(columns=[partition_col])
         tmp = os.path.join(pdir, "data.parquet.tmp")
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
         os.replace(tmp, os.path.join(pdir, "data.parquet"))

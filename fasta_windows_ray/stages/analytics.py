@@ -42,12 +42,22 @@ def grouped_topk(ds, group_col: str, key_col: str, k: int,
     exact integer count so results are reproducible bit-for-bit).
 
     Returns columns: group_col, key_col, n_rows, [sum_weight], rank.
+
+    Null-key contract (round-3 ADVICE): null group/key values are folded
+    to "" for string columns (the engine-wide sentinel convention, same
+    as sampling.py) so they aggregate as one group instead of being
+    silently dropped by pandas' default dropna=True; numeric key columns
+    must be non-null (nulls would arrive as NaN floats and corrupt the
+    exact-integer ranking).
     """
     cols = [group_col, key_col] + ([weight_col] if weight_col else [])
 
     def combine(t: pa.Table) -> pa.Table:
         df = t.select(cols).to_pandas()
-        gb = df.groupby([group_col, key_col], sort=False)
+        for c in (group_col, key_col):
+            if df[c].dtype == object:
+                df[c] = df[c].fillna("")
+        gb = df.groupby([group_col, key_col], sort=False, dropna=False)
         agg = {"n_rows": (key_col, "size")}
         if weight_col:
             agg["sum_weight"] = (weight_col, "sum")
@@ -75,6 +85,10 @@ def grouped_topk(ds, group_col: str, key_col: str, k: int,
         return df.groupby(group_col, sort=False).head(k)
 
     cand = total.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if cand.empty:   # all-empty input loses column names through Ray
+        return pd.DataFrame(columns=[group_col, key_col, "n_rows"]
+                            + (["sum_weight"] if weight_col else [])
+                            + ["rank"])
     cand = cand.sort_values(["n_rows", key_col], ascending=[False, True],
                             kind="stable")
     out = (cand.groupby(group_col, sort=True).head(k)
@@ -126,6 +140,9 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     merged = (ds.map_batches(hist, batch_format="pyarrow",
                              zero_copy_batch=True)
                 .groupby(col).sum("cnt").to_pandas())
+    if merged.empty:  # all-empty input loses column names through Ray
+        return pd.DataFrame({"q": pd.Series(dtype=float),
+                             "value": pd.Series(dtype=float)})
     merged = merged.sort_values(col).reset_index(drop=True)
     counts = merged["sum(cnt)"].to_numpy()
     values = merged[col].to_numpy()
@@ -137,7 +154,8 @@ def exact_quantiles(ds, col: str, qs: list[float]):
 
 
 def pack_documents(ds, budget_tokens: int, id_col: str = "doc_id",
-                   tokens_col: str = "n_tokens", slab: int = 4096):
+                   tokens_col: str = "n_tokens", slab: int = 4096,
+                   super_factor: int = 4096):
     """Sequence packing for training: assign each document (in id order)
     to a fixed-token-budget pack via the running token total —
     ``pack_id = exclusive_prefix_sum(n_tokens) // budget`` — computed as
@@ -152,10 +170,17 @@ def pack_documents(ds, budget_tokens: int, id_col: str = "doc_id",
        per-slab co-location is the one FULL-data all-to-all) and add
        slab offset + local exclusive cumsum.
 
-    Driver state is O(n_docs / slab) — bounded by the slab constant, not
-    data. Input must already carry ``tokens_col`` (compose with
-    TokenCounter); ids must be non-negative ints. Returns a Dataset of
-    (id, n_tokens, pack_id). Matches a SQL
+    Driver state is O(n_docs / (slab × super_factor)) — round-3 VERDICT
+    #8 replaced the flat O(n_slabs) offsets broadcast with a TWO-LEVEL
+    scan: the driver cumulates only SUPER-slab sums (slab // 4096), the
+    exact per-slab offsets are computed distributed (map_groups per
+    super-slab over the tiny slab-sum table), and each offset row rides
+    the existing per-slab shuffle as a tagged sentinel row (id = -1) —
+    no broadcast dict at all on the wide path. At 10^12 docs with the
+    defaults the driver holds ~60 k ints; further levels can be added
+    but one suffices for any realistic corpus. Input must already carry
+    ``tokens_col`` (compose with TokenCounter); ids must be non-negative
+    ints. Returns a Dataset of (id, n_tokens, pack_id). Matches a SQL
     ``sum() OVER (ORDER BY id)`` oracle exactly.
     """
     import ray
@@ -172,34 +197,91 @@ def pack_documents(ds, budget_tokens: int, id_col: str = "doc_id",
         return pa.table({"_slab": pa.array(uniq, pa.int64()),
                          "tok": pa.array(tot)})
 
-    sums = (ds.map_batches(slab_sums, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby("_slab").sum("tok").to_pandas()
-              .sort_values("_slab").reset_index(drop=True))
-    totals = sums["sum(tok)"].to_numpy()
-    offsets = {int(s): int(o) for s, o in zip(
-        sums["_slab"], np.concatenate(([0], np.cumsum(totals)[:-1])))}
-    oref = ray.put(offsets)
+    sums_ds = (ds.map_batches(slab_sums, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("_slab").sum("tok"))
+
+    # level 2: super-slab sums — the only thing the driver cumulates
+    def super_partial(t: pa.Table) -> pa.Table:
+        sl = t["_slab"].to_numpy()
+        tok = t["sum(tok)"].to_numpy()
+        sup = sl // super_factor
+        uniq, inv = np.unique(sup, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, tok)
+        return pa.table({"_super": pa.array(uniq, pa.int64()),
+                         "tok": pa.array(tot)})
+
+    sup = (sums_ds.map_batches(super_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("_super").sum("tok").to_pandas()
+                  .sort_values("_super").reset_index(drop=True))
+    if sup.empty:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype=np.int64),
+            tokens_col: pd.Series(dtype=np.int64),
+            "pack_id": pd.Series(dtype=np.int64)}))
+    stot = sup["sum(tok)"].to_numpy()
+    super_offs = {int(s): int(o) for s, o in zip(
+        sup["_super"], np.concatenate(([0], np.cumsum(stot)[:-1])))}
+    sref = ray.put(super_offs)
+
+    # exact per-slab offsets, computed distributed per super-slab
+    def add_super(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_super", pa.array(t["_slab"].to_numpy() // super_factor,
+                               pa.int64()))
+
+    def slab_offsets(df: pd.DataFrame) -> pa.Table:
+        offs = ray.get(sref)
+        df = df.sort_values("_slab", kind="stable").reset_index(drop=True)
+        tok = df["sum(tok)"].to_numpy()
+        excl = offs[int(df["_super"].iloc[0])] \
+            + np.concatenate(([0], np.cumsum(tok)[:-1]))
+        # sentinel rows (id = -1) that ride the per-slab shuffle; column
+        # order must match add_slab's output for the union, and the
+        # block must be ARROW like the other union side (mixed block
+        # types break the sort-shuffle's boundary sampling)
+        return pa.table({
+            id_col: pa.array(np.full(len(df), -1, dtype=np.int64)),
+            tokens_col: pa.array(np.zeros(len(df), dtype=np.int64)),
+            "_slab": pa.array(df["_slab"].to_numpy(), pa.int64()),
+            "_off": pa.array(excl.astype(np.int64))})
+
+    off_ds = (sums_ds.map_batches(add_super, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                     .groupby("_super")
+                     .map_groups(slab_offsets, batch_format="pandas"))
 
     def add_slab(t: pa.Table) -> pa.Table:
         sl = t[id_col].to_numpy() // slab
-        return t.append_column("_slab", pa.array(sl, pa.int64()))
+        t = t.select([id_col, tokens_col])
+        t = t.append_column("_slab", pa.array(sl, pa.int64()))
+        return t.append_column(
+            "_off", pa.array(np.full(len(sl), -1), pa.int64()))
 
     def assign_pack(df: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(oref)
-        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
-        tok = df[tokens_col].to_numpy()
-        prefix_excl = offs[int(df["_slab"].iloc[0])] \
-            + np.concatenate(([0], np.cumsum(tok)[:-1]))
+        ids = df[id_col].to_numpy()
+        data = df[ids >= 0].sort_values(id_col, kind="stable") \
+            .reset_index(drop=True)
+        if data.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 tokens_col: pd.Series(dtype=np.int64),
+                                 "pack_id": pd.Series(dtype=np.int64)})
+        off = int(df.loc[df[id_col] < 0, "_off"].iloc[0])
+        tok = data[tokens_col].to_numpy()
+        prefix_excl = off + np.concatenate(([0], np.cumsum(tok)[:-1]))
         return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
+            id_col: data[id_col].to_numpy(),
             tokens_col: tok.astype(np.int64),
             "pack_id": (prefix_excl // budget_tokens).astype(np.int64)})
 
-    return (ds.map_batches(add_slab, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby("_slab")
-              .map_groups(assign_pack, batch_format="pandas"))
+    tagged = ds.map_batches(add_slab, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return (tagged.union(off_ds)
+                  .groupby("_slab")
+                  .map_groups(assign_pack, batch_format="pandas"))
 
 
 def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,
@@ -214,18 +296,26 @@ def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,
     second exchange's COUNT of pairs per window IS the exact distinct.
 
     ``window_start`` is emitted as int64 epoch-microseconds.
+
+    Null-key contract (round-3 ADVICE): null users are folded to "" for
+    string columns (engine-wide sentinel, same as sampling.py) and kept
+    via dropna=False otherwise, so ``n_events`` matches SQL ``count(*)``
+    on inputs containing null users instead of silently dropping them.
     """
     cols = [ts_col, user_col] + ([value_col] if value_col else [])
 
     def assign(t: pa.Table) -> pa.Table:
         from ..windows import tumbling_start
         df = t.select(cols).to_pandas()
+        if df[user_col].dtype == object:
+            df[user_col] = df[user_col].fillna("")
         ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         df["window_start"] = tumbling_start(ts, size_us)
         agg = {"n_events": (user_col, "size")}
         if value_col:
             agg["sum_value"] = (value_col, "sum")
-        out = (df.groupby(["window_start", user_col], sort=False)
+        out = (df.groupby(["window_start", user_col], sort=False,
+                          dropna=False)
                  .agg(**agg).reset_index())
         # Arrow out — see combine() above
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -249,6 +339,13 @@ def windowed_distinct(ds, ts_col: str, user_col: str, size_us: int,
 
     parts = per_pair.map_batches(roll_partial,
                                  batch_format="pandas").to_pandas()
+    if parts.empty:  # all-empty input loses column names through Ray
+        out = pd.DataFrame({"window_start": pd.Series(dtype=np.int64),
+                            "n_events": pd.Series(dtype=np.int64),
+                            "n_users": pd.Series(dtype=np.int64)})
+        if value_col:
+            out["sum_value"] = pd.Series(dtype=float)
+        return out
     agg = {"n_events": ("n_events", "sum"), "n_users": ("n_users", "sum")}
     if value_col:
         agg["sum_value"] = ("sum_value", "sum")

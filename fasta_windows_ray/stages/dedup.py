@@ -577,6 +577,60 @@ def simhash_fingerprints(ds, concurrency=None):
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def bucket_cosine_pairs(E: np.ndarray, ids: np.ndarray, bucket_code: int,
+                        threshold: float, seed: int,
+                        max_bucket: int = 256,
+                        max_depth: int = 16) -> pd.DataFrame:
+    """Exact cosine pairs within one LSH bucket, with HOT-BUCKET
+    SPLITTING (round-3 VERDICT #3): a real clustered corpus can
+    concentrate into one bucket, and an uncapped ``E @ E.T`` there is
+    O(n²) memory/compute. Groups larger than ``max_bucket`` are split
+    recursively by extra seeded hyperplanes — a near-duplicate pair
+    (cos ≥ threshold) crosses a random plane with probability
+    θ/π ≲ 0.1, and the 4 independent tables re-offer lost pairs — so
+    per-matmul size stays ≤ max_bucket while planted-dup recall stays
+    ≈ 1 (pytest gate on a planted dense cluster). A group that
+    max_depth planes cannot split (near-identical mass) falls back to
+    the minhash path's deterministic uniform sample + logged drop.
+    ``E`` must be row-normalized; ``ids`` ascending."""
+    rng = np.random.default_rng((seed * 1_000_003 + bucket_code)
+                                & 0x7FFFFFFF)
+    out_a, out_b, out_s = [], [], []
+    n_sampled = 0
+    stack = [(E, ids, 0)]
+    while stack:
+        E_, ids_, d = stack.pop()
+        if len(ids_) < 2:
+            continue
+        if len(ids_) > max_bucket:
+            if d < max_depth:
+                v = rng.standard_normal(E_.shape[1])
+                side = E_ @ v > 0
+                stack.append((E_[side], ids_[side], d + 1))
+                stack.append((E_[~side], ids_[~side], d + 1))
+                continue
+            n_sampled += len(ids_) - max_bucket
+            keep = np.sort(rng.choice(len(ids_), max_bucket,
+                                      replace=False))
+            E_, ids_ = E_[keep], ids_[keep]
+        sims = E_ @ E_.T
+        ia, ib = np.triu_indices(len(ids_), k=1)
+        m = sims[ia, ib] >= threshold
+        out_a.append(ids_[ia[m]])
+        out_b.append(ids_[ib[m]])
+        out_s.append(sims[ia[m], ib[m]])
+    if n_sampled:
+        import logging
+        logging.getLogger(__name__).warning(
+            "embedding_near_dups: unsplittable dense bucket — %d ids "
+            "sampled out after %d split planes", n_sampled, max_depth)
+    if not out_a:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+    return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                         "vec_b": np.concatenate(out_b),
+                         "cos_sim": np.concatenate(out_s)})
+
+
 def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
                         seed: int = 11):
     """Near-duplicate vec pairs by cosine >= threshold.
@@ -622,12 +676,9 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
         if len(df) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
         E = np.stack(df["embedding"].to_numpy())
-        sims = E @ E.T
-        ia, ib = np.triu_indices(len(df), k=1)
-        keep = sims[ia, ib] >= threshold
         ids = df["vec_id"].to_numpy()
-        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
-                             "cos_sim": sims[ia[keep], ib[keep]]})
+        return bucket_cosine_pairs(E, ids, int(df["bucket"].iloc[0]),
+                                   threshold, seed)
 
     pairs = bucketed.groupby("bucket").map_groups(pairs_in_bucket,
                                                   batch_format="pandas")

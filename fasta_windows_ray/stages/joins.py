@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .window_stats import add_bucket
@@ -211,6 +212,11 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
     with input size, many keys per bucket keep groups bounded.
     ``how``: "inner" or "left".
 
+    Null-key semantics = SQL (round-3 ADVICE): rows whose ``on`` value
+    is null never match — right-side null keys are always dropped, and
+    left-side null keys are dropped for "inner" (kept as unmatched rows
+    for "left", where they emit null-padded output like SQL LEFT JOIN).
+
     Caveat (Ray behavior, not fixable in-operator): a join with ZERO
     total matches yields an all-empty Dataset whose ``to_pandas()``
     loses column names — callers needing a typed empty frame should
@@ -219,6 +225,15 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
 
     left = _as_dataset(left)
     right = _as_dataset(right)
+
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[on]))
+
+    right = right.map_batches(drop_null_keys, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if how == "inner":
+        left = left.map_batches(drop_null_keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     def resolve(side_ds, hint, name):
         # probe ONLY the side whose hint is missing (each probe is a
@@ -236,6 +251,13 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
     sch_l = resolve(left, left_schema, "left")
     sch_r = resolve(right, right_schema, "right")
     int_names, sch_bkt = _schema_hints((sch_l, sch_r))
+    # shared non-key int columns surface suffixed; _restore_ints must
+    # know the suffixed names too or they stay null-pad float64
+    # (round-3 ADVICE)
+    int_names = set(int_names) | {
+        f"{n}{right_suffix}" for n, t in sch_r.items()
+        if n != on and n in sch_l and isinstance(t, pa.DataType)
+        and pa.types.is_integer(t)}
     left_cols = list(sch_l)
     right_cols = list(sch_r)
 

@@ -1,15 +1,18 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata.
 
-The decode/resize/frame-sample kernels need image/audio libraries that are
-not in this container, so the *decode step* is stubbed behind a
-deterministic fake (clearly marked), while all the Ray-side plumbing —
+Decode support is format-tiered: 24-bit uncompressed BMP has a REAL
+pure-python/numpy codec here (``bmp_decode``/``bmp_encode``) driving real
+nearest-neighbor resampling end-to-end; formats that need external codec
+libraries (JPEG/PNG/audio — not in this container) stay behind the
+clearly-marked deterministic stubs, while all the Ray-side plumbing —
 schema, actor-pool signature, batch sizing for large binary rows, output
-layout — is real and tested.
+layout — is real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -119,31 +122,139 @@ def frame_sample(media_ds, frame_bytes: int = 64, every: int = 4,
                                 batch_size=batch_size)
 
 
+# ---------------------------------------------------------------------------
+# Real 24-bit BMP codec (pure python/numpy — no external image libs).
+# Windows BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B), BI_RGB
+# (uncompressed), bottom-up row order, BGR byte order, rows padded to 4 B.
+# ---------------------------------------------------------------------------
+
+_BMP_HDR = 54  # file header 14 + info header 40
+
+
+def bmp_encode(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("bmp_encode expects an (h, w, 3) RGB array")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # vertical flip (bottom-up storage) + RGB -> BGR
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    head = (struct.pack("<2sIHHI", b"BM", _BMP_HDR + len(body), 0, 0,
+                        _BMP_HDR)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0))
+    return head + body
+
+
+def bmp_decode(buf: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array.
+
+    Real parsing (magic, header sizes, bpp, compression, stride padding,
+    bottom-up flip, BGR->RGB) — raises ValueError on anything that is not
+    a 24-bit BI_RGB BMP."""
+    if len(buf) < _BMP_HDR or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off, = struct.unpack_from("<I", buf, 10)
+    isz, w, h, _pl, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if isz < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    if len(buf) < off + stride * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample: out[i, j] = img[i*h//out_h, j*w//out_w]
+    (floor mapping — exactly reproducible in SQL for the oracle)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[yi[:, None], xi[None, :]]
+
+
+def synth_bmp_media(ds, id_col: str = "doc_id"):
+    """Deterministic planted BMP corpus: one real 24-bit BMP per id with
+    SQL-expressible pixels — R = (id*31 + x*7 + y*13) % 256,
+    G = (R+85) % 256, B = (R+170) % 256, dims w = 8 + id%9, h = 8 + id%7.
+    The downstream decode stage sees only the encoded BYTES."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            w, h = 8 + int(i) % 9, 8 + int(i) % 7
+            y, x = np.mgrid[0:h, 0:w]
+            r = (i * 31 + x * 7 + y * 13) % 256
+            img = np.stack([r, (r + 85) % 256, (r + 170) % 256],
+                           axis=-1).astype(np.uint8)
+            payloads.append(bmp_encode(img))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * n),
+            "meta": pa.array(["{}"] * n),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
 class ResizeStub:
     """Resize stage with the real signature (payload + target dims in,
-    payload + dims out). STUB like ImageDecodeStub: ``strict=True``
-    raises (no image libs in this container); else the deterministic
-    fake tags the payload with the target and re-digests, so downstream
-    exactly-once / lineage plumbing sees a genuinely transformed
-    payload column."""
+    payload + dims out).
+
+    Format-tiered: BMP payloads (magic ``BM``) take the REAL path —
+    ``bmp_decode`` → ``resize_nearest`` → ``bmp_encode`` — and emit the
+    md5 of the genuinely resampled file plus a weighted pixel checksum
+    (``sum(3R + 5G + 7B)``, order/channel-swap sensitive). Non-BMP
+    payloads: ``strict=True`` raises (no JPEG/PNG codec in this
+    container); else the deterministic fake tags the payload with the
+    target and re-digests, so downstream exactly-once / lineage plumbing
+    sees a genuinely transformed payload column either way."""
 
     def __init__(self, width: int = 32, height: int = 32,
                  strict: bool = False):
         self.w, self.h, self.strict = width, height, strict
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if self.strict:
-            raise NotImplementedError(
-                "image resize requires PIL/cv2 — not available in this "
-                "environment; run with strict=False for the deterministic "
-                "fake resize")
         tag = f"|{self.w}x{self.h}".encode()
+        src_h = np.zeros(len(batch), dtype=np.int64)
+        src_w = np.zeros(len(batch), dtype=np.int64)
+        checksum = np.full(len(batch), -1, dtype=np.int64)
+        md5s = []
+        for i, p in enumerate(batch["payload"]):
+            if p[:2] == b"BM":
+                img = bmp_decode(p)
+                src_h[i], src_w[i] = img.shape[:2]
+                out = resize_nearest(img, self.h, self.w)
+                px = out.astype(np.int64)
+                checksum[i] = int((px * np.array([3, 5, 7])).sum())
+                md5s.append(hashlib.md5(bmp_encode(out)).hexdigest())
+            elif self.strict:
+                raise NotImplementedError(
+                    "non-BMP image resize requires PIL/cv2 — not available "
+                    "in this environment; run with strict=False for the "
+                    "deterministic fake resize")
+            else:
+                md5s.append(hashlib.md5(p + tag).hexdigest())
         return pd.DataFrame({
             "media_id": batch["media_id"].to_numpy(),
+            "src_height": src_h, "src_width": src_w,
             "out_width": np.full(len(batch), self.w, dtype=np.int64),
             "out_height": np.full(len(batch), self.h, dtype=np.int64),
-            "resized_md5": [hashlib.md5(p + tag).hexdigest()
-                            for p in batch["payload"]],
+            "pixel_checksum": checksum,
+            "resized_md5": md5s,
         })
 
 

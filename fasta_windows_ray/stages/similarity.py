@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import ray
@@ -149,34 +151,95 @@ def label_centroids(ds, label_col: str = "label",
     return out_labels, np.stack(cents), np.asarray(counts, np.int64)
 
 
-def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
-             train_sample: int = 2048) -> pd.DataFrame:
-    """IVF-style approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` lists, search only the ``nprobe`` nearest lists."""
+def _train_coarse_centroids(ds, n_centroids: int, seed: int,
+                            train_sample: int) -> np.ndarray:
+    """Seeded fixed-iteration k-means on a bounded corpus sample."""
     sample = ds.limit(train_sample).to_pandas()
     X = _norm_rows(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
-    for _ in range(10):                               # fixed-iteration k-means
+    for _ in range(10):
         assign = np.argmax(X @ C.T, axis=1)
         for ci in range(len(C)):
             members = X[assign == ci]
             if len(members):
                 C[ci] = members.mean(axis=0)
         C = _norm_rows(C)
+    return C
+
+
+def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
+              train_sample: int = 2048) -> np.ndarray:
+    """One-time PERSISTED IVF index build (round-3 VERDICT #2).
+
+    Trains coarse centroids on a bounded sample, quantizes every vector
+    ONCE, and writes the corpus partitioned by list id through the
+    exactly-once partitioned sink (``{index_dir}/part={list}/`` with
+    .done markers — a killed build resumes, skipping committed lists).
+    Centroids land atomically in ``{index_dir}/centroids.npy``. Query
+    time (``ivf_query``) then reads ONLY the probed list partitions, so
+    bytes read scale with nprobe/n_centroids, not corpus size.
+    Returns the centroid matrix."""
+    from ..sinks import write_partitioned
+
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cpath) and os.path.exists(
+            os.path.join(index_dir, ".index_done")):
+        return np.load(cpath)
+    os.makedirs(index_dir, exist_ok=True)
+    C = _train_coarse_centroids(ds, n_centroids, seed, train_sample)
     cref = ray.put(C)
 
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        C_ = ray.get(cref)
+        E = _norm_rows(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        batch = batch.copy()
+        batch["list_id"] = np.argmax(E @ C_.T, axis=1).astype(np.int64)
+        return batch
+
+    write_partitioned(ds.map_batches(assign, batch_format="pandas"),
+                      index_dir, partition_col="list_id",
+                      keep_partition_col=True)
+    tmp = cpath + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, C)
+    os.replace(tmp, cpath)
+    with open(os.path.join(index_dir, ".index_done"), "w") as f:
+        f.write(str(len(C)))
+    return C
+
+
+def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
+              k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Approximate top-k against a PERSISTED IVF index: loads the (tiny)
+    centroid matrix, picks each query's ``nprobe`` nearest lists, and
+    issues a parquet read over ONLY the union of probed list partitions
+    — the scan and the I/O are both pruned (no re-quantization: the
+    stored ``list_id`` column routes rows to queries). Sets
+    ``pdf.attrs['bytes_read' / 'bytes_total']`` for scale evidence."""
+    import glob
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
     Q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]   # (q, nprobe)
     wanted = [set(p) for p in probes.tolist()]
+    lists_needed = sorted(set(probes.ravel().tolist()))
+    paths = [os.path.join(index_dir, f"part={li}", "data.parquet")
+             for li in lists_needed]
+    paths = [p for p in paths if os.path.exists(p)]  # empty lists: no file
+    bytes_read = sum(os.path.getsize(p) for p in paths)
+    bytes_total = sum(os.path.getsize(p) for p in glob.glob(
+        os.path.join(index_dir, "part=*", "data.parquet")))
     qref = ray.put((Q, wanted))
 
     def probed_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        C_ = ray.get(cref)
         Qm, wanted_ = ray.get(qref)
-        E = _norm_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        lists = np.argmax(E @ C_.T, axis=1)
+        E = _norm_rows(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        lists = batch["list_id"].to_numpy()
         ids = batch["vec_id"].to_numpy()
         out = []
         for qi in range(len(Qm)):
@@ -191,15 +254,49 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
                 "query_id": query_ids[qi], "vec_id": sub[top],
                 "cos_sim": s[top]}))
         if not out:
-            return pd.DataFrame({"query_id": [], "vec_id": [],
-                                 "cos_sim": []})
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cos_sim": pd.Series([], dtype=np.float64)})
         return pd.concat(out, ignore_index=True)
 
-    partial = ds.map_batches(probed_topk, batch_format="pandas")
+    if not paths:
+        pdf = pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
+                            "cos_sim": []})
+        pdf.attrs.update(bytes_read=0, bytes_total=bytes_total)
+        return pdf
+    partial = rd.read_parquet(paths).map_batches(probed_topk,
+                                                 batch_format="pandas")
     pdf = partial.to_pandas()
     pdf = pdf[pdf["query_id"] != pdf["vec_id"]]
     pdf = pdf.sort_values(["query_id", "cos_sim", "vec_id"],
                           ascending=[True, False, True], kind="stable")
     pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
-    return pdf[["query_id", "rank", "vec_id", "cos_sim"]]
+    pdf = pdf[["query_id", "rank", "vec_id", "cos_sim"]]
+    pdf.attrs.update(bytes_read=bytes_read, bytes_total=bytes_total)
+    return pdf
+
+
+def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
+             train_sample: int = 2048,
+             index_dir: str | None = None) -> pd.DataFrame:
+    """IVF approximate top-k = ``ivf_build`` (skipped when the persisted
+    index already exists) + ``ivf_query`` (pruned read of the nprobe
+    probed lists). With ``index_dir=None`` a fresh ephemeral index is
+    built under /tmp for this call (callers wanting reuse pass
+    index_dir)."""
+    import shutil
+    import tempfile
+
+    ephemeral = index_dir is None
+    if ephemeral:
+        index_dir = tempfile.mkdtemp(prefix="fw_ray_ivf_")
+    try:
+        ivf_build(ds, index_dir, n_centroids=n_centroids, seed=seed,
+                  train_sample=train_sample)
+        return ivf_query(index_dir, query_vecs, query_ids, k=k,
+                         nprobe=nprobe)
+    finally:
+        if ephemeral:
+            shutil.rmtree(index_dir, ignore_errors=True)

@@ -99,21 +99,26 @@ class LangId:
         import re
         self.tok = re.compile(TOKEN_RE)
         self.langs = sorted(LANG_PROFILES)
-
-    def _pred(self, text: str) -> str:
-        toks = self.tok.findall(text.lower())
-        if not toks:
-            return "und"
-        best, best_score = "und", 0
-        for lang in self.langs:
-            s = sum(t in LANG_PROFILES[lang] for t in toks)
-            if s > best_score:
-                best, best_score = lang, s
-        return best
+        self.lang_arr = np.asarray(self.langs, dtype=object)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized (round-3 VERDICT #6): tokenize once, per-lang hit
+        # counts via explode+isin+group-sum (QualityScorer's shape);
+        # argmax over the score matrix == the old per-row loop (langs
+        # sorted, strict-greater ⇒ first-max wins ties alphabetically)
         out = batch[[c for c in ("doc_id", "lang") if c in batch.columns]].copy()
-        out["pred_lang"] = [self._pred(t) for t in batch["text"]]
+        text = batch["text"].reset_index(drop=True)
+        toks = text.str.lower().str.findall(self.tok)
+        ex = toks.explode()
+        scores = np.zeros((len(text), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hits = ex.isin(LANG_PROFILES[lang]).groupby(level=0).sum()
+            scores[:, j] = hits.reindex(toks.index,
+                                        fill_value=0).to_numpy(np.int64)
+        best = scores.argmax(axis=1)
+        best_score = scores[np.arange(len(text)), best]
+        out["pred_lang"] = np.where(best_score > 0, self.lang_arr[best],
+                                    "und")
         return out
 
 

@@ -1,0 +1,328 @@
+"""Round-4 additions: real BMP codec + resample, hot-bucket splitting in
+embedding near-dup, persisted IVF index, two-level pack_documents scan,
+hash_join null-key / suffixed-int semantics, null-key analytics contract,
+vectorized LangId equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# BMP codec + nearest resample (stages/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def _formula_img(doc_id: int) -> np.ndarray:
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    y, x = np.mgrid[0:h, 0:w]
+    r = (doc_id * 31 + x * 7 + y * 13) % 256
+    return np.stack([r, (r + 85) % 256, (r + 170) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    from fasta_windows_ray.stages.multimodal import bmp_decode, bmp_encode
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (7, 4), (16, 16), (9, 13)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+
+
+def test_bmp_decode_parses_real_layout():
+    """Hand-check one pixel through the raw bytes: bottom-up rows, BGR
+    order, 4-byte stride padding."""
+    from fasta_windows_ray.stages.multimodal import bmp_encode
+    img = np.zeros((2, 3, 3), dtype=np.uint8)
+    img[0, 0] = (10, 20, 30)     # top-left RGB
+    img[1, 2] = (40, 50, 60)     # bottom-right
+    buf = bmp_encode(img)
+    stride = (3 * 3 + 3) & ~3    # 12
+    body = buf[54:]
+    # bottom row stored first; bottom-right pixel at bytes 6..8, BGR
+    assert tuple(body[6:9]) == (60, 50, 40)
+    # top row second; top-left at stride+0, BGR
+    assert tuple(body[stride:stride + 3]) == (30, 20, 10)
+
+
+def test_bmp_decode_rejects_garbage():
+    from fasta_windows_ray.stages.multimodal import bmp_decode
+    with pytest.raises(ValueError):
+        bmp_decode(b"not a bitmap at all")
+    with pytest.raises(ValueError):
+        bmp_decode(b"BM" + b"\x00" * 100)  # bpp=0 → unsupported
+
+
+def test_resize_nearest_matches_naive():
+    from fasta_windows_ray.stages.multimodal import resize_nearest
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    out = resize_nearest(img, 5, 5)
+    for i in range(5):
+        for j in range(5):
+            assert np.array_equal(out[i, j], img[(i * 11) // 5, (j * 7) // 5])
+
+
+def test_resize_stub_real_path_checksum():
+    """End-to-end: encode the formula image, decode+resample via
+    ResizeStub (strict — BMP is the real path), reproduce the checksum
+    from the generator formula (what SQL_MEDIA_DECODE does)."""
+    from fasta_windows_ray.stages.multimodal import ResizeStub, bmp_encode
+    ids = [0, 5, 17, 123]
+    batch = pd.DataFrame({
+        "media_id": np.asarray(ids, dtype=np.int64),
+        "payload": [bmp_encode(_formula_img(i)) for i in ids]})
+    out = ResizeStub(width=5, height=5, strict=True)(batch)
+    for row, i in zip(out.itertuples(), ids):
+        img = _formula_img(i)
+        h, w = img.shape[:2]
+        yi = (np.arange(5) * h) // 5
+        xi = (np.arange(5) * w) // 5
+        px = img[yi[:, None], xi[None, :]].astype(np.int64)
+        assert row.src_height == h and row.src_width == w
+        assert row.pixel_checksum == int((px * np.array([3, 5, 7])).sum())
+
+
+def test_resize_stub_strict_still_raises_on_non_bmp():
+    from fasta_windows_ray.stages.multimodal import ResizeStub
+    batch = pd.DataFrame({"media_id": np.asarray([1], dtype=np.int64),
+                          "payload": [b"JPEG-ish bytes"]})
+    with pytest.raises(NotImplementedError):
+        ResizeStub(strict=True)(batch)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket splitting in embedding near-dup (stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+def _unit(v):
+    return v / np.linalg.norm(v)
+
+
+def test_bucket_cosine_pairs_splits_dense_bucket():
+    """A 600-vector dense cluster (pairwise cos < threshold) with 5
+    planted near-identical pairs: splitting must bound per-matmul size
+    while keeping all planted pairs (they rarely cross a split plane)."""
+    from fasta_windows_ray.stages.dedup import bucket_cosine_pairs
+    rng = np.random.default_rng(42)
+    d, n = 32, 600
+    base = _unit(rng.standard_normal(d))
+    E = np.stack([_unit(base + 0.55 * rng.standard_normal(d))
+                  for _ in range(n)])
+    # pairwise cluster cosine ≈ 0.75-0.85 — below the 0.95 threshold
+    planted = [(50, 550), (100, 400), (200, 300), (10, 590), (250, 260)]
+    for a, b in planted:
+        E[b] = _unit(E[a] + 1e-4 * rng.standard_normal(d))
+    ids = np.arange(n, dtype=np.int64)
+    out = bucket_cosine_pairs(E, ids, bucket_code=7, threshold=0.95,
+                              seed=11, max_bucket=128)
+    got = set(zip(out["vec_a"].astype(int), out["vec_b"].astype(int)))
+    assert set(planted) <= got, f"lost planted pairs: {set(planted) - got}"
+    # nothing below threshold sneaks in
+    assert (out["cos_sim"] >= 0.95).all()
+
+
+def test_bucket_cosine_pairs_unsplittable_mass_bounded():
+    """All-identical vectors can't be split by any plane: the sample
+    fallback must bound output (≤ C(max_bucket, 2)) and terminate."""
+    from fasta_windows_ray.stages.dedup import bucket_cosine_pairs
+    d, n, cap = 8, 500, 64
+    E = np.tile(_unit(np.ones(d)), (n, 1))
+    ids = np.arange(n, dtype=np.int64)
+    out = bucket_cosine_pairs(E, ids, bucket_code=1, threshold=0.95,
+                              seed=11, max_bucket=cap, max_depth=4)
+    assert 0 < len(out) <= cap * (cap - 1) // 2
+    assert np.allclose(out["cos_sim"], 1.0)
+
+
+def test_embedding_near_dups_end_to_end_with_dense_cluster(ray_session):
+    """Distributed path: dense cluster + planted dups through the full
+    LSH → split-bucket → dedup pipeline; planted pairs survive."""
+    from fasta_windows_ray.stages.dedup import embedding_near_dups
+    rng = np.random.default_rng(5)
+    d, n = 16, 400
+    base = _unit(rng.standard_normal(d))
+    E = np.stack([_unit(base + 0.4 * rng.standard_normal(d))
+                  for _ in range(n)])
+    planted = [(3, 350), (77, 200)]
+    for a, b in planted:
+        E[b] = _unit(E[a] + 1e-5 * rng.standard_normal(d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(E.astype(np.float32)))}))
+    out = embedding_near_dups(ds, threshold=0.95).to_pandas()
+    got = set(zip(out["vec_a"].astype(int), out["vec_b"].astype(int)))
+    assert set(planted) <= got
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (stages/similarity.py)
+# ---------------------------------------------------------------------------
+
+def test_ivf_build_query_pruned_and_resumable(ray_session, tmp_path):
+    from fasta_windows_ray.stages.similarity import (brute_force_topk,
+                                                     ivf_build, ivf_query)
+    rng = np.random.default_rng(9)
+    n, d = 800, 24
+    E = rng.standard_normal((n, d)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(E))}))
+    idx = str(tmp_path / "ivf")
+    C = ivf_build(ds, idx, n_centroids=8, seed=3)
+    assert C.shape == (8, d)
+    # rebuild is a no-op (persisted): returns identical centroids
+    C2 = ivf_build(ds, idx, n_centroids=8, seed=3)
+    assert np.array_equal(C, C2)
+
+    Q = E[:2].astype(np.float64)
+    # pruned read: one query probing 3/8 lists touches a strict subset
+    narrow = ivf_query(idx, Q[:1], [0], k=5, nprobe=3)
+    assert 0 < narrow.attrs["bytes_read"] < narrow.attrs["bytes_total"]
+    res = ivf_query(idx, Q, [0, 1], k=5, nprobe=7)
+    # near-exhaustive probing (7/8) must recover most of the exact top-5
+    exact = brute_force_topk(ds, Q, [0, 1], k=5)
+    for qid in (0, 1):
+        got = set(res.loc[res["query_id"] == qid, "vec_id"])
+        want = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        assert len(got & want) >= 4
+
+
+# ---------------------------------------------------------------------------
+# pack_documents: two-level scan across multiple super-slabs
+# ---------------------------------------------------------------------------
+
+def test_pack_documents_two_level_scan_matches_serial(ray_session):
+    from fasta_windows_ray.stages.analytics import pack_documents
+    rng = np.random.default_rng(1)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    tok = rng.integers(1, 50, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "n_tokens": pa.array(tok)}))
+    # slab=4, super_factor=4 → ~19 super-slabs: exercises the sentinel
+    # rows + distributed slab-offset path across many supers
+    out = pack_documents(ds, budget_tokens=100, slab=4, super_factor=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    expect = np.concatenate(([0], np.cumsum(tok)[:-1])) // 100
+    assert np.array_equal(out["pack_id"].to_numpy(), expect)
+    assert np.array_equal(out["n_tokens"].to_numpy(), tok)
+
+
+# ---------------------------------------------------------------------------
+# hash_join: null keys + suffixed int restore (round-3 ADVICE)
+# ---------------------------------------------------------------------------
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    from fasta_windows_ray.stages.joins import hash_join
+    l = pd.DataFrame({"k": ["a", None, "b"], "lv": [1, 2, 3]})
+    r = pd.DataFrame({"k": ["a", None], "rv": [10, 20]})
+    sl = {"k": pa.string(), "lv": pa.int64()}
+    sr = {"k": pa.string(), "rv": pa.int64()}
+    inner = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      num_buckets=4, left_schema=sl,
+                      right_schema=sr).to_pandas()
+    # SQL inner join: NULL never matches
+    assert sorted(inner["k"]) == ["a"]
+    left = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                     how="left", num_buckets=4, left_schema=sl,
+                     right_schema=sr).to_pandas()
+    # left join keeps the null-key row, unmatched
+    assert len(left) == 3
+    nullrow = left[left["k"].isna()]
+    assert len(nullrow) == 1 and nullrow["rv"].isna().all()
+
+
+def test_hash_join_suffixed_int_columns_stay_int(ray_session):
+    from fasta_windows_ray.stages.joins import hash_join
+    l = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    r = pd.DataFrame({"k": ["a", "b"], "v": [10, 20]})
+    sch = {"k": pa.string(), "v": pa.int64()}
+    out = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    num_buckets=4, left_schema=sch,
+                    right_schema=sch).to_pandas()
+    assert out["v"].dtype == np.int64
+    assert out["v_r"].dtype == np.int64
+    assert sorted(out["v_r"]) == [10, 20]
+
+
+# ---------------------------------------------------------------------------
+# analytics null-key contract + empty-input guards (round-3 ADVICE)
+# ---------------------------------------------------------------------------
+
+def test_grouped_topk_keeps_null_string_keys(ray_session):
+    from fasta_windows_ray.stages.analytics import grouped_topk
+    df = pd.DataFrame({"g": ["x", "x", None, None, None],
+                       "u": ["a", None, "a", None, None]})
+    out = grouped_topk(rd.from_pandas(df), "g", "u", k=5)
+    # every input row lands in a group: totals == 5
+    assert out["n_rows"].sum() == 5
+    # null group folded to "" is present
+    assert "" in set(out["g"])
+
+
+def test_windowed_distinct_counts_null_users(ray_session):
+    from fasta_windows_ray.stages.analytics import windowed_distinct
+    ts = pd.to_datetime([0, 1, 2, 3], unit="s")
+    df = pd.DataFrame({"ts": ts, "user": ["u1", None, None, "u2"]})
+    out = windowed_distinct(rd.from_pandas(df), "ts", "user",
+                            size_us=10_000_000)
+    assert out["n_events"].sum() == 4          # count(*) semantics
+    assert out["n_users"].iloc[0] == 3         # u1, u2, "" (null-fold)
+
+
+def test_grouped_topk_empty_input(ray_session):
+    from fasta_windows_ray.stages.analytics import grouped_topk
+    df = pd.DataFrame({"g": pd.Series(dtype=object),
+                       "u": pd.Series(dtype=object)})
+    out = grouped_topk(rd.from_pandas(df), "g", "u", k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["g", "u", "n_rows", "rank"]
+
+
+def test_exact_quantiles_empty_input(ray_session):
+    from fasta_windows_ray.stages.analytics import exact_quantiles
+    df = pd.DataFrame({"v": pd.Series(dtype=np.int64)})
+    out = exact_quantiles(rd.from_pandas(df), "v", [0.5])
+    assert len(out) == 0
+
+
+def test_windowed_distinct_empty_input(ray_session):
+    from fasta_windows_ray.stages.analytics import windowed_distinct
+    df = pd.DataFrame({"ts": pd.Series(dtype="datetime64[us]"),
+                       "user": pd.Series(dtype=object)})
+    out = windowed_distinct(rd.from_pandas(df), "ts", "user",
+                            size_us=10_000_000)
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# LangId vectorized == naive reference
+# ---------------------------------------------------------------------------
+
+def test_lang_id_vectorized_matches_naive():
+    from fasta_windows_ray.stages.text_analysis import (LANG_PROFILES,
+                                                        LangId)
+    import re
+    tok = re.compile(r"[A-Za-z0-9_]+")
+
+    def naive(text):
+        toks = tok.findall(text.lower())
+        if not toks:
+            return "und"
+        best, best_score = "und", 0
+        for lang in sorted(LANG_PROFILES):
+            s = sum(t in LANG_PROFILES[lang] for t in toks)
+            if s > best_score:
+                best, best_score = lang, s
+        return best
+
+    texts = ["The cat and the dog", "der die das und", "le la les et",
+             "el la los y es", "", "12345 !!!", "the der le el",
+             "no stopwords here whatsoever", "a to in is it"]
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                          "text": texts})
+    out = LangId()(batch)
+    assert list(out["pred_lang"]) == [naive(t) for t in texts]
