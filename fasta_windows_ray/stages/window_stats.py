@@ -273,12 +273,13 @@ class BucketWindowStats:
         else:
             rows, ws_e = sliding_starts_expand(ts_raw, size, step,
                                                self.offset_us)
+        slab_val = None
         if self.slab_l_us and "_slab" in df.columns:
             # composite-key mode: sliding rows near a slab's lower edge
             # were duplicated into the previous slab — keep only
             # memberships whose window_start lives in THIS group's slab
-            slab = np.int64(df["_slab"].iloc[0])
-            keep = (ws_e - self.offset_us) // self.slab_l_us == slab
+            slab_val = np.int64(df["_slab"].iloc[0])
+            keep = (ws_e - self.offset_us) // self.slab_l_us == slab_val
             rows, ws_e = rows[keep], ws_e[keep]
             if len(rows) == 0:
                 return self._empty()
@@ -374,6 +375,149 @@ class BucketWindowStats:
             uv, char_rank = np.unique(upper_raw, return_inverse=True)
             n_classes = np.int64(len(uv))
 
+        nb = len(bytes_raw)
+
+        # designated-bigram counts per RAW row (A9; non-self-overlapping,
+        # never crossing turn boundaries) — shared by both char paths
+        if len(self.bigram) == 2 and nb >= 2:
+            b0, b1 = (ord(ch) for ch in self.bigram)
+            m = (bytes_raw[:-1] == b0) & (bytes_raw[1:] == b1)
+            ends = bounds_raw[1:] - 1
+            ends = ends[(ends >= 0) & (ends < len(m))]
+            m[ends] = False                      # cross-turn matches
+            row_of_pos = np.repeat(np.arange(n_raw), lens_raw)[: len(m)]
+            big_raw = np.bincount(row_of_pos[m], minlength=n_raw)
+        else:
+            big_raw = np.fromiter((s.count(self.bigram) for s in texts_raw),
+                                  dtype=np.int64, count=n_raw)
+
+        def kgram_ranks(k: int):
+            """Global k-gram ranks over the raw byte corpus + group shift
+            (identical on both char paths — bit-exactness contract)."""
+            if is_ascii:
+                r = upper_raw[: nb - k + 1].astype(np.int64)
+                for j in range(1, k):
+                    r = r * 256 + upper_raw[j: nb - k + 1 + j]
+                shift = np.int64(1) << 40     # rank < 2^32, codes < 2^23
+            else:
+                # iterative dense factorization: ranks stay < n positions
+                # (no overflow for any alphabet size) and remain in
+                # lexicographic k-gram order at every step
+                r = char_rank[: nb - k + 1].astype(np.int64)
+                for j in range(1, k):
+                    r = r * n_classes + char_rank[j: nb - k + 1 + j]
+                    r = np.unique(r, return_inverse=True)[1]
+                shift = np.int64(r.max()) + 1 if len(r) else np.int64(1)
+            return r, shift
+
+        sliding = step is not None and step != size and size
+        if sliding:
+            # ---- SLOT PRE-COMPRESSION (round-3 VERDICT #7): for sliding
+            # windows (c = size/step covers) the char-level stats are
+            # aggregated per (conv, step-slot) FIRST — each raw character
+            # is touched once — and each window then merges the compact
+            # histograms of its c slots. The expanded per-(char ×
+            # membership) arrays (c × total_chars int64 entries, the
+            # memory-bandwidth hog) are never materialized. Bit-exact:
+            # merged integer counts are identical and _segment_entropy
+            # still receives terms in ascending (window, item) order. ----
+            c = size // step
+            s_raw = (ts_raw - self.offset_us) // step
+            smin = np.int64(s_raw.min())
+            SL = np.int64(s_raw.max()) - smin + 1
+            sq_uniq, sq_codes = np.unique(
+                cid_raw.astype(np.int64) * SL + (s_raw - smin),
+                return_inverse=True)
+            Gs = len(sq_uniq)
+            sq_conv = (sq_uniq // SL).astype(np.int64)
+            sq_slot = (sq_uniq % SL) + smin
+            # valid (slot-group, cover j) -> window-group code
+            ws_cand = (sq_slot[:, None] - np.arange(c)[None, :]) * step \
+                + self.offset_us
+            valid = ws_cand >= self.offset_us
+            if slab_val is not None:
+                valid &= ((ws_cand - self.offset_us)
+                          // self.slab_l_us) == slab_val
+            qv, _jv = np.nonzero(valid)
+            wsv = ws_cand[valid]
+            wc = np.searchsorted(
+                ukey, sq_conv[qv] * K1 + np.searchsorted(ws_uniq, wsv))
+            reps_q = np.bincount(qv, minlength=Gs)
+            cov_off = np.concatenate(([0], np.cumsum(reps_q)))
+
+            def merge_hist(item_of_slot: np.ndarray, s_of: np.ndarray,
+                           cnt_s: np.ndarray, shift: np.int64):
+                """Fan per-slot (item, count) hist rows out to the windows
+                covering the slot; return merged (wcode, cnt int64) in
+                ascending (window, item) order."""
+                rep = reps_q[s_of]
+                idx = np.repeat(np.arange(len(s_of)), rep)
+                pos = np.arange(int(rep.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(rep) - rep, rep)
+                wt = wc[cov_off[s_of[idx]] + pos]
+                wkey = wt * shift + item_of_slot[idx]
+                uk, inv = np.unique(wkey, return_inverse=True)
+                cnt = np.bincount(inv, weights=cnt_s[idx].astype(np.float64))
+                return (uk // shift).astype(np.int64), cnt.astype(np.int64)
+
+            # per-slot char totals -> window n_chars
+            sl_chars = np.bincount(sq_codes, weights=lens_raw,
+                                   minlength=Gs).astype(np.int64)
+            n_chars = np.zeros(G, dtype=np.int64)
+            np.add.at(n_chars, wc, sl_chars[qv])
+            out["n_chars"] = n_chars
+            denom = n_chars.astype(np.float64).copy()
+            denom[denom == 0] = 1.0
+
+            # char entropy from merged per-slot char histograms
+            sq_per_char = np.repeat(sq_codes, lens_raw)
+            suk, scnt = np.unique(sq_per_char * n_classes + char_rank,
+                                  return_counts=True)
+            gc, cnt = merge_hist((suk % n_classes), (suk // n_classes)
+                                 .astype(np.int64), scnt, n_classes)
+            out["char_entropy"] = _segment_entropy(gc, cnt, G, denom)
+
+            if self.profile == "fast":
+                for name in ("bigram_diversity", "trigram_diversity",
+                             "quadgram_diversity", "bigram_rate"):
+                    out[name] = np.zeros(G, dtype=np.float64)
+                return self._finish_ctw(out, K, G, df, rows, ts_e, codes,
+                                        role5_e, texts_raw)
+
+            within_raw = np.arange(nb, dtype=np.int64) \
+                - np.repeat(bounds_raw[:-1], lens_raw)
+            lens_rep_raw = np.repeat(lens_raw, lens_raw)
+            for k, name in ((2, "bigram_diversity"),
+                            (3, "trigram_diversity"),
+                            (4, "quadgram_diversity")):
+                if nb < k:
+                    out[name] = np.zeros(G, dtype=np.float64)
+                    continue
+                r, shift = kgram_ranks(k)
+                maskk = within_raw <= lens_rep_raw - k
+                if not maskk.any():
+                    out[name] = np.zeros(G, dtype=np.float64)
+                    continue
+                p = np.flatnonzero(maskk)
+                kuk, kcnt = np.unique(
+                    sq_per_char[p] * shift + r[p], return_counts=True)
+                gck, cntk = merge_hist((kuk % shift),
+                                       (kuk // shift).astype(np.int64),
+                                       kcnt, shift)
+                total = np.bincount(gck, weights=cntk, minlength=G)
+                total[total == 0] = 1.0
+                out[name] = _segment_entropy(gck, cntk, G, total)
+
+            sbig = np.bincount(sq_codes, weights=big_raw,
+                               minlength=Gs).astype(np.int64)
+            bsum = np.zeros(G, dtype=np.float64)
+            np.add.at(bsum, wc, sbig[qv].astype(np.float64))
+            out["bigram_rate"] = bsum / denom
+            return self._finish_ctw(out, K, G, df, rows, ts_e, codes,
+                                    role5_e, texts_raw)
+
+        # ---- tumbling / precomputed-window path: one membership per raw
+        # row, no fan-out — per-char gather is already minimal ----
         # gather map: expanded char -> raw byte index
         le = lens_raw[rows]
         tot = int(le.sum())
@@ -395,7 +539,6 @@ class BucketWindowStats:
 
         # "fast" profile = the entropy.rs reduced-column mode: char
         # entropy + CTW only (entropy.rs:76-85 design note)
-        nb = len(bytes_raw)
         if self.profile == "fast":
             for name in ("bigram_diversity", "trigram_diversity",
                          "quadgram_diversity", "bigram_rate"):
@@ -412,20 +555,7 @@ class BucketWindowStats:
             if nb < k:
                 out[name] = np.zeros(G, dtype=np.float64)
                 continue
-            if is_ascii:
-                r = upper_raw[: nb - k + 1].astype(np.int64)
-                for j in range(1, k):
-                    r = r * 256 + upper_raw[j: nb - k + 1 + j]
-                shift = np.int64(1) << 40     # rank < 2^32, codes < 2^23
-            else:
-                # iterative dense factorization: ranks stay < n positions
-                # (no overflow for any alphabet size) and remain in
-                # lexicographic k-gram order at every step
-                r = char_rank[: nb - k + 1].astype(np.int64)
-                for j in range(1, k):
-                    r = r * n_classes + char_rank[j: nb - k + 1 + j]
-                    r = np.unique(r, return_inverse=True)[1]
-                shift = np.int64(r.max()) + 1 if len(r) else np.int64(1)
+            r, shift = kgram_ranks(k)
             mask = within <= le_rep - k
             if not mask.any():
                 out[name] = np.zeros(G, dtype=np.float64)
@@ -437,19 +567,6 @@ class BucketWindowStats:
             total[total == 0] = 1.0
             out[name] = _segment_entropy(gc2, cnt2, G, total)
 
-        # designated-bigram rate (A9 CpG analogue; non-self-overlapping):
-        # per-raw-row counts via byte mask, weight-gathered per window
-        if len(self.bigram) == 2 and nb >= 2:
-            b0, b1 = (ord(ch) for ch in self.bigram)
-            m = (bytes_raw[:-1] == b0) & (bytes_raw[1:] == b1)
-            ends = bounds_raw[1:] - 1
-            ends = ends[(ends >= 0) & (ends < len(m))]
-            m[ends] = False                      # cross-turn matches
-            row_of_pos = np.repeat(np.arange(n_raw), lens_raw)[: len(m)]
-            big_raw = np.bincount(row_of_pos[m], minlength=n_raw)
-        else:
-            big_raw = np.fromiter((s.count(self.bigram) for s in texts_raw),
-                                  dtype=np.int64, count=n_raw)
         bsum = np.bincount(codes, weights=big_raw[rows], minlength=G)
         out["bigram_rate"] = bsum / denom
 
