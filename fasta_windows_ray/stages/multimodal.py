@@ -235,7 +235,15 @@ class ResizeStub:
         md5s = []
         for i, p in enumerate(batch["payload"]):
             if p[:2] == b"BM":
-                img = bmp_decode(p)
+                try:
+                    img = bmp_decode(p)
+                except ValueError:
+                    # sniffed like BMP but isn't one (e.g. text bytes
+                    # starting "BM") — treat as a non-BMP payload
+                    if self.strict:
+                        raise
+                    md5s.append(hashlib.md5(p + tag).hexdigest())
+                    continue
                 src_h[i], src_w[i] = img.shape[:2]
                 out = resize_nearest(img, self.h, self.w)
                 px = out.astype(np.int64)

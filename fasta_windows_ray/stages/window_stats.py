@@ -194,6 +194,17 @@ def _segment_entropy(codes: np.ndarray, weights: np.ndarray, n_groups: int,
     return np.bincount(codes, weights=terms, minlength=n_groups)
 
 
+_CTW_MEMOS: dict = {}
+
+
+def _ctw_memo(key) -> dict:
+    """Process-global CTW memo dict for a given (kind, depth) config."""
+    memo = _CTW_MEMOS.get(key)
+    if memo is None:
+        memo = _CTW_MEMOS[key] = {}
+    return memo
+
+
 class BucketWindowStats:
     """Per-bucket vectorized window-stat computation (callable for
     ``map_groups``). Stateless; a class so profile config is bound once.
@@ -226,9 +237,13 @@ class BucketWindowStats:
         self.out_columns = STATS_COLUMNS + (
             ["kgram_freq_k2", "kgram_freq_k3", "kgram_freq_k4"]
             if kgram_freqs else [])
-        # CTW memo: short role sequences repeat across windows constantly;
-        # keyed by the symbol bytes. Bounded to keep actor heap flat.
-        self._ctw_cache: dict[bytes, float] = {}
+        # CTW memos are PROCESS-GLOBAL, fetched at call time via
+        # _ctw_memo(): Ray pickles a fresh copy of this callable into
+        # every map_groups task, so any instance-held dict restarts cold
+        # each task — the worker-side module-level memo persists across
+        # tasks within a reused worker process (same pattern as the
+        # analysis stages' _WORKER_STATE). Bounded; depth-keyed so
+        # configs never cross-contaminate.
 
     def _empty(self) -> pd.DataFrame:
         df = empty_stats_frame()
@@ -587,7 +602,7 @@ class BucketWindowStats:
         if need_ctw:
             sym_arr = np.where(role5_e < 4, role5_e, 255)[order].astype(np.uint8)
             ctw = np.zeros(G, dtype=np.float64)
-            cache = self._ctw_cache
+            cache = _ctw_memo(("roles", self.ctw_depth))
             idmap = {i: i for i in range(4)}
             for gi in range(G):
                 key = sym_arr[start[gi]:stop[gi]].tobytes()
@@ -608,8 +623,7 @@ class BucketWindowStats:
         if self.ctw_text:
             raw_s = rows[order]
             tctw = np.zeros(G, dtype=np.float64)
-            tcache: dict[bytes, float] = getattr(self, "_tctw_cache", None) or {}
-            self._tctw_cache = tcache
+            tcache = _ctw_memo(("text", self.ctw_depth))
             idmap = {i: i for i in range(4)}
             for gi in range(G):
                 wtext = "".join(texts_raw[q] for q in raw_s[start[gi]:stop[gi]])

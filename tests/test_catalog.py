@@ -1,0 +1,114 @@
+"""Catalog table format (sources/catalog.py): atomic versioned commits,
+snapshot isolation, time travel, min/max file pruning, vacuum."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from fasta_windows_ray.sources.catalog import (catalog_read, catalog_vacuum,
+                                               catalog_write)
+
+
+def _mk(ids, lang="en"):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "lang": pa.array([lang] * len(ids)),
+        "score": pa.array(np.asarray(ids, dtype=np.float64) * 0.5)}))
+
+
+def test_write_read_roundtrip(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    m = catalog_write(_mk(range(10)), t)
+    assert m["version"] == 1 and m["total_rows"] == 10
+    out = catalog_read(t).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == list(range(10))
+
+
+def test_append_and_time_travel(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)
+    catalog_write(_mk(range(5, 12)), t, mode="append")
+    assert catalog_read(t).count() == 12
+    assert catalog_read(t, version=1).count() == 5          # time travel
+    catalog_write(_mk(range(3)), t, mode="overwrite")
+    assert catalog_read(t).count() == 3
+    assert catalog_read(t, version=2).count() == 12         # still readable
+
+
+def test_snapshot_isolation(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)
+    ds = catalog_read(t)                  # resolves version 1 NOW
+    catalog_write(_mk(range(100, 110)), t, mode="append")
+    assert ds.count() == 5                # unaffected by the append
+    assert catalog_read(t).count() == 15
+
+
+def test_file_pruning_by_stats(ray_session, tmp_path):
+    t = str(tmp_path / "tbl")
+    # three commits -> three files with disjoint doc_id ranges
+    catalog_write(_mk(range(0, 10)), t)
+    catalog_write(_mk(range(100, 110)), t, mode="append")
+    catalog_write(_mk(range(200, 210)), t, mode="append")
+    ds, rep = catalog_read(t, predicate=[("doc_id", ">=", 100),
+                                         ("doc_id", "<", 200)],
+                           return_report=True)
+    assert rep["files_total"] == 3 and rep["files_scanned"] == 1
+    assert rep["rows_skipped"] == 20
+    out = ds.to_pandas()
+    assert sorted(out["doc_id"]) == list(range(100, 110))
+    # string-column predicate prunes too
+    ds2, rep2 = catalog_read(t, predicate=[("lang", "==", "zz")],
+                             return_report=True)
+    assert rep2["files_scanned"] == 0 and ds2.count() == 0
+
+
+def test_pruning_is_conservative_not_exact(ray_session, tmp_path):
+    """Pruning may keep files with non-matching rows — exact filtering
+    is the caller's downstream filter; pruning must never DROP a
+    matching row."""
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk([1, 50, 99]), t)            # one file, wide range
+    ds = catalog_read(t, predicate=[("doc_id", "==", 50)])
+    assert ds.count() == 3                         # file kept whole
+
+
+def test_vacuum_drops_orphans_and_old_versions(ray_session, tmp_path):
+    import os
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)
+    catalog_write(_mk(range(5)), t, mode="overwrite")
+    # plant a crashed-writer orphan
+    orphan = os.path.join(t, "data", "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    deleted = catalog_vacuum(t, keep_versions=1)
+    assert any("orphan" in d for d in deleted)
+    assert catalog_read(t).count() == 5            # latest intact
+    with pytest.raises(FileNotFoundError):
+        catalog_read(t, version=1)                 # old manifest gone
+
+
+def test_empty_and_missing_table(ray_session, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        catalog_read(str(tmp_path / "nope"))
+
+
+def test_concurrent_commit_conflict_detected(ray_session, tmp_path):
+    """Writers that both resolved the same parent race to create the
+    same manifest version: the loser must fail loudly (exclusive
+    create), never clobber. A racer whose commit is already VISIBLE
+    serializes normally (the next writer builds on top) — covered by
+    test_append_and_time_travel."""
+    from fasta_windows_ray.sources.catalog import (ConcurrentWriteError,
+                                                   _atomic_json_exclusive)
+    p = str(tmp_path / "v00000002.json")
+    _atomic_json_exclusive(p, {"version": 2, "files": []})
+    with pytest.raises(ConcurrentWriteError):
+        _atomic_json_exclusive(p, {"version": 2, "files": ["other"]})
+    # the winner's content is untouched
+    import json
+    assert json.load(open(p))["files"] == []

@@ -93,6 +93,22 @@ def test_resize_stub_strict_still_raises_on_non_bmp():
         ResizeStub(strict=True)(batch)
 
 
+def test_resize_stub_bm_prefixed_text_falls_back():
+    """Payload that SNIFFS like BMP ('BM' prefix) but isn't one: the
+    non-strict path must fall back to the deterministic digest (the
+    media_resize oracle digests text||tag for every doc); strict
+    raises."""
+    import hashlib
+    from fasta_windows_ray.stages.multimodal import ResizeStub
+    p = b"BMW dealerships reported strong sales this quarter."
+    batch = pd.DataFrame({"media_id": np.asarray([1], dtype=np.int64),
+                          "payload": [p]})
+    out = ResizeStub(width=32, height=32)(batch)
+    assert out["resized_md5"].iloc[0] == hashlib.md5(p + b"|32x32").hexdigest()
+    with pytest.raises(ValueError):
+        ResizeStub(width=32, height=32, strict=True)(batch)
+
+
 # ---------------------------------------------------------------------------
 # Hot-bucket splitting in embedding near-dup (stages/dedup.py)
 # ---------------------------------------------------------------------------
