@@ -826,24 +826,6 @@ NGRAM_PAIR_IDS = [(2 * i, 2 * i + 1) for i in range(10)]
 NGRAM_SHINGLE_K = 5
 
 
-def q_ngram_jaccard_pairs(sf_dir: str):
-    """Exact character-n-gram Jaccard for a fixed list of doc pairs —
-    the n-gram Jaccard dedup operator with a SQL oracle (distinct
-    5-gram substring sets; the hashed-shingle Ray path equals the
-    substring-set SQL absent 61-bit hash collisions)."""
-    import ray.data as rd
-
-    from ..stages.dedup import verify_jaccard_distributed
-    pairs = rd.from_items([{"doc_a": a, "doc_b": b}
-                           for a, b in NGRAM_PAIR_IDS])
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    out = verify_jaccard_distributed(pairs, docs,
-                                     shingle_k=NGRAM_SHINGLE_K,
-                                     threshold=0.0).to_pandas()
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return _round6(out, ["jaccard"])
-
-
 def _ngram_jaccard_sql() -> str:
     vals = ", ".join(f"({a}, {b})" for a, b in NGRAM_PAIR_IDS)
     k = NGRAM_SHINGLE_K
@@ -1006,6 +988,13 @@ ORDER BY doc_a, doc_b
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
+    """BOTH document-pair dedup operators under one driver row (tagged
+    union; the gate caps at 50 queries): the full MinHash→LSH→verify
+    pipeline (method='minhash_lsh', recall-gated — the oracle is the
+    EXACT char-7-gram Jaccard pair set) and the fixed-pair exact n-gram
+    Jaccard operator (method='ngram_exact', its own shingle size)."""
+    import ray.data as rd
+
     from ..stages.dedup import (lsh_candidate_pairs, minhash_band_rows,
                                 verify_jaccard_distributed)
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -1017,7 +1006,66 @@ def q_minhash_lsh_pairs(sf_dir: str):
     out = _round6(out, ["jaccard"])
     out["doc_a"] = out["doc_a"].astype(np.int64)
     out["doc_b"] = out["doc_b"].astype(np.int64)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out.insert(0, "method", "minhash_lsh")
+
+    fixed = rd.from_items([{"doc_a": a, "doc_b": b}
+                           for a, b in NGRAM_PAIR_IDS])
+    ng = verify_jaccard_distributed(fixed, _docs(sf_dir, ["doc_id", "text"]),
+                                    shingle_k=NGRAM_SHINGLE_K,
+                                    threshold=0.0).to_pandas()
+    ng = _round6(ng.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+                 ["jaccard"])
+    ng["doc_a"] = ng["doc_a"].astype(np.int64)
+    ng["doc_b"] = ng["doc_b"].astype(np.int64)
+    ng.insert(0, "method", "ngram_exact")
+    return pd.concat([out, ng[out.columns]], ignore_index=True)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Fuzzy-dedup CLUSTERS: the MinHash pair set fed through distributed
+    connected components (min-label propagation) — every doc gets the
+    min doc id of its near-dup component and a keep flag (one keeper per
+    cluster). The SQL oracle recomputes the exact-Jaccard pair set and
+    closes it with a recursive CTE."""
+    from ..stages.dedup import (dedup_clusters, lsh_candidate_pairs,
+                                minhash_band_rows,
+                                verify_jaccard_distributed)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bands = minhash_band_rows(docs, shingle_k=MINHASH_SHINGLE_K)
+    pairs = verify_jaccard_distributed(lsh_candidate_pairs(bands), docs,
+                                       shingle_k=MINHASH_SHINGLE_K,
+                                       threshold=0.5)
+    out = dedup_clusters(_docs(sf_dir, ["doc_id"]), pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE g AS (SELECT doc_id, substr(lower(text), i, {MINHASH_SHINGLE_K}) AS g
+           FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+               1, length(text)-{MINHASH_SHINGLE_K - 1})) AS i)
+           GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5),
+und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p),
+reach AS (SELECT a AS node, b AS r FROM und
+          UNION SELECT reach.node, u.b FROM reach
+                JOIN und u ON reach.r = u.a AND u.b <> reach.node),
+cc AS (SELECT node, least(node, min(r)) AS cluster_id
+       FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+  (CASE WHEN coalesce(cc.cluster_id, d.doc_id) = d.doc_id
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+ORDER BY d.doc_id
+"""
 
 
 # deterministic near-dup plant: every 10th vector re-enters the corpus
@@ -1793,7 +1841,7 @@ def build_queries() -> dict:
         "salted_window_counts": q_salted_window_counts,
         "turn_window_counts": q_turn_window_counts,
         "lang_id": q_lang_id,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "tumbling_role_kgram_long": q_tumbling_role_kgram_long,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1852,12 +1900,15 @@ def build_oracle_sql() -> dict:
         "decontaminate": SQL_DECONTAMINATE,
         "turn_window_counts": SQL_TURN_WINDOW_COUNTS,
         "lang_id": _lang_id_sql(),
-        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "doc_fingerprint": _fingerprint_sql(),
         "simhash": _simhash_sql(),
         "tumbling_role_kgram_long": SQL_TUMBLING_ROLE_KGRAM_LONG,
-        "minhash_lsh_pairs": MINHASH_ORACLE_SQL,
+        "minhash_lsh_pairs": (
+            f"SELECT 'minhash_lsh' AS method, * FROM ({MINHASH_ORACLE_SQL})"
+            "\nUNION ALL\n"
+            f"SELECT 'ngram_exact' AS method, * FROM ({_ngram_jaccard_sql()})"),
         "stream_metrics": _stream_metrics_sql(),
         "grouped_topk": SQL_GROUPED_TOPK,
         "hash_sample": SQL_HASH_SAMPLE,

@@ -698,3 +698,176 @@ def embedding_near_dups(ds, threshold: float = 0.95, n_planes: int = 8,
 
     return (pairs.map_batches(pair_bucket, batch_format="pandas")
                  .groupby("_pb").map_groups(uniq, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over a near-dup pair set
+# ---------------------------------------------------------------------------
+
+def _union_find_min(a: np.ndarray, b: np.ndarray):
+    """Union-find with union-by-min over int64 node-id pairs: returns
+    (ids, root_per_id) where each root is the MINIMUM id of its
+    component (attaching the larger root under the smaller keeps the
+    invariant; every node starts as its own root)."""
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ids[rx] < ids[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.fromiter((find(i) for i in range(len(ids))),
+                        np.int64, len(ids))
+    return ids, ids[roots]
+
+
+def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
+                         num_buckets: int = 64, max_rounds: int = 64):
+    """Distributed connected components over an undirected edge list —
+    the step that turns near-dup PAIRS into dedup CLUSTERS (one keeper
+    per component).
+
+    Each round co-partitions (edges ∪ label rows) by a hash bucket of
+    the source node and runs a LOCAL union-find over the group's edges
+    PLUS its (node → label) rows — treating current labels as edges is
+    the pointer-jumping trick, so reach roughly doubles per global
+    round (O(log diameter) rounds, not O(diameter); near-dup clusters
+    are near-cliques and finish in 2-3). A ``groupby(node).min()``
+    folds the per-group roots. Convergence is detected by the label
+    SUM (labels only ever decrease, so an unchanged sum means a fixed
+    point) — one tiny driver scalar per round, never a label collect.
+    The edge list and per-round label tables are materialized (both
+    bounded by pair-touched nodes, which for dedup is the duplicate
+    subset, not the corpus).
+
+    Returns a Dataset of (node, cluster_id) covering every node that
+    appears in ``pairs`` (singleton handling belongs to the caller —
+    see ``dedup_clusters``).
+    """
+    import ray.data as rd
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(undirect, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        lbl = np.minimum(src, dst)
+        uniq, inv = np.unique(src, return_inverse=True)
+        lo = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lo, inv, lbl)
+        return pa.table({"node": pa.array(uniq), "l": pa.array(lo)})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .groupby("node").min("l")).materialize()
+    # Ray's groupby.min names the column "min(l)" — normalize once
+    labels = labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "l": t["min(l)"]}),
+        batch_format="pyarrow").materialize()
+
+    def label_sum(lds) -> int:
+        return int(lds.sum("l") or 0)
+
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        def tag_edges(t: pa.Table) -> pa.Table:
+            bk = t["src"].to_numpy() % num_buckets
+            return pa.table({"node": t["src"], "peer": t["dst"],
+                             "l": pa.array(np.full(len(t), -1, np.int64)),
+                             "bucket": pa.array(bk, pa.int64())})
+
+        def tag_labels(t: pa.Table) -> pa.Table:
+            bk = t["node"].to_numpy() % num_buckets
+            return pa.table({"node": t["node"],
+                             "peer": pa.array(np.full(len(t), -1, np.int64)),
+                             "l": t["l"],
+                             "bucket": pa.array(bk, pa.int64())})
+
+        def propagate(df: pd.DataFrame) -> pa.Table:
+            lbl = df[df["peer"] < 0]
+            edg = df[df["peer"] >= 0]
+            # local union-find over (edges ∪ node→label rows): treating
+            # labels as edges is pointer jumping — a chain of stale
+            # labels collapses to its min in ONE group pass
+            pa_ = np.concatenate([edg["node"].to_numpy(np.int64),
+                                  lbl["node"].to_numpy(np.int64)])
+            pb_ = np.concatenate([edg["peer"].to_numpy(np.int64),
+                                  lbl["l"].to_numpy(np.int64)])
+            ids, roots = _union_find_min(pa_, pb_)
+            return pa.table({"node": pa.array(ids), "l": pa.array(roots)})
+
+        both = edges.map_batches(tag_edges, batch_format="pyarrow") \
+            .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        labels = (both.groupby("bucket")
+                      .map_groups(propagate, batch_format="pandas")
+                      .groupby("node").min("l")).materialize()
+        labels = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "l": t["min(l)"]}),
+            batch_format="pyarrow").materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "cluster_id": t["l"]}),
+        batch_format="pyarrow")
+
+
+def dedup_clusters(docs, pairs, id_col: str = "doc_id",
+                   a_col: str = "doc_a", b_col: str = "doc_b",
+                   num_buckets: int = 64):
+    """Fuzzy-dedup cluster assignment: every doc gets a ``cluster_id``
+    (the minimum doc id of its connected near-dup component; its own id
+    when untouched by any pair) and a ``keep`` flag (1 for the one
+    keeper per cluster — the canonical keep-min-id dedup policy).
+
+    The component table is bounded by pair-touched nodes (the duplicate
+    subset), so it is broadcast (``ray.put``) and applied as a
+    shuffle-free vectorized map over the corpus — the small-side-lookup
+    discipline. Returns a Dataset of (id, cluster_id, keep).
+    """
+    import ray
+
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col,
+                              num_buckets=num_buckets).to_pandas()
+    lookup_nodes = cc["node"].to_numpy(np.int64)
+    lookup_cluster = cc["cluster_id"].to_numpy(np.int64)
+    order = np.argsort(lookup_nodes)
+    ref = ray.put((lookup_nodes[order], lookup_cluster[order]))
+
+    def assign(t: pa.Table) -> pa.Table:
+        nodes, clusters = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = ids.copy()
+        if len(nodes):
+            pos = np.searchsorted(nodes, ids)
+            pos = np.minimum(pos, len(nodes) - 1)
+            hit = nodes[pos] == ids
+            cl[hit] = clusters[pos[hit]]
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster_id": pa.array(cl),
+            "keep": pa.array((ids == cl).astype(np.int64))})
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -342,3 +342,93 @@ def test_lang_id_vectorized_matches_naive():
                           "text": texts})
     out = LangId()(batch)
     assert list(out["pred_lang"]) == [naive(t) for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup clusters (stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+def _union_find_clusters(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    from fasta_windows_ray.stages.dedup import connected_components
+    pairs = [(1, 2), (2, 3), (3, 4),          # chain
+             (10, 11), (10, 12), (11, 12),     # clique
+             (20, 21)]                         # pair
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    out = connected_components(ds, num_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["cluster_id"]))
+    want = _union_find_clusters(25, pairs)
+    touched = {x for p in pairs for x in p}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_connected_components_long_chain_converges(ray_session):
+    from fasta_windows_ray.stages.dedup import connected_components
+    pairs = [(i, i + 1) for i in range(30)]    # diameter 30
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    out = connected_components(ds, num_buckets=4).to_pandas()
+    assert set(out["cluster_id"]) == {0}
+    assert len(out) == 31
+
+
+def test_dedup_clusters_keepers_and_singletons(ray_session):
+    from fasta_windows_ray.stages.dedup import dedup_clusters
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64))}))
+    pairs = rd.from_items([{"doc_a": 2, "doc_b": 5},
+                           {"doc_a": 5, "doc_b": 9},
+                           {"doc_a": 7, "doc_b": 8}])
+    out = dedup_clusters(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 12
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[2] == cl[5] == cl[9] == 2
+    assert cl[7] == cl[8] == 7
+    for single in (0, 1, 3, 4, 6, 10, 11):
+        assert cl[single] == single
+    keepers = set(out.loc[out["keep"] == 1, "doc_id"])
+    assert keepers == {0, 1, 2, 3, 4, 6, 7, 10, 11}
+
+
+# ---------------------------------------------------------------------------
+# Slot pre-compression (sliding char stats) — bit-equality of both paths
+# ---------------------------------------------------------------------------
+
+def test_slot_compression_bit_equal_to_expanded(ray_session):
+    """The slot-compressed sliding char-stats path must be bit-identical
+    to the expanded-membership path on every stat column (both forced
+    explicitly; the production default picks by the chars/slot gate)."""
+    from fasta_windows_ray.stages.window_stats import BucketWindowStats
+    rng = np.random.default_rng(8)
+    n = 4000
+    convs = [f"c{i % 37}" for i in range(n)]
+    ts = (rng.integers(0, 40, n).cumsum() * 60_000_000).astype("datetime64[us]")
+    roles = rng.choice(["user", "assistant", "system", "tool", "zzz"], n)
+    words = ["alpha", "beta", "Gamma!", "δelta", "x", ""]
+    texts = ["".join(rng.choice(words, rng.integers(0, 9))) for _ in range(n)]
+    df = pd.DataFrame({"conv_id": convs, "turn_uid": np.arange(n),
+                       "role": roles, "text": texts,
+                       "tool": [None] * n, "ts": ts})
+    SIZE, STEP = 4 * 3600 * 1_000_000, 1 * 3600 * 1_000_000
+    kw = dict(profile="full", window_size_us=SIZE, step_us=STEP, ctw_depth=2)
+    a = BucketWindowStats(slot_compress=True, **kw)(df)
+    b = BucketWindowStats(slot_compress=False, **kw)(df)
+    key = ["conv_id", "window_start"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
