@@ -1330,19 +1330,38 @@ def q_multimodal_features(sf_dir: str):
     return feats.select_columns(["media_id", "height", "width"])
 
 
+HH_WORDS_K = 15
+
+
 def q_grouped_topk(sf_dir: str):
-    """Top-5 heaviest users per event_type (heavy hitters): per-batch
-    combiner → (group, key) groupby-sum → per-group top-k. Ranking is by
-    exact integer row count (ties by user_id) so output is bit-stable;
-    the float value sum rides along rounded to 6 dp."""
+    """TWO top-k operators under one driver row (tagged union; the gate
+    caps at 50 queries): top-5 heaviest users per event_type
+    (method='grouped' — per-batch combiner → (group, key) groupby-sum →
+    per-group top-k) and corpus-level heavy-hitter words over documents
+    (method='hh_words' — bounded-memory Misra-Gries-style summary +
+    exact recount; the in-query assert is the operator's EXACTNESS
+    CERTIFICATE: kth count > boundary + D, see heavy_hitters.py).
+    Ranking is by exact integer row count (ties by key asc) both
+    sides so output is bit-stable."""
     import ray.data as rd
     from ..stages.analytics import grouped_topk
+    from ..stages.heavy_hitters import heavy_hitters
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id", "value"])
     out = grouped_topk(ev, "event_type", "user_id", k=5,
                        weight_col="value")
     out["sum_weight"] = np.round(out["sum_weight"], 6) + 0.0
-    return out
+    out.insert(0, "method", "grouped")
+
+    res = heavy_hitters(_docs(sf_dir, ["text"]), "text", k=HH_WORDS_K,
+                        capacity=8192, tokenize="words")
+    assert res.certified, ("heavy-hitter certificate failed: kth="
+                           f"{res.kth_count} bound={res.bound}")
+    hh = res.top.rename(columns={"term": "user_id", "n": "n_rows"})
+    hh.insert(0, "method", "hh_words")
+    hh["event_type"] = "__corpus__"
+    hh["sum_weight"] = 0.0
+    return pd.concat([out, hh[out.columns]], ignore_index=True)
 
 
 SQL_GROUPED_TOPK = """
@@ -1356,6 +1375,17 @@ r AS (
                        ORDER BY n_rows DESC, user_id) AS rank
   FROM agg)
 SELECT event_type, user_id, n_rows, sum_weight, rank FROM r WHERE rank <= 5
+"""
+
+SQL_HH_WORDS = """
+WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+c AS (SELECT term, count(*) AS n FROM w GROUP BY 1),
+r AS (SELECT term, n,
+        row_number() OVER (ORDER BY n DESC, term) AS rank FROM c)
+SELECT '__corpus__' AS event_type, term AS user_id, n AS n_rows,
+       0.0 AS sum_weight, rank
+FROM r WHERE rank <= {k}
 """
 
 
@@ -1910,7 +1940,11 @@ def build_oracle_sql() -> dict:
             "\nUNION ALL\n"
             f"SELECT 'ngram_exact' AS method, * FROM ({_ngram_jaccard_sql()})"),
         "stream_metrics": _stream_metrics_sql(),
-        "grouped_topk": SQL_GROUPED_TOPK,
+        "grouped_topk": (
+            f"SELECT 'grouped' AS method, * FROM ({SQL_GROUPED_TOPK})"
+            "\nUNION ALL\n"
+            "SELECT 'hh_words' AS method, * FROM ("
+            f"{SQL_HH_WORDS.format(k=HH_WORDS_K)})"),
         "hash_sample": SQL_HASH_SAMPLE,
         "exact_quantiles": SQL_EXACT_QUANTILES,
         "pii_redact": SQL_PII_REDACT,
