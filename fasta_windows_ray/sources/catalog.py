@@ -275,3 +275,49 @@ def catalog_vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
         if v not in keep:
             os.remove(os.path.join(table_dir, _MANIFEST, f"v{v:08d}.json"))
     return deleted
+
+
+def catalog_diff(table_dir: str, from_version: int,
+                 to_version: int | None = None,
+                 columns: list[str] | None = None,
+                 return_report: bool = False):
+    """Incremental scan: ONLY the rows added between ``from_version``
+    (exclusive) and ``to_version`` (inclusive, default latest) — the
+    CDC primitive that turns a batch pipeline into an incremental one.
+    Because every engine aggregate is mergeable (window histograms,
+    sketches, MG summaries), a consumer processes the diff and merges
+    into prior state instead of rescanning the table: at 100 TB an
+    hourly append is re-read in O(new files), not O(table).
+
+    The diff is computed from manifests alone (no data I/O): files in
+    ``to``'s snapshot whose path is absent from ``from``'s.  This is
+    correct for appends AND for overwrite snapshots (an overwrite's
+    fresh files all count as added; rows REMOVED by the overwrite are
+    reported in the report's ``files_removed``, for consumers that must
+    invalidate state).  ``from_version=0`` = full scan of ``to``.
+    """
+    import ray.data as rd
+
+    to_v = to_version if to_version is not None \
+        else _latest_version(table_dir)
+    if to_v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to {to_v}")
+    old_paths = set()
+    if from_version > 0:
+        old_paths = {f["path"]
+                     for f in _load_manifest(table_dir,
+                                             from_version)["files"]}
+    manifest = _load_manifest(table_dir, to_v)
+    new_paths = {f["path"] for f in manifest["files"]}
+    added = [f for f in manifest["files"] if f["path"] not in old_paths]
+    paths = [os.path.join(table_dir, f["path"]) for f in added]
+    ds = (rd.read_parquet(paths, columns=columns) if paths
+          else rd.from_arrow(pa.table({})))
+    if return_report:
+        return ds, {"from_version": from_version, "to_version": to_v,
+                    "files_added": len(added),
+                    "rows_added": int(sum(f["rows"] for f in added)),
+                    "files_removed": sorted(old_paths - new_paths)}
+    return ds
