@@ -1,5 +1,6 @@
 """Hypothesis property tests for the core invariants."""
 
+import pytest
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -166,3 +167,76 @@ def test_match_sequence_scan_equals_reference(rows):
                     and tt[i + 1] - tt[i] <= within:
                 want.append((k, e[i], e[i + 1]))
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 sketch kernels (no Ray needed)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=300),
+       st.integers(1, 150))
+@settings(max_examples=60, deadline=None)
+def test_hll_registers_merge_any_split(keys, cut):
+    """Register-wise max over ANY 2-way split equals the whole-stream
+    registers (the HLL mergeability invariant)."""
+    import pandas as pd
+    from fasta_windows_ray.stages.sketches import hll_partial
+    p = 8
+
+    def regs(ks):
+        r = np.zeros(1 << p, np.int64)
+        if len(ks):
+            idx, rho = hll_partial(pd.Series(ks, dtype=object), p)
+            np.maximum.at(r, idx, rho)
+        return r
+
+    cut = min(cut, len(keys))
+    whole = regs(keys)
+    merged = np.maximum(regs(keys[:cut]), regs(keys[cut:]))
+    assert (whole == merged).all()
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=1, max_size=500),
+       st.integers(20, 400))
+@settings(max_examples=60, deadline=None)
+def test_tdigest_compress_invariants(vals, delta):
+    """Compression preserves total weight and weighted mean exactly,
+    emits sorted centroids, and never grows the centroid count."""
+    from fasta_windows_ray.stages.sketches import tdigest_compress
+    v = np.asarray(vals, np.float64)
+    m, w = tdigest_compress(v, np.ones(len(v)), delta)
+    assert len(m) <= len(v)
+    assert w.sum() == pytest.approx(len(v))
+    assert (m * w).sum() == pytest.approx(v.sum(), rel=1e-9, abs=1e-6)
+    assert (np.diff(m) >= -1e-12).all()
+
+
+@given(st.lists(st.floats(0, 1e3, allow_nan=False), min_size=2,
+                max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_tdigest_quantile_bounded_by_extremes(vals):
+    from fasta_windows_ray.stages.sketches import (tdigest_compress,
+                                                   tdigest_quantile)
+    v = np.asarray(vals, np.float64)
+    m, w = tdigest_compress(v, np.ones(len(v)), 100)
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        est = tdigest_quantile(m, w, [q])[0]
+        assert v.min() - 1e-9 <= est <= v.max() + 1e-9
+
+
+@given(st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=200),
+       st.integers(1, 100))
+@settings(max_examples=40, deadline=None)
+def test_bloom_membership_no_false_negative_property(keys, nb_exp):
+    import pandas as pd
+    from fasta_windows_ray.stages.bloom import (_bloom_positions,
+                                                bloom_contains)
+    n_bits = 1 << 12
+    s = pd.Series(keys, dtype=object)
+    pos = _bloom_positions(s, n_bits, 4)
+    bm = np.zeros(n_bits // 64, np.uint64)
+    np.bitwise_or.at(bm, pos.ravel() >> 6,
+                     np.uint64(1) << (pos.ravel().astype(np.uint64)
+                                      & np.uint64(63)))
+    assert bloom_contains(bm, s, 4).all()
