@@ -131,7 +131,8 @@ def _atomic_json_exclusive(path: str, obj) -> None:
 
 
 def catalog_write(ds, table_dir: str, mode: str = "append",
-                  stats_cols: list[str] | None = None) -> dict:
+                  stats_cols: list[str] | None = None,
+                  bucket_by: tuple[str, int] | None = None) -> dict:
     """Commit a Dataset to the catalog table as one new version.
 
     ``mode``: "append" adds this write's files to the current snapshot;
@@ -139,6 +140,17 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     (older versions stay readable via time travel). ``stats_cols``
     limits which columns get min/max stats (default: all primitive
     columns). Returns the committed manifest dict.
+
+    ``bucket_by=(col, n)`` writes a BUCKETED table: rows are
+    hash-partitioned on ``col`` with the engine's `stable_bucket_of`
+    (the same function every join/groupby stage uses), one data file
+    per (write, bucket), with the bucket id recorded per file and the
+    spec in the manifest.  Two tables bucketed identically are
+    co-partitioned ON DISK — ``bucketed_join`` then joins them with NO
+    shuffle at all (the 100-TB payoff: the exchange is paid once at
+    write time and amortized over every downstream join).  Appends must
+    keep the parent snapshot's spec; the tagged ``_bucket`` column is
+    stored in the files.
 
     The data files are written DISTRIBUTED (one per input block, inside
     the map_batches tasks); only the tiny per-file manifest rows travel
@@ -151,12 +163,38 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(mdir, exist_ok=True)
 
+    if bucket_by is not None:
+        bcol, n_buckets = bucket_by
+        parent_v = _latest_version(table_dir)
+        if mode == "append" and parent_v:
+            spec = _load_manifest(table_dir, parent_v).get("bucket_by")
+            if spec != [bcol, n_buckets]:
+                raise ValueError(
+                    f"bucket spec {[bcol, n_buckets]} does not match the "
+                    f"table's committed spec {spec}")
+        from ..stages.window_stats import stable_bucket_of
+
+        def tag(t: pa.Table) -> pa.Table:
+            b = stable_bucket_of(
+                t[bcol].to_numpy(zero_copy_only=False), n_buckets)
+            return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+        # one all-to-all, paid HERE so downstream joins never pay it;
+        # the write happens INSIDE map_groups (one call per bucket
+        # group) — a downstream map_batches could coalesce several
+        # groups into one batch and mislabel the file's bucket
+        tagged = ds.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     def write_block(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
         if len(t) == 0:
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64()),
-                             "stats": pa.array([], pa.string())})
+                             "stats": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64())})
+        bucket = (int(t["_bucket"][0].as_py())
+                  if "_bucket" in t.column_names else -1)
         name = f"part-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(data_dir, f".{name}.tmp")
         pq.write_table(t, tmp)
@@ -177,17 +215,26 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
             mm = pc.min_max(col)
             stats[field.name] = {"min": _scalar(mm["min"]),
                                  "max": _scalar(mm["max"])}
-        row = {"path": f"data/{name}", "rows": len(t), "stats": stats}
-        return pa.table({"path": pa.array([row["path"]]),
-                         "rows": pa.array([row["rows"]], pa.int64()),
-                         "stats": pa.array([json.dumps(stats)])})
+        return pa.table({"path": pa.array([f"data/{name}"]),
+                         "rows": pa.array([len(t)], pa.int64()),
+                         "stats": pa.array([json.dumps(stats)]),
+                         "bucket": pa.array([bucket], pa.int64())})
 
-    report = ds.map_batches(write_block, batch_format="pyarrow",
-                            zero_copy_batch=True).to_pandas()
-    files = [{"path": p, "rows": int(r), "stats": json.loads(s)}
-             for p, r, s in zip(report.get("path", []),
-                                report.get("rows", []),
-                                report.get("stats", []))]
+    if bucket_by is not None:
+        report = (tagged.groupby("_bucket")
+                        .map_groups(write_block,
+                                    batch_format="pyarrow").to_pandas())
+    else:
+        report = ds.map_batches(write_block, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    files = []
+    for p, r, s, b in zip(report.get("path", []), report.get("rows", []),
+                          report.get("stats", []),
+                          report.get("bucket", [])):
+        entry = {"path": p, "rows": int(r), "stats": json.loads(s)}
+        if int(b) >= 0:
+            entry["bucket"] = int(b)
+        files.append(entry)
 
     parent = _latest_version(table_dir)
     if mode == "append" and parent:
@@ -196,6 +243,14 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     manifest = {"version": version, "parent": parent, "mode": mode,
                 "files": files,
                 "total_rows": int(sum(f["rows"] for f in files))}
+    if bucket_by is not None:
+        manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
+    elif mode == "append" and parent:
+        spec = _load_manifest(table_dir, parent).get("bucket_by")
+        if spec is not None:
+            raise ValueError(
+                f"table is bucketed by {spec}; appends must pass "
+                "bucket_by to preserve co-partitioning")
     # exclusive manifest create = the commit point: a concurrent writer
     # racing to the same version fails loudly instead of clobbering
     _atomic_json_exclusive(os.path.join(mdir, f"v{version:08d}.json"),
@@ -321,3 +376,84 @@ def catalog_diff(table_dir: str, from_version: int,
                     "rows_added": int(sum(f["rows"] for f in added)),
                     "files_removed": sorted(old_paths - new_paths)}
     return ds
+
+
+def bucketed_join(table_a: str, table_b: str, on: str, how: str = "inner",
+                  version_a: int | None = None,
+                  version_b: int | None = None,
+                  columns_a: list[str] | None = None,
+                  columns_b: list[str] | None = None,
+                  right_suffix: str = "_r"):
+    """SHUFFLE-FREE equi-join of two catalog tables bucketed on the
+    join key: because both tables were hash-partitioned on disk with
+    the same `stable_bucket_of` spec, matching keys live in matching
+    bucket files — one Ray task per bucket reads its file pair locally
+    and merges, and NO data crosses the network beyond the reads.
+    This is the storage-layout answer to "pick ONE partitioning key
+    and reuse it": the write-time exchange is amortized over every
+    downstream join/groupby on that key.
+
+    Requirements (validated from manifests, no data I/O): both tables
+    committed with ``bucket_by == [on, n]`` for the same ``n``.
+    ``how``: "inner" or "left". Null keys follow pandas merge inside a
+    bucket (nulls hash to the '' sentinel bucket; SQL-strict callers
+    should pre-filter). Returns a Ray Dataset.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    def spec_of(table_dir, version):
+        v = version if version is not None else _latest_version(table_dir)
+        m = _load_manifest(table_dir, v)
+        spec = m.get("bucket_by")
+        if spec is None:
+            raise ValueError(f"{table_dir} is not bucketed; "
+                             "bucketed_join needs bucket_by tables")
+        return m, spec
+
+    ma, sa = spec_of(table_a, version_a)
+    mb, sb = spec_of(table_b, version_b)
+    if sa != sb or sa[0] != on:
+        raise ValueError(f"incompatible bucket specs {sa} vs {sb} "
+                         f"for join key {on!r}")
+    n_buckets = sa[1]
+
+    def files_by_bucket(m, table_dir):
+        out: dict[int, list[str]] = {}
+        for f in m["files"]:
+            out.setdefault(f["bucket"], []).append(
+                os.path.join(table_dir, f["path"]))
+        return out
+
+    fa = files_by_bucket(ma, table_a)
+    fb = files_by_bucket(mb, table_b)
+
+    def read_concat(paths, cols):
+        want = None if cols is None else list(dict.fromkeys([on] + cols))
+        ts = [pq.read_table(p, columns=want) for p in paths]
+        return pa.concat_tables(ts, promote_options="default").to_pandas()
+
+    def join_bucket(batch) -> "pd.DataFrame":
+        frames = []
+        for b in batch["bucket"].tolist():
+            b = int(b)
+            pa_, pb_ = fa.get(b, []), fb.get(b, [])
+            if not pa_ or (how == "inner" and not pb_):
+                continue
+            left = read_concat(pa_, columns_a).drop(
+                columns=["_bucket"], errors="ignore")
+            if pb_:
+                right = read_concat(pb_, columns_b).drop(
+                    columns=["_bucket"], errors="ignore")
+            else:           # left join against an empty bucket
+                right = left.iloc[0:0][[on]]
+            frames.append(left.merge(right, on=on, how=how,
+                                     suffixes=("", right_suffix)))
+        if not frames:
+            return pd.DataFrame({on: pd.Series(dtype=object)})
+        return pd.concat(frames, ignore_index=True)
+
+    work = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        lambda t: pd.DataFrame({"bucket": t["id"]}), batch_format="numpy")
+    return work.map_batches(join_bucket, batch_format="pandas")
