@@ -168,8 +168,20 @@ def _train_coarse_centroids(ds, n_centroids: int, seed: int,
     return C
 
 
+def sq8_encode(E: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vector symmetric int8 scalar quantization: q = round(127 *
+    v / max|v|), dequantize as q * (max|v|/127).  On unit-normalized
+    vectors the per-dim error is <= 1/254, negligible for cosine
+    ranking, while the stored bytes drop 8x vs float64 lists."""
+    amax = np.abs(E).max(axis=1)
+    amax[amax == 0] = 1.0
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.rint(E / scale[:, None]).astype(np.int8)
+    return q, scale
+
+
 def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
-              train_sample: int = 2048) -> np.ndarray:
+              train_sample: int = 2048, quantize: bool = False) -> np.ndarray:
     """One-time PERSISTED IVF index build (round-3 VERDICT #2).
 
     Trains coarse centroids on a bounded sample, quantizes every vector
@@ -179,7 +191,12 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
     Centroids land atomically in ``{index_dir}/centroids.npy``. Query
     time (``ivf_query``) then reads ONLY the probed list partitions, so
     bytes read scale with nprobe/n_centroids, not corpus size.
-    Returns the centroid matrix."""
+
+    ``quantize=True`` stores int8 scalar-quantized NORMALIZED vectors
+    (``emb_q`` list<int8> + per-vector ``scale``) INSTEAD of the float
+    embedding column — probed reads then move ~8x fewer bytes on top of
+    the nprobe/n_lists pruning; ``ivf_query`` auto-detects via the
+    recorded index meta. Returns the centroid matrix."""
     from ..sinks import write_partitioned
 
     cpath = os.path.join(index_dir, "centroids.npy")
@@ -196,11 +213,18 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
                        .astype(np.float64))
         batch = batch.copy()
         batch["list_id"] = np.argmax(E @ C_.T, axis=1).astype(np.int64)
+        if quantize:
+            q, scale = sq8_encode(E)
+            batch = batch.drop(columns=["embedding"])
+            batch["emb_q"] = list(q)
+            batch["scale"] = scale
         return batch
 
     write_partitioned(ds.map_batches(assign, batch_format="pandas"),
                       index_dir, partition_col="list_id",
                       keep_partition_col=True)
+    _atomic_meta(index_dir, {"quantize": bool(quantize),
+                             "n_centroids": int(len(C))})
     tmp = cpath + ".tmp"
     with open(tmp, "wb") as f:
         np.save(f, C)
@@ -208,6 +232,24 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
     with open(os.path.join(index_dir, ".index_done"), "w") as f:
         f.write(str(len(C)))
     return C
+
+
+def _atomic_meta(index_dir: str, meta: dict) -> None:
+    import json
+    p = os.path.join(index_dir, "index_meta.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+
+
+def _load_meta(index_dir: str) -> dict:
+    import json
+    p = os.path.join(index_dir, "index_meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"quantize": False}   # pre-r4 indexes stored float embeddings
 
 
 def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
@@ -234,11 +276,19 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
     bytes_total = sum(os.path.getsize(p) for p in glob.glob(
         os.path.join(index_dir, "part=*", "data.parquet")))
     qref = ray.put((Q, wanted))
+    quantized = bool(_load_meta(index_dir).get("quantize"))
 
     def probed_topk(batch: pd.DataFrame) -> pd.DataFrame:
         Qm, wanted_ = ray.get(qref)
-        E = _norm_rows(np.stack(batch["embedding"].to_numpy())
-                       .astype(np.float64))
+        if quantized:
+            # dequantize int8 -> ~unit vectors; renorm absorbs the
+            # <= 1/254-per-dim quantization drift
+            E = _norm_rows(np.stack(batch["emb_q"].to_numpy())
+                           .astype(np.float64)
+                           * batch["scale"].to_numpy()[:, None])
+        else:
+            E = _norm_rows(np.stack(batch["embedding"].to_numpy())
+                           .astype(np.float64))
         lists = batch["list_id"].to_numpy()
         ids = batch["vec_id"].to_numpy()
         out = []
@@ -279,7 +329,7 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
 
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
-             train_sample: int = 2048,
+             train_sample: int = 2048, quantize: bool = False,
              index_dir: str | None = None) -> pd.DataFrame:
     """IVF approximate top-k = ``ivf_build`` (skipped when the persisted
     index already exists) + ``ivf_query`` (pruned read of the nprobe
@@ -294,7 +344,7 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
         index_dir = tempfile.mkdtemp(prefix="fw_ray_ivf_")
     try:
         ivf_build(ds, index_dir, n_centroids=n_centroids, seed=seed,
-                  train_sample=train_sample)
+                  train_sample=train_sample, quantize=quantize)
         return ivf_query(index_dir, query_vecs, query_ids, k=k,
                          nprobe=nprobe)
     finally:

@@ -201,3 +201,43 @@ def test_media_frame_sample_and_resize(ray_session):
     assert rz["out_width"].tolist() == [8]
     assert rz["resized_md5"][0] == hashlib.md5(
         text.encode() + b"|8x6").hexdigest()
+
+
+def test_sq8_encode_cosine_fidelity():
+    from fasta_windows_ray.stages.similarity import _norm_rows, sq8_encode
+    rng = np.random.default_rng(12)
+    E = _norm_rows(rng.standard_normal((200, 32)))
+    q, scale = sq8_encode(E)
+    assert q.dtype == np.int8 and np.abs(q).max() <= 127
+    D = _norm_rows(q.astype(np.float64) * scale[:, None])
+    # per-vector cosine between original and dequantized ~ 1
+    cos = (E * D).sum(axis=1)
+    assert cos.min() > 0.999
+
+
+def test_ivf_quantized_index_matches_float_and_shrinks_bytes(
+        ray_session, tmp_path):
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.similarity import (ivf_build, ivf_query)
+
+    rng = np.random.default_rng(9)
+    # big enough that vector payload dominates parquet metadata — the
+    # byte-ratio assertion below is about payload, not page headers
+    E = rng.standard_normal((2000, 64)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(2000), "embedding": list(E)})
+    df["embedding"] = df["embedding"].map(np.asarray)
+    kw = dict(n_centroids=8, seed=3, train_sample=1000)
+    d_f = str(tmp_path / "float_idx")
+    d_q = str(tmp_path / "sq8_idx")
+    ivf_build(rd.from_pandas(df), d_f, **kw)
+    ivf_build(rd.from_pandas(df), d_q, quantize=True, **kw)
+    out_f = ivf_query(d_f, E[[0, 7]], [0, 7], k=10, nprobe=4)
+    out_q = ivf_query(d_q, E[[0, 7]], [0, 7], k=10, nprobe=4)
+    for qid in (0, 7):
+        a = set(out_f.loc[out_f["query_id"] == qid, "vec_id"])
+        b = set(out_q.loc[out_q["query_id"] == qid, "vec_id"])
+        assert len(a & b) >= 9, (qid, a, b)   # int8 drift is negligible
+    # the scale payoff: probed bytes shrink several-fold
+    assert out_q.attrs["bytes_total"] < 0.5 * out_f.attrs["bytes_total"]
+    assert out_q.attrs["bytes_read"] < out_q.attrs["bytes_total"]
