@@ -1680,10 +1680,13 @@ def q_hash_join_enrich(sf_dir: str):
     big table, so this is the hash-join shape, not a broadcast."""
     import pyarrow as _pa
     from ..stages.joins import hash_join
-    turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
+    # ONE materialized read feeds both join sides (the profile is
+    # derived from the same table — re-reading it doubled the scan)
+    turns = read_transcripts(
+        sf_dir, columns=["conv_id", "turn_uid", "ts"]).materialize()
 
     def profile_partial(t: _pa.Table) -> _pa.Table:
-        df = t.to_pandas()
+        df = t.select(["conv_id", "ts"]).to_pandas()
         ts = df["ts"].astype("datetime64[us]").astype("int64")
         out = (df.assign(_ts=ts).groupby("conv_id", sort=False)
                  .agg(conv_turns=("conv_id", "size"), first_ts=("_ts", "min"))
@@ -1691,7 +1694,7 @@ def q_hash_join_enrich(sf_dir: str):
         return _pa.Table.from_pandas(out, preserve_index=False)
 
     from ray.data.aggregate import Min, Sum
-    prof = (read_transcripts(sf_dir, columns=["conv_id", "ts"])
+    prof = (turns
             .map_batches(profile_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("conv_id")

@@ -457,3 +457,64 @@ def bucketed_join(table_a: str, table_b: str, on: str, how: str = "inner",
     work = rd.range(n_buckets, override_num_blocks=n_buckets).map_batches(
         lambda t: pd.DataFrame({"bucket": t["id"]}), batch_format="numpy")
     return work.map_batches(join_bucket, batch_format="pandas")
+
+
+def catalog_compact(table_dir: str, target_rows: int = 1 << 20) -> dict:
+    """Compact a catalog table's small files into ~``target_rows``
+    files, committed as one new OVERWRITE version (time travel keeps
+    the old layout; ``catalog_vacuum`` reclaims it).  The lakehouse
+    maintenance op: steady appends leave one file per (write, bucket),
+    and read planning degrades with file count long before data size.
+
+    Bucketed tables compact to one file per bucket with the spec
+    preserved — ``bucketed_join`` keeps working on the compacted
+    snapshot.  Reads are distributed (one task per bucket file group);
+    rows then flow through the standard bucketed write, whose hash
+    exchange re-verifies placement (correct-by-construction; a
+    placement-trusting fast path that skips the exchange is a
+    future optimization).  Unbucketed tables re-block through Ray and
+    rewrite.  Returns the new manifest.
+    """
+    import ray.data as rd
+
+    v = _latest_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    spec = manifest.get("bucket_by")
+
+    if spec is not None:
+        bcol, n_buckets = spec
+        groups: dict[int, list[str]] = {}
+        for f in manifest["files"]:
+            groups.setdefault(f["bucket"], []).append(
+                os.path.join(table_dir, f["path"]))
+
+        work = rd.from_items([{"bucket": b} for b in sorted(groups)])
+
+        def load_bucket(batch) -> pa.Table:
+            import pyarrow.parquet as pq
+            tables = []
+            for b in batch["bucket"].tolist():
+                for p in groups[int(b)]:
+                    tables.append(pq.read_table(p))
+            return pa.concat_tables(tables, promote_options="default") \
+                if tables else pa.table({})
+
+        ds = work.map_batches(load_bucket, batch_size=1,
+                              batch_format="numpy")
+        # map_groups-per-bucket inside catalog_write re-establishes one
+        # file per bucket; rows already carry their _bucket column but
+        # the write re-derives it from the key column (same hash)
+        ds = ds.map_batches(
+            lambda t: t.drop_columns(["_bucket"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return catalog_write(ds, table_dir, mode="overwrite",
+                             bucket_by=(bcol, n_buckets))
+
+    paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
+    ds = rd.read_parquet(paths)
+    n_files = max(1, (manifest["total_rows"] + target_rows - 1)
+                  // target_rows)
+    return catalog_write(ds.repartition(n_files), table_dir,
+                         mode="overwrite")

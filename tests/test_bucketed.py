@@ -100,3 +100,46 @@ def test_bucketed_join_requires_compatible_specs(ray_session, tmp_path):
                   bucket_by=("conv_id", 4))
     with pytest.raises(ValueError):
         bucketed_join(da, dc, on="conv_id")
+
+
+def test_catalog_compact_bucketed_preserves_join(ray_session, tmp_path):
+    from fasta_windows_ray.sources.catalog import (catalog_compact,
+                                                   catalog_vacuum)
+    left, right = _left_frame(2_000), _right_frame()
+    da, db = _write(tmp_path, "a", left), _write(tmp_path, "b", right)
+    # three appends -> one file per (write, bucket) accumulates
+    for seed in (11, 12):
+        extra = _left_frame(500, seed=seed)
+        left = pd.concat([left, extra], ignore_index=True)
+        catalog_write(rd.from_arrow(pa.Table.from_pandas(extra)), da,
+                      mode="append", bucket_by=("conv_id", N_B))
+    import json, os
+    man = catalog_compact(da)
+    assert man["bucket_by"] == ["conv_id", N_B]
+    used = {f["bucket"] for f in man["files"]}
+    assert len(man["files"]) == len(used)   # exactly one file per bucket
+    key = ["conv_id", "v", "label"]
+    out = (bucketed_join(da, db, on="conv_id").to_pandas()
+           .sort_values(key).reset_index(drop=True))
+    want = (left.merge(right, on="conv_id", how="inner")
+                .sort_values(key).reset_index(drop=True))
+    assert len(out) == len(want)
+    pd.testing.assert_frame_equal(out[["conv_id", "v", "label"]],
+                                  want[["conv_id", "v", "label"]])
+    # vacuum reclaims the pre-compaction layout; reads still work
+    deleted = catalog_vacuum(da, keep_versions=1)
+    assert deleted
+    assert catalog_read(da).count() == len(left)
+
+
+def test_catalog_compact_unbucketed_rowcount(ray_session, tmp_path):
+    from fasta_windows_ray.sources.catalog import catalog_compact
+    d = str(tmp_path / "plain")
+    for i in range(3):
+        catalog_write(rd.from_arrow(pa.Table.from_pandas(
+            _left_frame(300, seed=i))).repartition(4), d)
+    import json, os
+    man = catalog_compact(d, target_rows=10_000)
+    assert man["total_rows"] == 900
+    assert len(man["files"]) <= 3
+    assert catalog_read(d).count() == 900
