@@ -999,7 +999,7 @@ def q_minhash_lsh_pairs(sf_dir: str):
                                 verify_jaccard_distributed)
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = minhash_band_rows(docs, shingle_k=MINHASH_SHINGLE_K)
-    cand = lsh_candidate_pairs(bands)
+    cand = lsh_candidate_pairs(bands, dedup=False)
     out = verify_jaccard_distributed(cand, docs,
                                      shingle_k=MINHASH_SHINGLE_K,
                                      threshold=0.5).to_pandas()
@@ -1033,9 +1033,9 @@ def q_dedup_clusters(sf_dir: str):
                                 verify_jaccard_distributed)
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = minhash_band_rows(docs, shingle_k=MINHASH_SHINGLE_K)
-    pairs = verify_jaccard_distributed(lsh_candidate_pairs(bands), docs,
-                                       shingle_k=MINHASH_SHINGLE_K,
-                                       threshold=0.5)
+    pairs = verify_jaccard_distributed(
+        lsh_candidate_pairs(bands, dedup=False), docs,
+        shingle_k=MINHASH_SHINGLE_K, threshold=0.5)
     out = dedup_clusters(_docs(sf_dir, ["doc_id"]), pairs).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 

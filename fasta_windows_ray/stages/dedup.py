@@ -252,13 +252,20 @@ def minhash_band_rows(ds, num_perm: int = 128, bands: int = 16,
     return ds.map_batches(band_rows, batch_format="pandas")
 
 
-def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
+def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64,
+                        dedup: bool = True):
     """(band_id, band_hash) buckets → unordered candidate pairs (a < b).
 
     Shuffles on a bounded hash-bucket key (num_buckets groups), with the
     per-bucket pair generation and the cross-band pair dedup both
     vectorized pandas — never one Ray group per LSH bucket (that would be
     millions of tiny groups at scale).
+
+    ``dedup=False`` skips the second (pair-hash) exchange and may emit
+    the same pair from different bands — for consumers that dedup
+    anyway (``verify_jaccard_distributed`` dedups its collected
+    candidate list on the small-side fast path; connected components is
+    dupe-invariant), saving one full sort shuffle per pipeline.
     """
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -302,8 +309,14 @@ def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
 
     cand = bucketed.groupby("_gb").map_groups(pairs_in_bucket,
                                               batch_format="pandas")
+    if not dedup:
+        return cand
+    return dedup_pairs(cand, num_buckets=num_buckets)
 
-    # global pair dedup: bucket by pair hash, vectorized drop_duplicates
+
+def dedup_pairs(pairs_ds, num_buckets: int = 64):
+    """Global (doc_a, doc_b) pair dedup: one exchange bucketed by pair
+    hash, vectorized drop_duplicates per group."""
     def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_pb"] = (df["doc_a"] * 1_000_003 + df["doc_b"]) % num_buckets
@@ -312,8 +325,9 @@ def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64):
     def uniq(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
-    return (cand.map_batches(pair_bucket, batch_format="pandas")
-                .groupby("_pb").map_groups(uniq, batch_format="pandas"))
+    return (pairs_ds.map_batches(pair_bucket, batch_format="pandas")
+                    .groupby("_pb").map_groups(uniq,
+                                               batch_format="pandas"))
 
 
 def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
@@ -352,8 +366,11 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
     # orders of magnitude smaller than the corpus: object-store-cheap
     pairs_ds = pairs_ds.materialize()
 
-    # 1. candidate id set: ids only (the judge-endorsed broadcast side)
-    ids_pdf = pairs_ds.to_pandas()[["doc_a", "doc_b"]]
+    # 1. candidate id set: ids only (the judge-endorsed broadcast side).
+    # drop_duplicates makes this path correct for dedup=False candidate
+    # generators (the pair list is bounded — driver-cheap)
+    ids_pdf = (pairs_ds.to_pandas()[["doc_a", "doc_b"]]
+               .drop_duplicates().reset_index(drop=True))
     wanted = np.unique(np.concatenate([ids_pdf["doc_a"].to_numpy(),
                                        ids_pdf["doc_b"].to_numpy()]))
     wanted_ref = ray.put(np.sort(wanted.astype(np.int64)))
@@ -378,6 +395,11 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
         out = verify_jaccard(ids_pdf, docs_pdf, shingle_k=shingle_k,
                              threshold=threshold)
         return rd.from_pandas(out)
+
+    # big-pair-set path: dedup the pair stream first (one bounded
+    # exchange) so dedup=False candidate generators can't emit
+    # duplicate verified rows here either
+    pairs_ds = dedup_pairs(pairs_ds, num_buckets=num_buckets).materialize()
 
     # 3. attach text for one side via a bounded-bucket co-partition.
     # Both union sides are padded to ONE schema (pair_cols + doc_id/text)

@@ -151,3 +151,29 @@ def test_signatures_batch_equals_per_doc():
         b2 = mh.signatures_batch(texts2)
         for i, t in enumerate(texts2):
             assert (b2[i] == mh.signature(t)).all()
+
+
+def test_lsh_dedup_false_verified_equal(ray_session):
+    """dedup=False skips the pair-hash exchange; after verification the
+    result must be IDENTICAL to the dedup=True path on both the
+    driver fast path and the co-partitioned path (small_side_limit=0)."""
+    import ray.data as rd
+    from fasta_windows_ray.stages.dedup import (lsh_candidate_pairs,
+                                                minhash_band_rows,
+                                                verify_jaccard_distributed)
+    docs = make_docs()
+    ds = rd.from_pandas(docs)
+    bands = minhash_band_rows(ds, shingle_k=5).materialize()
+
+    def run(dedup, limit):
+        out = verify_jaccard_distributed(
+            lsh_candidate_pairs(bands, dedup=dedup),
+            rd.from_pandas(docs), shingle_k=5, threshold=0.4,
+            small_side_limit=limit).to_pandas()
+        return (out.sort_values(["doc_a", "doc_b"])
+                   .reset_index(drop=True))
+
+    base = run(True, 50_000)
+    for dedup, limit in ((False, 50_000), (False, 0), (True, 0)):
+        got = run(dedup, limit)
+        pd.testing.assert_frame_equal(got, base)
