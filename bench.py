@@ -160,7 +160,29 @@ def bench_queries() -> dict:
         return len(Q.q_pii_redact(SF_DIR))
 
     def grouped_topk():
-        return len(Q.q_grouped_topk(SF_DIR))
+        # the OPERATOR (comparable to BENCH_r03's entry) — the driver
+        # query q_grouped_topk now also bundles heavy_hitters under the
+        # same gate row, benched separately below
+        import ray.data as rd
+
+        import numpy as _np
+
+        from fasta_windows_ray.stages.analytics import grouped_topk as gtk
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_type", "user_id", "value"])
+        return len(gtk(ev, "event_type", "user_id", k=5,
+                       weight_col="value"))
+
+    def heavy_hitters_words():
+        import ray.data as rd
+
+        from fasta_windows_ray.stages.heavy_hitters import heavy_hitters
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["text"])
+        res = heavy_hitters(docs, "text", k=15, capacity=8192,
+                            tokenize="words")
+        assert res.certified
+        return len(res.top)
 
     def windowed_distinct():
         return len(Q.q_windowed_distinct(SF_DIR))
@@ -183,6 +205,7 @@ def bench_queries() -> dict:
         "quality_score": token_quality,
         "pii_redact": pii_redact,
         "grouped_topk": grouped_topk,
+        "heavy_hitters_words": heavy_hitters_words,
         "windowed_distinct": windowed_distinct,
         "cep_sequence": cep_sequence,
         "lm_quality_score": lm_quality,
