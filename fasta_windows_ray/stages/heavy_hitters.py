@@ -162,3 +162,145 @@ def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096,
         kth > boundary + d_total
     return HeavyHittersResult(exact, bool(certified),
                               boundary + d_total, kth)
+
+
+def windowed_heavy_hitters(ds, ts_col: str, text_col: str, size_us: int,
+                           k: int = 10, capacity: int = 1024,
+                           tokenize: str | None = "words") -> pd.DataFrame:
+    """Top-k terms PER TUMBLING WINDOW ("trending terms"), with the
+    same bounded-memory summary + per-window exactness certificate as
+    ``heavy_hitters``.
+
+    Same two-pass shape as the corpus operator, per window: (1) batch
+    summaries — exact (window, term) counts truncated to each window's
+    top-``capacity`` with a recorded per-(batch, window) delta — merge
+    by counter addition under one window-grouped exchange, selecting
+    each window's candidates + bound; (2) candidates are broadcast and
+    RECOUNTED exactly (merged summary counts can undercount a term that
+    was truncated in some batch — the recount makes the reported n and
+    the intra-top-k order exact, not just the membership).  A window is
+    ``certified`` iff its exact kth count > boundary + sum(deltas);
+    too-flat windows report ``certified=False`` rather than lying.
+    Driver state: windows x ~4k candidate terms (windows are bounded by
+    the time span).  Output: (window_start, term, n, rank, certified).
+    """
+    from ..windows import tumbling_start
+
+    def summarize(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        win = tumbling_start(ts, size_us)
+        if tokenize == "words":
+            toks = pc.split_pattern(pc.utf8_lower(t[text_col]), " ")
+            counts = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            terms = pc.list_flatten(toks)
+            win = np.repeat(win, counts)
+        else:
+            terms = t[text_col]
+        df = pd.DataFrame({"w": win,
+                           "term": terms.to_pandas().astype(str)})
+        g = (df.groupby(["w", "term"], sort=False)
+               .size().rename("n").reset_index())
+        frames = []
+        for w, sub in g.groupby("w", sort=False):
+            sub = sub.sort_values(["n", "term"],
+                                  ascending=[False, True], kind="stable")
+            delta = int(sub["n"].iloc[capacity]) \
+                if len(sub) > capacity else 0
+            top = sub.head(capacity)[["w", "term", "n"]].copy()
+            top["is_delta"] = np.int8(0)
+            frames.append(top)
+            frames.append(pd.DataFrame({"w": [w], "term": [""],
+                                        "n": [delta],
+                                        "is_delta": [np.int8(1)]}))
+        out = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"w": pd.Series(dtype=np.int64),
+                          "term": pd.Series(dtype=object),
+                          "n": pd.Series(dtype=np.int64),
+                          "is_delta": pd.Series(dtype=np.int8)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    n_cand = max(4 * k, 64)
+    empty = pd.DataFrame({"window_start": pd.Series(dtype=np.int64),
+                          "term": pd.Series(dtype=object),
+                          "n": pd.Series(dtype=np.int64),
+                          "rank": pd.Series(dtype=np.int64),
+                          "certified": pd.Series(dtype=bool)})
+
+    def select_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        w = int(df["w"].iloc[0])
+        d_total = int(df.loc[df["is_delta"] == 1, "n"].sum())
+        terms = (df[df["is_delta"] == 0]
+                 .groupby("term", as_index=False)["n"].sum()
+                 .sort_values(["n", "term"], ascending=[False, True],
+                              kind="stable").reset_index(drop=True))
+        cand = terms.head(n_cand)
+        boundary = int(terms["n"].iloc[n_cand]) \
+            if len(terms) > n_cand else 0
+        all_kept = len(terms) <= n_cand
+        return pd.DataFrame({
+            "w": np.full(len(cand), w, np.int64),
+            "term": cand["term"].to_numpy(),
+            "bound": np.full(len(cand), boundary + d_total, np.int64),
+            "trivial": np.full(len(cand),
+                               d_total == 0 and all_kept, bool)})
+
+    cands = (ds.map_batches(summarize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("w").map_groups(select_candidates,
+                                        batch_format="pandas")
+               .to_pandas())
+    if cands.empty:
+        return empty
+    import ray
+    bounds = {int(w): (int(sub["bound"].iloc[0]),
+                       bool(sub["trivial"].iloc[0]))
+              for w, sub in cands.groupby("w", sort=False)}
+    wref = ray.put(cands[["w", "term"]])
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand_pairs = ray.get(wref)
+        ts = t[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        win = tumbling_start(ts, size_us)
+        if tokenize == "words":
+            toks = pc.split_pattern(pc.utf8_lower(t[text_col]), " ")
+            counts = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False)
+            terms = pc.list_flatten(toks).to_pandas().astype(str)
+            win = np.repeat(win, counts)
+        else:
+            terms = t[text_col].to_pandas().astype(str)
+        df = pd.DataFrame({"w": win, "term": terms})
+        # vectorized candidate filter: inner merge against the
+        # broadcast (w, term) pair table
+        g = (df.merge(cand_pairs, on=["w", "term"])
+               .groupby(["w", "term"], sort=False)
+               .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        w = int(df["w"].iloc[0])
+        exact = (df.groupby("term", as_index=False)["n"].sum()
+                   .sort_values(["n", "term"], ascending=[False, True],
+                                kind="stable").reset_index(drop=True))
+        top = exact.head(k)
+        bound, trivial = bounds[w]
+        kth = int(top["n"].iloc[-1]) if len(top) else 0
+        certified = trivial or kth > bound
+        return pd.DataFrame({
+            "window_start": np.full(len(top), w, np.int64),
+            "term": top["term"].to_numpy(),
+            "n": top["n"].to_numpy(np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "certified": np.full(len(top), certified, bool)})
+
+    out = (ds.map_batches(recount, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("w").map_groups(finish, batch_format="pandas")
+             .to_pandas())
+    if out.empty:
+        return empty
+    return (out.sort_values(["window_start", "rank"])
+               .reset_index(drop=True))

@@ -80,3 +80,97 @@ def test_heavy_hitters_empty_input(ray_session):
     ds = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
     res = heavy_hitters(ds, "k", k=5, capacity=16)
     assert res.certified and len(res.top) == 0
+
+
+# ---------------------------------------------------------------------------
+# Windowed heavy hitters (trending terms per tumbling window)
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3600 * 1_000_000
+
+
+def _trending_events(seed=41, n=30_000, windows=3):
+    rng = np.random.default_rng(seed)
+    hot = [f"hot{w}" for w in range(windows)]
+    rows = []
+    for i in range(n):
+        w = i % windows
+        ts = np.int64(w * HOUR_US + rng.integers(0, HOUR_US))
+        term = hot[w] if rng.random() < 0.3 else \
+            f"t{int(min(rng.zipf(1.5), 2000))}"
+        rows.append({"ts": ts, "term": term})
+    return pd.DataFrame(rows)
+
+
+def _true_window_topk(df, k):
+    df = df.copy()
+    df["w"] = (df["ts"] // HOUR_US) * HOUR_US
+    g = (df.groupby(["w", "term"], as_index=False).size()
+           .rename(columns={"size": "n"}))
+    out = []
+    for w, sub in g.groupby("w"):
+        sub = (sub.sort_values(["n", "term"], ascending=[False, True],
+                               kind="stable").head(k))
+        sub = sub.reset_index(drop=True)
+        sub["rank"] = np.arange(1, len(sub) + 1)
+        out.append(sub)
+    return pd.concat(out, ignore_index=True)
+
+
+def test_windowed_heavy_hitters_exact_counts_and_ranks(ray_session):
+    from fasta_windows_ray.stages.heavy_hitters import windowed_heavy_hitters
+    df = _trending_events()
+    tbl = pa.table({"ts": pa.array(df["ts"], pa.timestamp("us")),
+                    "term": df["term"]})
+    ds = rd.from_arrow(tbl).repartition(7)
+    out = windowed_heavy_hitters(ds, "ts", "term", HOUR_US, k=5,
+                                 capacity=256, tokenize=None)
+    assert out["certified"].all()
+    want = _true_window_topk(df, 5)
+    assert len(out) == len(want)
+    got = out[["window_start", "term", "n", "rank"]].reset_index(drop=True)
+    want = want.rename(columns={"w": "window_start"})[
+        ["window_start", "term", "n", "rank"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"window_start": np.int64, "n": np.int64,
+                    "rank": np.int64}),
+        want.astype({"window_start": np.int64, "n": np.int64,
+                     "rank": np.int64}))
+    # each window's hot term must rank 1
+    for w in range(3):
+        row = out[(out["window_start"] == w * HOUR_US)
+                  & (out["rank"] == 1)]
+        assert row["term"].iloc[0] == f"hot{w}"
+
+
+def test_windowed_heavy_hitters_flat_window_uncertified(ray_session):
+    from fasta_windows_ray.stages.heavy_hitters import windowed_heavy_hitters
+    # 2000 distinct terms, all count 2, capacity far below vocab
+    ts = np.array([i % HOUR_US for i in range(4000)],
+                  dtype="datetime64[us]")
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts),
+        "term": [f"u{i % 2000}" for i in range(4000)]})).repartition(5)
+    out = windowed_heavy_hitters(ds, "ts", "term", HOUR_US, k=3,
+                                 capacity=32, tokenize=None)
+    assert len(out) == 3
+    assert not out["certified"].any()
+
+
+def test_windowed_heavy_hitters_word_mode(ray_session):
+    from fasta_windows_ray.stages.heavy_hitters import windowed_heavy_hitters
+    rows = []
+    for w, word in ((0, "alpha"), (1, "beta")):
+        for i in range(50):
+            rows.append({"ts": np.int64(w * HOUR_US + i),
+                         "text": f"{word} filler{i % 25} x"})
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([r["ts"] for r in rows],
+                                dtype="datetime64[us]")),
+        "text": [r["text"] for r in rows]}))
+    out = windowed_heavy_hitters(ds, "ts", "text", HOUR_US, k=2,
+                                 capacity=512, tokenize="words")
+    assert out["certified"].all()
+    top1 = dict(out[out["rank"] == 1][["window_start", "term"]].values)
+    # 'x' and the per-window word tie at 50; tie-break term asc
+    assert top1[0] == "alpha" and top1[HOUR_US] == "beta"
