@@ -283,15 +283,48 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+DUP_GRAM_L = 40
+
+
 def q_exact_dedup_docs(sf_dir: str):
+    """BOTH exact-dedup granularities under one driver row (tagged
+    union; the gate caps at 50 queries):
+
+    - ``doc``: document-level exact dedup — min doc_id + copy count per
+      distinct text (hash-bucket shuffle, per-group first).
+    - ``span``: substring-level duplicated L-grams (Lee et al.
+      ExactSubstr detection) — every 40-codepoint substring occurring in
+      ≥ 2 distinct documents, with its distinct-doc count. Hash-only
+      exchange; gram strings materialized for the duplicated set only.
+
+    Columns are unioned as (method, key VARCHAR, n BIGINT)."""
     from ..stages.dedup import exact_dedup
-    return exact_dedup(_docs(sf_dir, ["doc_id", "text"])).select_columns(
-        ["doc_id", "n_copies"])
+    from ..stages.substring import duplicate_grams
+    a = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    a = pd.DataFrame({"method": "doc",
+                      "key": a["doc_id"].astype(str),
+                      "n": a["n_copies"].astype(np.int64)})
+    b = duplicate_grams(_docs(sf_dir, ["doc_id", "text"]),
+                        L=DUP_GRAM_L).to_pandas()
+    b = pd.DataFrame({"method": "span", "key": b["gram"],
+                      "n": b["n_docs"].astype(np.int64)})
+    return pd.concat([a, b], ignore_index=True)
 
 
-SQL_EXACT_DEDUP_DOCS = """
-SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+# generate_series bound is a constant (DuckDB's table function takes no
+# lateral/subquery args); 65536 comfortably exceeds max doc length in
+# every sf tier the gate runs (sf0.01 max 553 chars).
+SQL_EXACT_DEDUP_DOCS = f"""
+SELECT 'doc' AS method, CAST(min(doc_id) AS VARCHAR) AS key,
+       count(*) AS n
 FROM documents GROUP BY text
+UNION ALL
+SELECT 'span' AS method, gram AS key, count(DISTINCT doc_id) AS n
+FROM (SELECT d.doc_id, substr(d.text, t.i::INT, {DUP_GRAM_L}) AS gram
+      FROM documents d
+      JOIN generate_series(1, 65536) AS t(i)
+        ON t.i <= length(d.text) - {DUP_GRAM_L - 1})
+GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
 """
 
 
@@ -1406,9 +1439,14 @@ def q_hash_sample(sf_dir: str):
     - ``topk``: EXACT-k per-language hash-order sample (the reproducible
       reservoir-sampling analogue) — per-batch k-candidates, tiny driver
       merge, zero shuffles.
+    - ``mixture``: temperature-based data mixing — per-language keep
+      rates ∝ count^α (α = 0.5 upsamples tail languages), derived from
+      one bounded groupby().count(), applied by the same shuffle-free
+      membership filter.
 
-    Each half is reproduced exactly by its SQL md5-fold twin."""
-    from ..stages.sampling import hash_sample, hash_topk_sample
+    Each part is reproduced exactly by its SQL md5-fold twin."""
+    from ..stages.sampling import (hash_sample, hash_topk_sample,
+                                   mixture_sample)
     a = hash_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
                     SAMPLE_DEFAULT_PERMILLE, strata_col="lang",
                     strata_permille=SAMPLE_STRATA_PERMILLE) \
@@ -1418,8 +1456,16 @@ def q_hash_sample(sf_dir: str):
                          SAMPLE_TOPK_K, strata_col="lang")
     b = b[["doc_id", "lang"]].copy()
     b.insert(0, "method", "topk")
-    return pd.concat([a, b], ignore_index=True)
+    c, _pm = mixture_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
+                            "lang", alpha=MIX_ALPHA,
+                            target_permille=MIX_TARGET_PERMILLE)
+    c = c.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    c.insert(0, "method", "mixture")
+    return pd.concat([a, b, c], ignore_index=True)
 
+
+MIX_ALPHA = 0.5
+MIX_TARGET_PERMILLE = 250
 
 SQL_HASH_SAMPLE = f"""
 WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
@@ -1427,6 +1473,14 @@ WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
 s AS (SELECT doc_id, lang, ({_hex_fold("h", 15)}) % 1000 AS slot FROM h),
 r AS (SELECT doc_id, lang, slot,
         row_number() OVER (PARTITION BY lang ORDER BY slot, doc_id) AS rn
+      FROM s),
+m AS (SELECT doc_id, lang, slot,
+        CAST(least(1000, floor(
+          {MIX_TARGET_PERMILLE} * (SELECT count(*) FROM documents)
+          * pow(count(*) OVER (PARTITION BY lang), {MIX_ALPHA} - 1.0)
+          / (SELECT sum(z) FROM (SELECT pow(count(*), {MIX_ALPHA}) AS z
+                                 FROM documents GROUP BY lang))
+          + 1e-9)) AS BIGINT) AS pm
       FROM s)
 SELECT 'bernoulli' AS method, doc_id, lang FROM s
 WHERE slot < CASE lang WHEN 'en' THEN {SAMPLE_STRATA_PERMILLE["en"]}
@@ -1434,6 +1488,8 @@ WHERE slot < CASE lang WHEN 'en' THEN {SAMPLE_STRATA_PERMILLE["en"]}
                        ELSE {SAMPLE_DEFAULT_PERMILLE} END
 UNION ALL
 SELECT 'topk' AS method, doc_id, lang FROM r WHERE rn <= {SAMPLE_TOPK_K}
+UNION ALL
+SELECT 'mixture' AS method, doc_id, lang FROM m WHERE slot < pm
 """
 
 

@@ -52,6 +52,45 @@ def hash_sample(ds, key_col: str, permille: int,
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mixture_permilles(counts: dict, alpha: float,
+                      target_permille: int) -> dict:
+    """Per-stratum keep rates for temperature-based data mixing:
+    sample share of stratum s ∝ n_s^alpha (alpha < 1 upsamples the tail
+    relative to its natural share — the multilingual "temperature"
+    re-weighting of Conneau & Lample / the LLM data-mixing recipe), at
+    an overall target rate of ``target_permille``/1000.
+
+    permille_s = floor(target · N · n_s^(alpha-1) / Σ_u n_u^alpha + ε),
+    capped at 1000. The ε = 1e-9 nudge makes the floor insensitive to
+    summation-order ulp drift, so a SQL twin computing the same formula
+    reproduces the rates exactly. Deterministic: pure function of the
+    integer counts."""
+    N = sum(counts.values())
+    Z = sum(n ** alpha for _, n in sorted(counts.items()))
+    return {s: min(1000, int(target_permille * N * n ** (alpha - 1.0) / Z
+                             + 1e-9))
+            for s, n in counts.items()}
+
+
+def mixture_sample(ds, key_col: str, source_col: str,
+                   alpha: float = 0.5, target_permille: int = 250):
+    """Deterministic temperature-mixture sample: one bounded
+    ``groupby(source).count()`` (rows = #strata, never corpus-sized)
+    derives per-stratum permilles, then the shuffle-free
+    :func:`hash_sample` membership filter applies them — membership
+    stays a pure function of (key, stratum counts), so re-runs and
+    re-partitionings select identical rows. Returns (dataset, permilles).
+    """
+    # null stratum folds to "" (matches hash_sample's lookup convention)
+    counts = {}
+    for r in ds.groupby(source_col).count().take_all():
+        s = r[source_col] if r[source_col] is not None else ""
+        counts[s] = counts.get(s, 0) + r["count()"]
+    pm = mixture_permilles(counts, alpha, target_permille)
+    return hash_sample(ds, key_col, 0, strata_col=source_col,
+                       strata_permille=pm), pm
+
+
 def hash_topk_sample(ds, key_col: str, k: int,
                      strata_col: str | None = None):
     """EXACT-k deterministic sample (per stratum): keep the k rows with

@@ -75,6 +75,34 @@ def test_hash_sample_unstratified(ray_session):
     assert set(out["doc_id"]) == set(df.loc[slots < 150, "doc_id"])
 
 
+def test_mixture_sample_temperature(ray_session):
+    from fasta_windows_ray.stages.sampling import (mixture_permilles,
+                                                   mixture_sample)
+    from fasta_windows_ray.stages.window_stats import stable_bucket_of
+    rng = np.random.default_rng(17)
+    langs = np.repeat(["en", "zh", "fr"], [900, 300, 100])
+    df = pd.DataFrame({"doc_id": np.arange(len(langs)),
+                       "lang": rng.permutation(langs)})
+    out, pm = mixture_sample(_ds(df, 5), "doc_id", "lang",
+                             alpha=0.5, target_permille=200)
+    out = out.to_pandas()
+    # alpha<1 upsamples the tail RELATIVE to natural share: keep-rate
+    # ordering inverts the count ordering
+    assert pm["fr"] > pm["zh"] > pm["en"]
+    # formula check against a direct computation
+    Z = 900**0.5 + 300**0.5 + 100**0.5
+    for lang, n in [("en", 900), ("zh", 300), ("fr", 100)]:
+        assert pm[lang] == min(1000, int(200 * 1300 * n**-0.5 / Z + 1e-9))
+    # membership is exactly the slot rule (pure function of key)
+    slots = stable_bucket_of(df["doc_id"].to_numpy(), 1000)
+    want = set(df.loc[slots < df["lang"].map(pm).to_numpy(), "doc_id"])
+    assert set(out["doc_id"]) == want
+    # re-run with different partitioning selects identical rows
+    out2, _ = mixture_sample(_ds(df, 2), "doc_id", "lang",
+                             alpha=0.5, target_permille=200)
+    assert set(out2.to_pandas()["doc_id"]) == want
+
+
 @pytest.mark.parametrize("n,hi", [(1, 5), (997, 50), (5000, 3)])
 def test_exact_quantiles_inverted_cdf(ray_session, n, hi):
     from fasta_windows_ray.stages.analytics import exact_quantiles
