@@ -187,41 +187,7 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                                 zero_copy_batch=True)
 
     def write_block(t: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-        if len(t) == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64()),
-                             "stats": pa.array([], pa.string()),
-                             "bucket": pa.array([], pa.int64()),
-                             "schema": pa.array([], pa.string())})
-        bucket = (int(t["_bucket"][0].as_py())
-                  if "_bucket" in t.column_names else -1)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(data_dir, f".{name}.tmp")
-        pq.write_table(t, tmp)
-        os.replace(tmp, os.path.join(data_dir, name))
-        stats = {}
-        for field in t.schema:
-            if stats_cols is not None and field.name not in stats_cols:
-                continue
-            ty = field.type
-            if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
-                    or pa.types.is_string(ty) or pa.types.is_timestamp(ty)
-                    or pa.types.is_date(ty)):
-                continue
-            import pyarrow.compute as pc
-            col = t[field.name]
-            if col.null_count == len(col):
-                continue
-            mm = pc.min_max(col)
-            stats[field.name] = {"min": _scalar(mm["min"]),
-                                 "max": _scalar(mm["max"])}
-        schema_json = json.dumps({f.name: str(f.type) for f in t.schema})
-        return pa.table({"path": pa.array([f"data/{name}"]),
-                         "rows": pa.array([len(t)], pa.int64()),
-                         "stats": pa.array([json.dumps(stats)]),
-                         "bucket": pa.array([bucket], pa.int64()),
-                         "schema": pa.array([schema_json])})
+        return _write_data_file(t, data_dir, stats_cols)
 
     if bucket_by is not None:
         report = (tagged.groupby("_bucket")
@@ -230,6 +196,62 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     else:
         report = ds.map_batches(write_block, batch_format="pyarrow",
                                 zero_copy_batch=True).to_pandas()
+    return _commit_files(table_dir, report, mode, bucket_by)
+
+
+def _write_data_file(t: pa.Table, data_dir: str,
+                     stats_cols: list[str] | None = None) -> pa.Table:
+    """Write one data file (tmp + atomic rename) and return its
+    one-row manifest report (path, rows, per-column min/max stats,
+    bucket id if tagged, schema). Runs INSIDE distributed tasks."""
+    import pyarrow.parquet as pq
+    if len(t) == 0:
+        return pa.table({"path": pa.array([], pa.string()),
+                         "rows": pa.array([], pa.int64()),
+                         "stats": pa.array([], pa.string()),
+                         "bucket": pa.array([], pa.int64()),
+                         "schema": pa.array([], pa.string())})
+    bucket = (int(t["_bucket"][0].as_py())
+              if "_bucket" in t.column_names else -1)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(data_dir, f".{name}.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(data_dir, name))
+    stats = {}
+    for field in t.schema:
+        if stats_cols is not None and field.name not in stats_cols:
+            continue
+        ty = field.type
+        if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                or pa.types.is_string(ty) or pa.types.is_timestamp(ty)
+                or pa.types.is_date(ty)):
+            continue
+        import pyarrow.compute as pc
+        col = t[field.name]
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        stats[field.name] = {"min": _scalar(mm["min"]),
+                             "max": _scalar(mm["max"])}
+    schema_json = json.dumps({f.name: str(f.type) for f in t.schema})
+    return pa.table({"path": pa.array([f"data/{name}"]),
+                     "rows": pa.array([len(t)], pa.int64()),
+                     "stats": pa.array([json.dumps(stats)]),
+                     "bucket": pa.array([bucket], pa.int64()),
+                     "schema": pa.array([schema_json])})
+
+
+def _commit_files(table_dir: str, report, mode: str,
+                  bucket_by: tuple[str, int] | None,
+                  base_files: list | None = None) -> dict:
+    """Assemble the file list from distributed write reports and commit
+    one new manifest version (the atomic commit point).
+
+    ``base_files`` (copy-on-write commits: delete/merge/compact-subset)
+    is an explicit list of parent file entries to RETAIN alongside this
+    write's files — it overrides the mode-derived parent handling.
+    """
+    mdir = os.path.join(table_dir, _MANIFEST)
     files = []
     for p, r, s, b, sc in zip(report.get("path", []),
                               report.get("rows", []),
@@ -243,7 +265,9 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
         files.append(entry)
 
     parent = _latest_version(table_dir)
-    if mode == "append" and parent:
+    if base_files is not None:
+        files = list(base_files) + files
+    elif mode == "append" and parent:
         files = _load_manifest(table_dir, parent)["files"] + files
     # unified table schema = union of per-file schemas; ADD-only
     # evolution (a same-named column with a different type is an error
@@ -451,6 +475,266 @@ def catalog_diff(table_dir: str, from_version: int,
     return ds
 
 
+_ROW_OPS = {
+    "==": "equal", "<=": "less_equal", ">=": "greater_equal",
+    "<": "less", ">": "greater",
+}
+
+
+def _row_mask(t: pa.Table, predicate: list[tuple]):
+    """Row-level conjunction mask (nulls never match, SQL-style)."""
+    import pyarrow.compute as pc
+    mask = None
+    for col, op, val in predicate:
+        term = getattr(pc, _ROW_OPS[op])(t[col], val)
+        term = pc.fill_null(term, False)
+        mask = term if mask is None else pc.and_(mask, term)
+    return mask
+
+
+def _untouched_report_row(entry: dict) -> pa.Table:
+    """A report row that RETAINS an existing data file unchanged
+    (its manifest entry re-emitted verbatim through the commit path)."""
+    return pa.table({"path": pa.array([entry["path"]]),
+                     "rows": pa.array([entry["rows"]], pa.int64()),
+                     "stats": pa.array([json.dumps(entry["stats"])]),
+                     "bucket": pa.array([entry.get("bucket", -1)],
+                                        pa.int64()),
+                     "schema": pa.array([json.dumps(
+                         entry.get("schema", {}))])})
+
+
+def catalog_delete(table_dir: str, predicate: list[tuple]) -> dict:
+    """Delete all rows matching EVERY ``(col, op, value)`` term, as one
+    new copy-on-write commit (time travel keeps the pre-delete
+    snapshot; ``catalog_vacuum`` reclaims replaced files).
+
+    The 100-TB path: per-file min/max stats split the snapshot into
+    files that CANNOT contain a matching row (retained in the new
+    manifest with zero I/O) and candidate files, which are rewritten
+    minus matching rows — one distributed task per candidate file, so
+    a key- or time-ranged delete touches O(matching files), not
+    O(table).  A candidate whose rows all survive is retained
+    unchanged (no write); one whose rows all match is dropped.
+
+    Returns a report: committed version, rows_deleted, files
+    untouched / rewritten / dropped.
+    """
+    import ray.data as rd
+
+    v = _latest_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    untouched, cands = [], []
+    for f in manifest["files"]:
+        may = True
+        for col, op, val in predicate:
+            st = f["stats"].get(col)
+            if st is None or st["min"] is None:
+                continue
+            sval = val.isoformat() if hasattr(val, "isoformat") else val
+            if not _OPS[op](st["min"], st["max"], sval):
+                may = False
+                break
+        (cands if may else untouched).append(f)
+
+    data_dir = os.path.join(table_dir, "data")
+    rows_before = sum(f["rows"] for f in cands)
+
+    def rewrite(batch) -> pa.Table:
+        import pyarrow.parquet as pq
+        entry = json.loads(str(batch["entry"][0]))
+        t = pq.read_table(os.path.join(table_dir, entry["path"]))
+        import pyarrow.compute as pc
+        keep = t.filter(pc.invert(_row_mask(t, predicate)))
+        if len(keep) == len(t):
+            return _untouched_report_row(entry)    # false positive
+        if len(keep) == 0:
+            return _write_data_file(pa.table({}), data_dir)  # drop file
+        return _write_data_file(keep, data_dir)
+
+    if cands:
+        work = rd.from_items([{"entry": json.dumps(f)} for f in cands])
+        report = work.map_batches(rewrite, batch_size=1,
+                                  batch_format="numpy").to_pandas()
+    else:
+        report = {"path": [], "rows": [], "stats": [], "bucket": [],
+                  "schema": []}
+    spec = manifest.get("bucket_by")
+    new_man = _commit_files(table_dir, report, "delete",
+                            tuple(spec) if spec else None,
+                            base_files=untouched)
+    rows_after = new_man["total_rows"] - sum(f["rows"] for f in untouched)
+    # an all-empty report Dataset loses column names through to_pandas()
+    _p = report.get("path", None)
+    kept_paths = set(_p) if _p is not None else set()
+    cand_paths = {f["path"] for f in cands}
+    retained = len(cand_paths & kept_paths)     # false-positive files
+    rewritten = len(kept_paths - cand_paths)
+    return {"version": new_man["version"],
+            "rows_deleted": int(rows_before - rows_after),
+            "files_untouched": len(untouched) + retained,
+            "files_rewritten": rewritten,
+            "files_dropped": len(cands) - retained - rewritten}
+
+
+def catalog_merge(ds, table_dir: str, on: str) -> dict:
+    """Upsert (MERGE): target rows whose ``on`` key appears in ``ds``
+    are replaced by the source row; unseen keys are inserted.  One
+    copy-on-write commit; source keys must be unique (validated).
+
+    Scale paths, picked automatically:
+
+    - **Bucketed table, bucketed on the merge key** (the 100-TB path):
+      the source pays ONE hash exchange into the table's bucket spec;
+      each touched bucket is merged in one distributed task that reads
+      only that bucket's files (drop matched keys, concat source rows,
+      rewrite) — the target is NEVER shuffled, and buckets the source
+      doesn't touch are retained with zero I/O.
+    - **Unbucketed table**: the source key set is collected and shipped
+      to the candidate-file rewrite tasks (files whose key stats
+      overlap the source's key range); source rows append as new
+      files.  Correct at any size, but driver state is O(source keys)
+      — bucket the table on the merge key for big-source merges.
+
+    Returns a report: committed version, rows_updated, rows_inserted,
+    buckets/files touched.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    v = _latest_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    data_dir = os.path.join(table_dir, "data")
+    spec = manifest.get("bucket_by")
+
+    def check_unique(keys: pa.ChunkedArray, n: int) -> None:
+        if pc.count_distinct(keys, mode="all").as_py() != n:
+            raise ValueError(
+                "catalog_merge source has duplicate keys in "
+                f"{on!r} — upsert would be ambiguous")
+
+    if spec and spec[0] == on:
+        bcol, n_buckets = spec
+        from ..stages.window_stats import stable_bucket_of
+        by_bucket: dict[int, list[dict]] = {}
+        for f in manifest["files"]:
+            by_bucket.setdefault(f.get("bucket", -1), []).append(f)
+
+        def tag(t: pa.Table) -> pa.Table:
+            if "_bucket" in t.column_names:
+                t = t.drop_columns(["_bucket"])
+            b = stable_bucket_of(
+                t[on].to_numpy(zero_copy_only=False), n_buckets)
+            return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+        def merge_bucket(t: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+            keys = t[on].combine_chunks()
+            check_unique(keys, len(t))
+            b = int(t["_bucket"][0].as_py())
+            paths = [e["path"] for e in by_bucket.get(b, [])]
+            n_updated = 0
+            merged = t
+            if paths:
+                target = pa.concat_tables(
+                    [pq.read_table(os.path.join(table_dir, p))
+                     for p in paths], promote_options="default")
+                hit = pc.fill_null(pc.is_in(target[on], value_set=keys),
+                                   False)
+                keep = target.filter(pc.invert(hit))
+                n_updated = len(target) - len(keep)
+                merged = pa.concat_tables([keep, t],
+                                          promote_options="default")
+            rep = _write_data_file(merged, data_dir)
+            return rep.append_column(
+                "updated", pa.array([n_updated] * len(rep), pa.int64()))
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        report = (tagged.groupby("_bucket")
+                        .map_groups(merge_bucket, batch_format="pyarrow")
+                        .to_pandas())
+        touched = {int(b) for b in report.get("bucket", [])}
+        base = [f for f in manifest["files"]
+                if f.get("bucket", -1) not in touched]
+        new_man = _commit_files(table_dir, report, "merge",
+                                (bcol, n_buckets), base_files=base)
+        n_updated = int(sum(report.get("updated", [])))
+        return {"version": new_man["version"],
+                "rows_updated": n_updated,
+                "rows_inserted":
+                    int(new_man["total_rows"] - manifest["total_rows"]),
+                "buckets_touched": len(touched),
+                "files_untouched": len(base)}
+
+    # --- unbucketed path: broadcast source key set ---
+    src = ds.materialize()
+    key_frame = src.select_columns([on]).to_pandas()
+    keys = pa.Table.from_pandas(key_frame)[on].combine_chunks()
+    check_unique(keys, len(keys))
+    if len(keys) == 0:
+        raise ValueError("catalog_merge source is empty")
+    kmin, kmax = (_scalar(s) for s in
+                  (pc.min(keys), pc.max(keys)))
+    untouched, cands = [], []
+    for f in manifest["files"]:
+        st = f["stats"].get(on)
+        if st is None or st["min"] is None:
+            cands.append(f)
+        elif st["max"] < kmin or kmax < st["min"]:
+            untouched.append(f)
+        else:
+            cands.append(f)
+
+    import ray
+    keys_ref = ray.put(keys)
+
+    def rewrite(batch) -> pa.Table:
+        import pyarrow.parquet as pq
+        entry = json.loads(str(batch["entry"][0]))
+        t = pq.read_table(os.path.join(table_dir, entry["path"]))
+        kset = ray.get(keys_ref)
+        hit = pc.fill_null(pc.is_in(t[on], value_set=kset), False)
+        keep = t.filter(pc.invert(hit))
+        if len(keep) == len(t):
+            rep = _untouched_report_row(entry)
+            upd = 0
+        elif len(keep) == 0:
+            rep = _write_data_file(pa.table({}), data_dir)
+            upd = len(t)
+        else:
+            rep = _write_data_file(keep, data_dir)
+            upd = len(t) - len(keep)
+        return rep.append_column("updated",
+                                 pa.array([upd] * len(rep), pa.int64()))
+
+    import pandas as pd
+    parts = []
+    if cands:
+        work = rd.from_items([{"entry": json.dumps(f)} for f in cands])
+        parts.append(work.map_batches(rewrite, batch_size=1,
+                                      batch_format="numpy").to_pandas())
+    parts.append(src.map_batches(
+        lambda t: _write_data_file(t, data_dir).append_column(
+            "updated", pa.array([0], pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    report = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+        else parts[0]
+    new_man = _commit_files(table_dir, report, "merge", None,
+                            base_files=untouched)
+    n_updated = int(report["updated"].sum())
+    return {"version": new_man["version"],
+            "rows_updated": n_updated,
+            "rows_inserted":
+                int(new_man["total_rows"] - manifest["total_rows"]),
+            "files_untouched": len(untouched),
+            "files_rewritten": len(cands)}
+
+
 def bucketed_join(table_a: str, table_b: str, on: str, how: str = "inner",
                   version_a: int | None = None,
                   version_b: int | None = None,
@@ -532,7 +816,8 @@ def bucketed_join(table_a: str, table_b: str, on: str, how: str = "inner",
     return work.map_batches(join_bucket, batch_format="pandas")
 
 
-def catalog_compact(table_dir: str, target_rows: int = 1 << 20) -> dict:
+def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
+                    trust_placement: bool = True) -> dict:
     """Compact a catalog table's small files into ~``target_rows``
     files, committed as one new OVERWRITE version (time travel keeps
     the old layout; ``catalog_vacuum`` reclaims it).  The lakehouse
@@ -541,12 +826,16 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20) -> dict:
 
     Bucketed tables compact to one file per bucket with the spec
     preserved — ``bucketed_join`` keeps working on the compacted
-    snapshot.  Reads are distributed (one task per bucket file group);
-    rows then flow through the standard bucketed write, whose hash
-    exchange re-verifies placement (correct-by-construction; a
-    placement-trusting fast path that skips the exchange is a
-    future optimization).  Unbucketed tables re-block through Ray and
-    rewrite.  Returns the new manifest.
+    snapshot.  With ``trust_placement=True`` (default) each bucket is
+    read, concatenated and rewritten INSIDE one distributed task with
+    NO hash exchange: every committed data file already records its
+    bucket id and the bucketed write placed its rows by construction,
+    so compaction is a pure per-bucket file rewrite (manifest rows are
+    the only thing that reaches the driver).  ``trust_placement=False``
+    routes rows through the standard bucketed write, whose hash
+    exchange re-verifies placement — for tables whose files may have
+    been produced outside ``catalog_write``.  Unbucketed tables
+    re-block through Ray and rewrite.  Returns the new manifest.
     """
     import ray.data as rd
 
@@ -573,6 +862,17 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20) -> dict:
                     tables.append(pq.read_table(p))
             return pa.concat_tables(tables, promote_options="default") \
                 if tables else pa.table({})
+
+        if trust_placement:
+            data_dir = os.path.join(table_dir, "data")
+
+            def compact_bucket(batch) -> pa.Table:
+                return _write_data_file(load_bucket(batch), data_dir)
+
+            report = work.map_batches(compact_bucket, batch_size=1,
+                                      batch_format="numpy").to_pandas()
+            return _commit_files(table_dir, report, "overwrite",
+                                 (bcol, n_buckets))
 
         ds = work.map_batches(load_bucket, batch_size=1,
                               batch_format="numpy")

@@ -132,6 +132,39 @@ def test_catalog_compact_bucketed_preserves_join(ray_session, tmp_path):
     assert catalog_read(da).count() == len(left)
 
 
+def test_catalog_compact_fast_path_equals_verified(ray_session, tmp_path):
+    """trust_placement=True (per-bucket rewrite, no exchange) commits
+    the same table contents as the exchange-verified path."""
+    from fasta_windows_ray.sources.catalog import catalog_compact
+    frames = [_left_frame(400, seed=s) for s in (1, 2, 3)]
+    paths = {}
+    for mode in ("fast", "verified"):
+        d = _write(tmp_path, mode, frames[0])
+        for f in frames[1:]:
+            catalog_write(rd.from_arrow(pa.Table.from_pandas(f)), d,
+                          mode="append", bucket_by=("conv_id", N_B))
+        man = catalog_compact(d, trust_placement=(mode == "fast"))
+        assert man["bucket_by"] == ["conv_id", N_B]
+        assert len(man["files"]) == len({f["bucket"]
+                                         for f in man["files"]})
+        paths[mode] = d
+    key = ["conv_id", "v"]
+    a = (catalog_read(paths["fast"]).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (catalog_read(paths["verified"]).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[key], b[key])
+    # per-file bucket row counts agree between the two paths
+    from fasta_windows_ray.sources.catalog import (_latest_version,
+                                                   _load_manifest)
+
+    def bucket_rows(d):
+        man = _load_manifest(d, _latest_version(d))
+        return {f["bucket"]: f["rows"] for f in man["files"]}
+
+    assert bucket_rows(paths["fast"]) == bucket_rows(paths["verified"])
+
+
 def test_catalog_compact_unbucketed_rowcount(ray_session, tmp_path):
     from fasta_windows_ray.sources.catalog import catalog_compact
     d = str(tmp_path / "plain")
