@@ -1635,13 +1635,28 @@ CEP_PATTERN = ["view", "click", "purchase"]
 CEP_WITHIN_US = 48 * 3600 * 1_000_000
 
 
+IJ_TYPES = ("purchase", "error")      # interval-join leg: l type, r type
+IJ_WITHIN_US = 2 * 3600 * 1_000_000   # 0 <= r.ts - l.ts <= 2 h
+
+
 def q_cep_sequence(sf_dir: str):
-    """CEP MATCH_RECOGNIZE-style pattern detection: per user, strictly
-    consecutive view→click→purchase with total span ≤ 48 h — one
-    key-bucket shuffle then a vectorized shift-compare scan; the oracle
-    is the equivalent lead() window query."""
+    """Event-correlation exhibit as a tagged union of two operators
+    over the events stream (one gate row, two ops — hash_sample's
+    pattern):
+
+    - ``kind='cep'``: MATCH_RECOGNIZE-style per-user strictly
+      consecutive view→click→purchase within 48 h (one key-bucket
+      shuffle + vectorized shift-compare; lead() oracle).
+    - ``kind='ij'``: stream-stream INTERVAL join — every
+      (purchase, error) pair of the same user with the error 0..2 h
+      after the purchase, via the (key-bucket × time-slab) partitioned
+      ``interval_join``; plain inequality-join oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
     from ..stages.cep import match_sequence
+    from ..stages.joins import interval_join
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type", "ts", "event_id"])
     out = match_sequence(ev, "user_id", "event_type", "ts", "event_id",
@@ -1649,8 +1664,40 @@ def q_cep_sequence(sf_dir: str):
     if out.empty:        # zero matches: keep the typed schema
         from ..stages.cep import empty_matches
         out = empty_matches("user_id")
-    return (out.sort_values(["user_id", "start_event_id"])
-               .reset_index(drop=True))
+    out.insert(0, "kind", "cep")
+
+    def pick(tp):
+        def _f(t):
+            return (t.filter(pc.equal(t["event_type"], tp))
+                     .select(["user_id", "ts", "event_id"]))
+        return _f
+    side = {"user_id": pa.int64(), "ts": pa.timestamp("us"),
+            "event_id": pa.int64()}
+    ij = interval_join(
+        ev.map_batches(pick(IJ_TYPES[0]), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ev.map_batches(pick(IJ_TYPES[1]), batch_format="pyarrow",
+                       zero_copy_batch=True),
+        on="user_id", ts_col="ts", lower_us=0, upper_us=IJ_WITHIN_US,
+        num_buckets=16, schemas=(side, side)).to_pandas()
+    if ij.empty:
+        ij = pd.DataFrame({"kind": pd.Series(dtype=str),
+                           "user_id": pd.Series(dtype=np.int64),
+                           "start_event_id": pd.Series(dtype=np.int64),
+                           "end_event_id": pd.Series(dtype=np.int64),
+                           "start_ts":
+                               pd.Series(dtype="datetime64[us]")})
+    else:
+        ij = pd.DataFrame({"kind": "ij", "user_id": ij["user_id"],
+                           "start_event_id": ij["event_id"],
+                           "end_event_id": ij["event_id_r"],
+                           "start_ts":
+                               ij["ts"].astype("datetime64[us]")})
+    both = pd.concat([out, ij], ignore_index=True)
+    both["start_ts"] = both["start_ts"].astype("datetime64[us]")
+    return (both.sort_values(["kind", "user_id", "start_event_id",
+                              "end_event_id"])
+                .reset_index(drop=True))
 
 
 SQL_CEP_SEQUENCE = f"""
@@ -1662,13 +1709,19 @@ WITH o AS (
     lead(event_id, 2)   OVER w AS eid2
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT user_id, event_id AS start_event_id, eid2 AS end_event_id,
-       ts AS start_ts
+SELECT 'cep' AS kind, user_id, event_id AS start_event_id,
+       eid2 AS end_event_id, ts AS start_ts
 FROM o
 WHERE event_type = '{CEP_PATTERN[0]}' AND t1 = '{CEP_PATTERN[1]}'
   AND t2 = '{CEP_PATTERN[2]}'
   AND epoch_us(ts2) - epoch_us(ts) <= {CEP_WITHIN_US}
-ORDER BY user_id, start_event_id
+UNION ALL
+SELECT 'ij' AS kind, l.user_id, l.event_id AS start_event_id,
+       r.event_id AS end_event_id, l.ts AS start_ts
+FROM events l JOIN events r ON l.user_id = r.user_id
+  AND l.event_type = '{IJ_TYPES[0]}' AND r.event_type = '{IJ_TYPES[1]}'
+  AND epoch_us(r.ts) - epoch_us(l.ts) BETWEEN 0 AND {IJ_WITHIN_US}
+ORDER BY kind, user_id, start_event_id, end_event_id
 """
 
 

@@ -294,3 +294,168 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
                                     preserve_index=False)
 
     return both.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def interval_join(left, right, on: str, ts_col: str = "ts",
+                  lower_us: int = 0, upper_us: int = 3_600_000_000,
+                  num_buckets: int = 32, slab_us: int | None = None,
+                  right_suffix: str = "_r", schemas=None):
+    """Stream-stream INTERVAL join: emit (l, r) for every pair with
+    equal ``on`` key and ``lower_us <= r.ts - l.ts <= upper_us`` — the
+    structured-streaming two-stream correlation (Flink interval join /
+    Spark stream-stream join with event-time constraint), expressed as
+    a batch-replay Dataset pipeline.
+
+    Partitioning is (key-bucket x time-slab), NOT key-only like
+    asof/range_join: right rows land in the slab of their own ts;
+    left rows are replicated into every slab their match window
+    ``[ts+lower, ts+upper]`` overlaps (<= 2 copies when
+    ``slab_us >= upper_us - lower_us``, the enforced default).  This is
+    the batch image of the streaming engine's watermark bound — state
+    per task is one slab's rows, so a single hot key (or the whole
+    corpus on one key) still splits across time, and each (l, r) pair
+    is discovered exactly once, in r's slab.
+
+    Within a task the probe is fully vectorized: keys factorized to
+    codes, composite ``code * span + (ts - base)`` sorted once, then a
+    two-sided ``np.searchsorted`` per left row and a repeat/offset
+    pair-expansion — no per-row Python, no per-key loop.
+
+    Output: left's columns + right's non-key columns suffixed with
+    ``right_suffix``.  Null keys never match (SQL semantics).
+    """
+    from .window_stats import stable_bucket_of
+
+    if lower_us > upper_us:
+        raise ValueError("interval_join: lower_us > upper_us")
+    W = int(slab_us) if slab_us is not None else \
+        max(upper_us - lower_us, 3_600_000_000)
+    W = max(W, upper_us - lower_us, 1)
+
+    left = _as_dataset(left)
+    right = _as_dataset(right)
+
+    def drop_null_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[on]))
+
+    if schemas is not None:
+        sch_l, sch_r = dict(schemas[0]), dict(schemas[1])
+    else:
+        sch_l = {f.name: f.type for f in left.schema().base_schema}
+        sch_r = {f.name: f.type for f in right.schema().base_schema}
+    r_renames = {c: f"{c}{right_suffix}" for c in sch_r if c != on}
+    out_cols = list(sch_l) + [r_renames[c] for c in sch_r if c != on]
+    int_names = ({n for n, t in sch_l.items()
+                  if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+                 | {r_renames[n] for n, t in sch_r.items() if n != on
+                    and isinstance(t, pa.DataType)
+                    and pa.types.is_integer(t)})
+    ts_r = f"{ts_col}{right_suffix}"
+
+    def bucket_of(t: pa.Table) -> np.ndarray:
+        col = t[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        else:
+            vals = col.fill_null("").to_numpy(zero_copy_only=False)
+        return stable_bucket_of(vals, num_buckets)
+
+    def _ts_us(col) -> np.ndarray:
+        col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64()).to_numpy()
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        t = drop_null_keys(t)
+        ts = _ts_us(t[ts_col])
+        b = bucket_of(t)
+        s1 = (ts + lower_us) // W
+        s2 = (ts + upper_us) // W
+        gk1 = s1 * num_buckets + b
+        t1 = t.append_column("_gk", pa.array(gk1, pa.int64()))
+        extra = np.flatnonzero(s2 != s1)
+        if len(extra):
+            gk2 = s2[extra] * num_buckets + b[extra]
+            t2 = t.take(extra).append_column(
+                "_gk", pa.array(gk2, pa.int64()))
+            t1 = pa.concat_tables([t1, t2])
+        return t1
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = drop_null_keys(t)
+        for old, new in r_renames.items():
+            t = t.rename_columns([new if c == old else c
+                                  for c in t.column_names])
+        ts = _ts_us(t[ts_r])
+        gk = (ts // W) * num_buckets + bucket_of(t)
+        return t.append_column("_gk", pa.array(gk, pa.int64()))
+
+    sch_union = ({**sch_l, "_gk": pa.int64()},
+                 {**{r_renames.get(c, c): t for c, t in sch_r.items()},
+                  "_gk": pa.int64()})
+    both = _union_tagged(
+        left.map_batches(prep_left, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        right.map_batches(prep_right, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        schemas=sch_union)
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    out_types = {**{c: _pa_type(t) for c, t in sch_l.items()},
+                 **{r_renames[c]: _pa_type(t) for c, t in sch_r.items()
+                    if c != on}}
+    empty_tbl = pa.table({c: pa.array([], type=out_types[c])
+                          for c in out_cols})
+
+    def probe(df: pd.DataFrame) -> pa.Table:
+        l = df.loc[df["_side"] == "L", list(sch_l)]
+        rc = [on] + [r_renames[c] for c in sch_r if c != on]
+        r = df.loc[df["_side"] == "R", rc]
+        if len(l) == 0 or len(r) == 0:
+            return empty_tbl
+        codes, _ = pd.factorize(pd.concat([l[on], r[on]],
+                                          ignore_index=True))
+        cl, cr = codes[:len(l)], codes[len(l):]
+        tl = l[ts_col].astype("datetime64[us]").astype("int64").to_numpy() \
+            if str(l[ts_col].dtype).startswith("datetime") \
+            else l[ts_col].astype("int64").to_numpy()
+        tr = r[ts_r].astype("datetime64[us]").astype("int64").to_numpy() \
+            if str(r[ts_r].dtype).startswith("datetime") \
+            else r[ts_r].astype("int64").to_numpy()
+        base = min(tl.min() + lower_us, tr.min())
+        span = int(max(tl.max() + upper_us, tr.max()) - base) + 2
+        comp_r = cr.astype(np.int64) * span + (tr - base)
+        order = np.argsort(comp_r, kind="stable")
+        comp_r = comp_r[order]
+        lo = cl.astype(np.int64) * span + \
+            np.clip(tl + lower_us - base, 0, span - 1)
+        hi = cl.astype(np.int64) * span + \
+            np.clip(tl + upper_us - base, 0, span - 1)
+        starts = np.searchsorted(comp_r, lo, side="left")
+        ends = np.searchsorted(comp_r, hi, side="right")
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            return empty_tbl
+        l_idx = np.repeat(np.arange(len(l)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        r_idx = order[np.repeat(starts, counts) + offs]
+        out = pd.concat(
+            [l.iloc[l_idx].reset_index(drop=True),
+             r.iloc[r_idx].drop(columns=[on]).reset_index(drop=True)],
+            axis=1)[out_cols]
+        return pa.Table.from_pandas(_restore_ints(out, int_names),
+                                    preserve_index=False)
+
+    return both.groupby("_gk").map_groups(probe, batch_format="pandas")
