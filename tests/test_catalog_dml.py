@@ -182,3 +182,72 @@ def test_merge_all_inserts_touches_no_overlap(tmp_path):
     assert rep["files_untouched"] == 3
     assert rep["files_rewritten"] == 0
     assert catalog_read(d).count() == 610
+
+
+# ------------------------------------------------------------- changes
+
+def _changes_df(d, v0, v1=None):
+    from fasta_windows_ray.sources.catalog import catalog_changes
+    out = catalog_changes(d, v0, v1).to_pandas()
+    return out
+
+
+def test_changes_append_is_all_inserts(tmp_path):
+    df = _frame(300, seed=11)
+    extra = _frame(50, seed=12, lo=900, hi=950)
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(df)), d)
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(extra)), d,
+                  mode="append")
+    ch = _changes_df(d, 1, 2)
+    assert (ch["_change"] == "insert").all() and len(ch) == 50
+    pd.testing.assert_frame_equal(
+        _sorted(ch[["conv_id", "v"]]), _sorted(extra[["conv_id", "v"]]))
+
+
+def test_changes_delete_is_exact_deletes(tmp_path):
+    df = _frame(400, seed=13)
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(df)).repartition(4), d)
+    catalog_delete(d, [("v", "<", 100)])
+    ch = _changes_df(d, 1, 2)
+    assert (ch["_change"] == "delete").all() and len(ch) == 100
+    want = df[df["v"] < 100]
+    pd.testing.assert_frame_equal(
+        _sorted(ch[["conv_id", "v"]]), _sorted(want[["conv_id", "v"]]))
+
+
+def test_changes_merge_mixed(tmp_path):
+    target = _frame(500, seed=14, hi=200)
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(target)).repartition(4),
+                  d, bucket_by=("conv_id", N_B))
+    src = pd.DataFrame({"conv_id": [f"c{i:04d}" for i in range(150, 250)],
+                        "v": np.arange(100, dtype=np.int64) + 50_000,
+                        "score": np.zeros(100)})
+    catalog_merge(rd.from_arrow(pa.Table.from_pandas(src)), d,
+                  on="conv_id")
+    ch = _changes_df(d, 1, 2)
+    dels = ch[ch["_change"] == "delete"]
+    ins = ch[ch["_change"] == "insert"]
+    want_del = target[target["conv_id"].isin(src["conv_id"])]
+    assert len(dels) == len(want_del)
+    pd.testing.assert_frame_equal(
+        _sorted(dels[["conv_id", "v"]]), _sorted(want_del[["conv_id", "v"]]))
+    pd.testing.assert_frame_equal(
+        _sorted(ins[["conv_id", "v"]]), _sorted(src[["conv_id", "v"]]))
+
+
+def test_changes_compaction_nets_to_zero(tmp_path):
+    from fasta_windows_ray.sources.catalog import catalog_compact
+    frames = [_frame(200, seed=s) for s in (21, 22, 23)]
+    d = str(tmp_path / "t")
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(frames[0])), d,
+                  bucket_by=("conv_id", N_B))
+    for f in frames[1:]:
+        catalog_write(rd.from_arrow(pa.Table.from_pandas(f)), d,
+                      mode="append", bucket_by=("conv_id", N_B))
+    v_pre = 3
+    catalog_compact(d)
+    ch = _changes_df(d, v_pre)
+    assert len(ch) == 0      # pure rewrite: multiset diff cancels
