@@ -91,6 +91,46 @@ def mixture_sample(ds, key_col: str, source_col: str,
                        strata_permille=pm), pm
 
 
+def epoch_shuffle(ds, key_col: str, epoch: int = 0, seed: int = 0,
+                  keep_key: bool = False):
+    """Deterministic GLOBAL shuffle for training epochs: rows are
+    ordered by a seeded 60-bit md5 of their key, so the permutation is
+    a pure function of (key, seed, epoch) — every epoch is a fresh
+    uniform order, yet a resumed / re-sharded / re-run job reproduces
+    the IDENTICAL sequence (unlike ``Dataset.random_shuffle``, whose
+    order depends on partitioning and scheduling).
+
+    Implementation: one ``map_batches`` appends the hash key, then
+    ``Dataset.sort`` range-partitions on it (Ray's sample-based sort —
+    the one all-to-all any global shuffle must pay; no driver
+    materialization).  Rows with DUPLICATE keys hash equal and their
+    relative order is unspecified — pass a unique key (doc_id).
+    ``keep_key=True`` retains the ``_shuffle_key`` column so a
+    consumer can checkpoint its position and resume mid-epoch.
+    """
+    import hashlib
+
+    tag = f"{seed}:{epoch}"
+
+    def add_key(t: pa.Table) -> pa.Table:
+        vals = t[key_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.asarray(vals, dtype=object),
+                              return_inverse=True)
+        h = np.asarray(
+            [int(hashlib.md5(f"{tag}|{u}".encode()).hexdigest()[:15], 16)
+             for u in uniq], dtype=np.int64)
+        return t.append_column("_shuffle_key",
+                               pa.array(h[inv], pa.int64()))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow",
+                         zero_copy_batch=True).sort("_shuffle_key")
+    if not keep_key:
+        out = out.map_batches(
+            lambda t: t.drop_columns(["_shuffle_key"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
 def hash_topk_sample(ds, key_col: str, k: int,
                      strata_col: str | None = None):
     """EXACT-k deterministic sample (per stratum): keep the k rows with
