@@ -193,6 +193,47 @@ def bench_queries() -> dict:
     def lm_quality():
         return len(Q.q_lm_quality_score(SF_DIR))
 
+    def interval_join_pairs():
+        # stream-stream interval join at REPLICATE x scale: user_id is
+        # shard-shifted so pairs stay within a shard (join output
+        # scales linearly, as sharded real data would)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from fasta_windows_ray.stages.joins import interval_join
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["user_id", "event_type", "ts",
+                                      "event_id"])
+
+        def rep(t: pa.Table) -> pa.Table:
+            uid = t["user_id"].combine_chunks().cast(pa.int64())
+            i = t.schema.get_field_index("user_id")
+            return pa.concat_tables(
+                [t.set_column(i, "user_id",
+                              pc.add(uid, s * 10_000_000))
+                 for s in range(REPLICATE)])
+
+        def pick(tp):
+            def _f(t: pa.Table) -> pa.Table:
+                return (t.filter(pc.equal(t["event_type"], tp))
+                         .select(["user_id", "ts", "event_id"]))
+            return _f
+
+        ev = ev.map_batches(rep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        side = {"user_id": pa.int64(), "ts": pa.timestamp("us"),
+                "event_id": pa.int64()}
+        # slab_us sized like window_stats' slab_windows: a few slabs x
+        # buckets (the default 1 h slab makes ~720 micro-groups over a
+        # month-long table — per-group overhead dominates)
+        return _consume(interval_join(
+            ev.map_batches(pick("purchase"), batch_format="pyarrow"),
+            ev.map_batches(pick("error"), batch_format="pyarrow"),
+            on="user_id", lower_us=0, upper_us=2 * 3600 * 1_000_000,
+            num_buckets=2 * NUM_CPUS, slab_us=4 * 86400 * 1_000_000,
+            schemas=(side, side)))
+
     def hash_join_enrich():
         return len(Q.q_hash_join_enrich(SF_DIR))
 
@@ -210,6 +251,7 @@ def bench_queries() -> dict:
         "cep_sequence": cep_sequence,
         "lm_quality_score": lm_quality,
         "hash_join_enrich": hash_join_enrich,
+        "interval_join": interval_join_pairs,
     }
 
 

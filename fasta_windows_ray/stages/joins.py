@@ -321,6 +321,14 @@ def interval_join(left, right, on: str, ts_col: str = "ts",
     two-sided ``np.searchsorted`` per left row and a repeat/offset
     pair-expansion — no per-row Python, no per-key loop.
 
+    ``slab_us`` trades per-task state against group granularity: the
+    default (1 h, floored at the window width) suits short-history /
+    near-realtime replays; a month-long batch replay at a 1 h slab
+    makes hundreds of micro-groups per bucket whose per-group overhead
+    dominates — size it like ``window_stats``' ``slab_windows``, so
+    that slabs x num_buckets is a small multiple of the cluster's
+    cores (e.g. span/8).
+
     Output: left's columns + right's non-key columns suffixed with
     ``right_suffix``.  Null keys never match (SQL semantics).
     """
