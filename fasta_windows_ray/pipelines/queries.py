@@ -1728,7 +1728,12 @@ ORDER BY kind, user_id, start_event_id, end_event_id
 def q_response_latency(sf_dir: str):
     """Turn-taking analysis: per conversation, the latency of every
     adjacent user→assistant pair (count, exact-sum mean, max) — one
-    md5-bucket shuffle + vectorized shift-compare, lead() oracle."""
+    md5-bucket shuffle + vectorized shift-compare, lead() oracle.
+
+    TWO implementations under one driver row (see _parity): the
+    dedicated CEP scan AND the general window_functions operator
+    (lead(role), lead(ts) + a combiner rollup) — the SQL-window-family
+    stage is thereby driver-gated despite the 50-row registry cap."""
     from ..stages.cep import adjacent_delays
     ds = read_transcripts(sf_dir, columns=["conv_id", "turn_uid",
                                            "role", "ts"])
@@ -1737,7 +1742,36 @@ def q_response_latency(sf_dir: str):
     if out.empty:
         from ..stages.cep import empty_delays
         out = empty_delays("conv_id")
-    return out.sort_values("conv_id").reset_index(drop=True)
+    out = out.sort_values("conv_id").reset_index(drop=True)
+
+    from ..stages.window_funcs import window_functions
+    wf = window_functions(ds, ["conv_id"], ["ts", "turn_uid"],
+                          [("lead", "role", 1, "r1"),
+                           ("lead", "ts", 1, "ts1")])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["role"] == "user") & (df["r1"] == "assistant")
+        d = df.loc[m, ["conv_id", "ts", "ts1"]]
+        delta = (d["ts1"].astype("datetime64[us]").astype(np.int64)
+                 - d["ts"].astype("datetime64[us]").astype(np.int64))
+        g = (d.assign(_d=delta).groupby("conv_id", sort=False)["_d"]
+              .agg(n_pairs="count", sum_us="sum", max_us="max")
+              .reset_index())
+        return g.astype({"n_pairs": np.int64, "sum_us": np.int64,
+                         "max_us": np.int64})
+
+    parts = wf.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        b = out.iloc[:0]
+    else:
+        f = parts.groupby("conv_id", sort=True).agg(
+            n_pairs=("n_pairs", "sum"), sum_us=("sum_us", "sum"),
+            max_us=("max_us", "max")).reset_index()
+        b = pd.DataFrame({
+            "conv_id": f["conv_id"], "n_pairs": f["n_pairs"],
+            "mean_delay_us": np.round(f["sum_us"] / f["n_pairs"], 6),
+            "max_delay_us": f["max_us"]})
+    return _parity(out, b, "response_latency: CEP scan vs window_functions")
 
 
 SQL_RESPONSE_LATENCY = f"""

@@ -1,0 +1,157 @@
+"""SQL window functions over ordered per-key partitions — lag / lead /
+row_number / running sum / rolling mean, the ``fn() OVER (PARTITION BY k
+ORDER BY o ROWS ...)`` family.
+
+Ray-Data shape: the engine-wide md5-bucket shuffle on the partition key
+(many keys per bucket so groups stay bounded), then a per-bucket stable
+sort + fully segment-vectorized pass in ``map_groups`` — no per-row
+Python, no per-key loop. Every frame here is a ROWS frame ending at
+CURRENT ROW (or a fixed offset), so each output row needs at most
+``max(offset, frame_width)`` neighbours: positions, segment starts and
+clamped frame bounds are all computed with ``np.arange`` / ``np.repeat``
+/ cumsum arithmetic over the whole bucket at once.
+
+PARTITIONING ASSUMPTION (100 TB): a key's whole ordered sequence lands
+in one group, so group size is n/num_buckets — callers scale
+``num_buckets`` with input size, and per-key length is bounded by real
+per-entity activity (conversation turns, user events), not corpus size.
+Because ROWS-frame lookback is bounded by ``max(lag k, lead k, rolling
+w)``, an unbounded-key refinement is mechanical: split each key into
+time slabs carrying ``maxlook`` overlap rows from the neighbouring slab
+and drop the overlap's outputs after the scan (the interval_join /
+window_stats slab discipline); not implemented because bucket scaling
+suffices for keyed transcript/event data.
+
+Null semantics: lag/lead beyond the partition edge yield null (NaN /
+NaT / None — pandas ``take``-with-mask promotes int64 to float64,
+matching a ``CAST(... AS DOUBLE)`` SQL oracle). cumsum / rolling_mean
+use a bucket-wide cumulative sum, so a null in the value column poisons
+every subsequent running/rolling output in its bucket — pre-fill or
+filter nulls upstream when the value column is nullable (SQL skips
+nulls in SUM/AVG; this operator deliberately does not pay a per-frame
+null scan for data that is non-null by contract). Null partition keys
+group together (one partition), matching SQL window-partition
+semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .window_stats import stable_bucket_of
+
+_UNARY = {"row_number"}          # specs with no value column
+
+
+def _segments(df: pd.DataFrame, partition_by: list[str]):
+    """(pos_in_segment, seg_start_index) for a frame already stably
+    sorted by partition_by + order_by. Null keys compare equal to each
+    other (pandas object '==' on None is False, so compare via a
+    factorized code array which assigns nulls one code)."""
+    n = len(df)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in partition_by:
+        codes, _ = pd.factorize(df[c], use_na_sentinel=False)
+        new[1:] |= codes[1:] != codes[:-1]
+    starts = np.flatnonzero(new)                     # segment start rows
+    seg_id = np.cumsum(new) - 1                      # 0-based segment id
+    pos = np.arange(n) - starts[seg_id]              # 0-based within seg
+    ends = np.append(starts[1:], n)                  # exclusive, per seg
+    return pos, starts[seg_id], ends[seg_id]
+
+
+def _shift_take(vals: pd.Series, idx: np.ndarray,
+                valid: np.ndarray) -> pd.Series:
+    """Positional take with out-of-frame rows nulled — pandas handles
+    the dtype promotion (int64→float64 + NaN, datetime64→NaT)."""
+    out = vals.take(np.clip(idx, 0, len(vals) - 1)).reset_index(drop=True)
+    return out.where(pd.Series(valid))
+
+
+def window_functions(ds, partition_by: list[str], order_by: list[str],
+                     specs: list[tuple], num_buckets: int = 64):
+    """Append window-function columns to every input row.
+
+    ``specs`` entries (out = new column name):
+      ``("row_number", out)``            — 1-based, ties impossible when
+                                           order_by is a unique key
+      ``("lag",  col, k, out)``          — value k rows back in-partition
+      ``("lead", col, k, out)``          — value k rows ahead
+      ``("cumsum", col, out)``           — SUM(col) ROWS UNBOUNDED
+                                           PRECEDING .. CURRENT ROW
+      ``("rolling_mean", col, w, out)``  — AVG(col) ROWS w-1 PRECEDING
+                                           .. CURRENT ROW (shorter at
+                                           the partition head, like SQL)
+
+    Returns a Ray Dataset of the input columns + one column per spec;
+    all input rows are preserved (the ``bucket`` shuffle column is
+    dropped). Integer cumsum stays exact int64; rolling_mean divides an
+    exact sum (int64 when the input is integral) by the actual frame
+    length, so a ``round(x, 6)`` comparison against the SQL twin is
+    bit-stable.
+    """
+    for s in specs:
+        want = 2 if s[0] in _UNARY else (3 if s[0] == "cumsum" else 4)
+        if len(s) != want:
+            raise ValueError(f"bad spec {s!r}: expected {want} fields")
+
+    key0 = partition_by[0]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_of(t[key0].to_numpy(zero_copy_only=False),
+                             num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(partition_by + order_by, kind="stable")
+                .reset_index(drop=True))
+        df = df.drop(columns=["bucket"])
+        n = len(df)
+        if n == 0:
+            for s in specs:
+                df[s[-1]] = pd.Series(dtype=np.float64)
+            return df
+        pos, seg_start, seg_end = _segments(df, partition_by)
+        ar = np.arange(n)
+        for s in specs:
+            kind, out = s[0], s[-1]
+            if kind == "row_number":
+                df[out] = (pos + 1).astype(np.int64)
+                continue
+            col = s[1]
+            vals = df[col]
+            if kind == "lag":
+                k = int(s[2])
+                df[out] = _shift_take(vals, ar - k, pos >= k)
+            elif kind == "lead":
+                k = int(s[2])
+                df[out] = _shift_take(vals, ar + k, ar + k < seg_end)
+            elif kind == "cumsum":
+                v = vals.to_numpy()
+                if np.issubdtype(v.dtype, np.integer):
+                    cs = np.cumsum(v, dtype=np.int64)
+                else:
+                    cs = np.cumsum(v.astype(np.float64))
+                base = np.where(seg_start > 0, cs[seg_start - 1], 0)
+                df[out] = cs - base
+            elif kind == "rolling_mean":
+                w = int(s[2])
+                v = vals.to_numpy()
+                integral = np.issubdtype(v.dtype, np.integer)
+                cs = np.cumsum(v, dtype=np.int64 if integral
+                               else np.float64)
+                lower = np.maximum(ar - w + 1, seg_start)
+                below = np.where(lower > 0, cs[lower - 1], 0)
+                length = ar - lower + 1
+                df[out] = np.round((cs - below) / length, 6)
+            else:
+                raise ValueError(f"unknown window function {kind!r}")
+        return df
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(scan, batch_format="pandas"))

@@ -1,0 +1,106 @@
+"""Window functions (lag/lead/row_number/cumsum/rolling mean) gated
+bit-for-bit against DuckDB's ``fn() OVER (PARTITION BY ... ORDER BY ...
+ROWS ...)`` on the same frame — the independent oracle the driver gate
+uses, run in-test because the 50-row registry is at its cap."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _frame(n=4000, seed=11, n_keys=37):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "conv_id": np.asarray(
+            ["c%03d" % i for i in rng.integers(0, n_keys, n)], object),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**9, n) * 1000, unit="us"),
+        "uid": np.arange(n, dtype=np.int64),
+        "score": rng.integers(-50, 50, n).astype(np.int64),
+        "fval": np.round(rng.normal(0, 4, n), 3),
+    })
+
+
+def _ds(df, blocks=9):
+    import ray.data as rd
+    return rd.from_pandas([d for d in np.array_split(df, blocks)])
+
+
+def _run(df, specs, num_buckets=8):
+    from fasta_windows_ray.stages.window_funcs import window_functions
+    out = window_functions(_ds(df), ["conv_id"], ["ts", "uid"], specs,
+                           num_buckets=num_buckets).to_pandas()
+    return out.sort_values("uid").reset_index(drop=True)
+
+
+def test_matches_duckdb_window_sql(ray_session):
+    df = _frame()
+    out = _run(df, [
+        ("row_number", "rn"),
+        ("lag", "score", 1, "lag1"),
+        ("lag", "fval", 3, "lag3"),
+        ("lead", "score", 2, "lead2"),
+        ("cumsum", "score", "run_sum"),
+        ("rolling_mean", "score", 5, "roll5"),
+    ])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT uid,
+          row_number() OVER w AS rn,
+          CAST(lag(score, 1) OVER w AS DOUBLE) AS lag1,
+          lag(fval, 3) OVER w AS lag3,
+          CAST(lead(score, 2) OVER w AS DOUBLE) AS lead2,
+          CAST(sum(score) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS run_sum,
+          round(avg(score) OVER (w ROWS BETWEEN 4 PRECEDING
+                                 AND CURRENT ROW), 6) AS roll5
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, uid)
+        ORDER BY uid
+    """).df()
+    con.close()
+    got = out[["uid", "rn", "lag1", "lag3", "lead2", "run_sum", "roll5"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_preserves_rows_and_buckets_invariant(ray_session):
+    df = _frame(n=800, n_keys=5)
+    specs = [("lag", "score", 1, "lag1"), ("cumsum", "score", "cs")]
+    a = _run(df, specs, num_buckets=1)
+    b = _run(df, specs, num_buckets=13)
+    assert len(a) == len(df)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_edges_short_partitions_and_timestamps(ray_session):
+    # partitions shorter than every offset/frame; lag of a timestamp
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "b", "c"],
+        "ts": pd.to_datetime([3, 1, 5, 9], unit="s"),
+        "uid": np.arange(4, dtype=np.int64),
+        "score": np.int64([10, 20, 30, 40]),
+        "fval": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = _run(df, [
+        ("lag", "ts", 1, "prev_ts"),
+        ("lead", "score", 5, "lead5"),
+        ("rolling_mean", "score", 10, "roll"),
+        ("row_number", "rn"),
+    ], num_buckets=3)
+    # order within 'a' is ts-asc: uid=1 (1s) then uid=0 (3s)
+    assert pd.isna(out.loc[1, "prev_ts"])
+    assert out.loc[0, "prev_ts"] == pd.Timestamp("1970-01-01 00:00:01")
+    assert out["lead5"].isna().all()
+    assert out.loc[0, "roll"] == 15.0 and out.loc[1, "roll"] == 20.0
+    assert list(out["rn"]) == [2, 1, 1, 1]
+
+
+def test_bad_spec_raises(ray_session):
+    from fasta_windows_ray.stages.window_funcs import window_functions
+    with pytest.raises(ValueError):
+        window_functions(_ds(_frame(50)), ["conv_id"], ["ts"],
+                         [("lag", "score", "out")])
+    with pytest.raises(ValueError):
+        window_functions(_ds(_frame(50)), ["conv_id"], ["ts"],
+                         [("median", "score", "out")])
