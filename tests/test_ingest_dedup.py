@@ -1,0 +1,156 @@
+"""Incremental dedup against the persisted fingerprint store
+(stages/ingest_dedup.py, round 4): stable digest test vectors, ingest /
+re-ingest semantics, bucket-pruned store reads, DuckDB arrival-order
+oracle, crash-recovery idempotence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fasta_windows_ray.sources.catalog import catalog_read
+from fasta_windows_ray.stages.ingest_dedup import (dedup_ingest,
+                                                   stable_digest64)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+# ---------------------------------------------------------------- digest
+
+def _ref_digest(t: str) -> int:
+    """Independent scalar reimplementation (Horner over padded words)."""
+    e = t.encode("utf-8")
+    p = e + b"\x00" * (-len(e) % 8)
+    m, mask = 0x9E3779B97F4A7C15, (1 << 64) - 1
+    h = 0
+    for i in range(len(p) // 8):
+        w = int.from_bytes(p[8 * i:8 * i + 8], "little")
+        h = (h + w * pow(m, i, 1 << 64)) & mask
+    h = (h * m + len(e)) & mask
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def test_digest_matches_scalar_reference():
+    texts = ["", "a", "ab", "ba", "a" * 7, "a" * 8, "a" * 9,
+             "hello world", "héllo wörld", "\x00", "a\x00\x00",
+             "日本語のテキスト", "x" * 1000]
+    got = stable_digest64(texts)
+    want = np.array([_ref_digest(t) for t in texts], np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_digest_order_padding_and_batching():
+    a = stable_digest64(["ab", "ba", "a", "a\x00", "a\x00\x00", ""])
+    assert len(set(a.tolist())) == 6          # order + padding sensitive
+    # batch-invariant: same value regardless of neighbors
+    solo = np.array([stable_digest64([t])[0]
+                     for t in ["ab", "ba", "a", "a\x00", "a\x00\x00", ""]])
+    np.testing.assert_array_equal(a, solo)
+    np.testing.assert_array_equal(a, stable_digest64(
+        ["ab", "ba", "a", "a\x00", "a\x00\x00", ""]))
+    assert (a >= 0).all()
+
+
+# ---------------------------------------------------------------- ingest
+
+def _batch(rows):
+    return rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False))
+
+
+B1 = [{"doc_id": "d1", "text": "alpha"},
+      {"doc_id": "d2", "text": "beta"},
+      {"doc_id": "d3", "text": "alpha"},      # dup within batch
+      {"doc_id": "d4", "text": "gamma"}]
+B2 = [{"doc_id": "e1", "text": "beta"},       # dup vs store
+      {"doc_id": "e2", "text": "delta"},
+      {"doc_id": "e3", "text": "delta"},      # dup within batch
+      {"doc_id": "e4", "text": "epsilon"}]
+
+
+def test_ingest_then_reingest(ray_session, tmp_path):
+    d = str(tmp_path / "corpus")
+    r1 = dedup_ingest(_batch(B1), d, n_buckets=8)
+    assert (r1["n_in"], r1["n_new"], r1["n_dup_within_batch"],
+            r1["n_dup_vs_store"]) == (4, 3, 1, 0)
+    assert r1["version"] == 1 and r1["store_rows_read"] == 0
+
+    r2 = dedup_ingest(_batch(B2), d, n_buckets=8)
+    assert (r2["n_in"], r2["n_new"], r2["n_dup_within_batch"],
+            r2["n_dup_vs_store"]) == (4, 2, 1, 1)
+    assert r2["version"] == 2
+
+    got = (catalog_read(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == ["d1", "d2", "d4", "e2", "e4"]
+    assert got["text"].tolist() == ["alpha", "beta", "gamma", "delta",
+                                    "epsilon"]
+    assert "_digest" in got.columns
+
+    # exact rerun of batch 2: nothing new, NO new version committed
+    r3 = dedup_ingest(_batch(B2), d, n_buckets=8)
+    assert r3["n_new"] == 0 and r3["version"] == 2
+    assert len(catalog_read(d).to_pandas()) == 5
+
+
+def test_matches_duckdb_arrival_order_oracle(ray_session, tmp_path):
+    import duckdb
+    rng = np.random.default_rng(7)
+    batches = []
+    for bno in range(3):
+        n = 120
+        texts = [f"text-{int(v)}" for v in rng.integers(0, 90, n)]
+        ids = [f"b{bno}x{i:03d}" for i in range(n)]
+        batches.append(pd.DataFrame(
+            {"doc_id": ids, "text": texts, "batch": bno}))
+    d = str(tmp_path / "corpus")
+    for b in batches:
+        dedup_ingest(_batch(b.to_dict("records")), d, n_buckets=8)
+    got = (catalog_read(d, columns=["doc_id", "text"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    allb = pd.concat(batches, ignore_index=True)
+    con.register("docs", allb)
+    want = con.sql("""
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY text
+                                    ORDER BY batch, doc_id) AS rn
+          FROM docs) WHERE rn = 1 ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucket_pruned_store_reads(ray_session, tmp_path):
+    d = str(tmp_path / "corpus")
+    big = [{"doc_id": f"a{i:04d}", "text": f"seed-{i}"} for i in range(400)]
+    dedup_ingest(_batch(big), d, n_buckets=16)
+    # a single new doc touches exactly one bucket
+    r = dedup_ingest(_batch([{"doc_id": "z1", "text": "one-new-doc"}]),
+                     d, n_buckets=16)
+    assert r["store_buckets_read"] <= 1
+    assert 0 < r["store_rows_read"] < r["store_rows_total"]
+    assert r["n_new"] == 1
+
+
+def test_crash_recovery_idempotent(ray_session, tmp_path):
+    """Orphan data files from a crashed run (written but never
+    committed) don't leak into reads, and the rerun is a clean redo."""
+    import glob
+    import os
+    d = str(tmp_path / "corpus")
+    dedup_ingest(_batch(B1), d, n_buckets=8)
+    files_before = set(glob.glob(os.path.join(d, "data", "*.parquet")))
+    # simulate a crash: stray uncommitted data file
+    stray = pa.table({"doc_id": ["zz"], "text": ["stray"],
+                      "_digest": [123], "_bucket": [0]})
+    import pyarrow.parquet as pq
+    pq.write_table(stray, os.path.join(d, "data", "part-stray.parquet"))
+    r = dedup_ingest(_batch(B2), d, n_buckets=8)
+    got = catalog_read(d).to_pandas()
+    assert "zz" not in got["doc_id"].tolist()      # snapshot isolation
+    assert r["n_new"] == 2
+    assert len(got) == 5
+    assert files_before < set(glob.glob(os.path.join(d, "data",
+                                                     "*.parquet")))
