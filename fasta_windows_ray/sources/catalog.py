@@ -983,3 +983,88 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
                   // target_rows)
     return catalog_write(ds.repartition(n_files), table_dir,
                          mode="overwrite")
+
+
+def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
+                   version: int | None = None,
+                   return_report: bool = False):
+    """Point lookup on a BUCKETED table: rows whose bucket key is in
+    ``keys``, reading ONLY the bucket files those keys hash into and
+    skipping files whose min/max stats window contains none of them.
+
+    This is the storage-layout answer to "fetch these ids from a
+    100 TB table": I/O is bounded by |touched buckets| / n_buckets of
+    the table (further shrunk by file stats after compaction sorts
+    ranges apart), not by table size. ``keys`` is driver-small by
+    contract (a point-lookup key set, not a join side — use
+    ``bucketed_join`` for that). Returns a Ray Dataset of exactly the
+    matching rows; with ``return_report=True`` also the pruning
+    evidence dict.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.window_stats import stable_bucket_of
+
+    v = version if version is not None else _latest_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    spec = manifest.get("bucket_by")
+    if spec is None:
+        raise ValueError(f"{table_dir} is not bucketed; catalog_lookup "
+                         "needs a bucket_by table (use catalog_read + "
+                         "filter for unbucketed scans)")
+    key_col, n_buckets = spec
+    keys = list(dict.fromkeys(keys))          # dedup, keep order
+    if not keys:
+        empty = rd.from_arrow(pa.table({}))
+        return (empty, {"files_scanned": 0,
+                        "files_total": len(manifest["files"]),
+                        "rows_skipped": int(manifest["total_rows"])}) \
+            if return_report else empty
+    kb = stable_bucket_of(np.asarray(keys, dtype=object), n_buckets)
+    by_bucket: dict[int, list] = {}
+    for k, b in zip(keys, kb.tolist()):
+        by_bucket.setdefault(b, []).append(k)
+
+    kept, skipped_rows = [], 0
+    for f in manifest["files"]:
+        ks = by_bucket.get(f.get("bucket", -1))
+        if ks is None:
+            skipped_rows += f["rows"]
+            continue
+        st = f["stats"].get(key_col)
+        try:
+            prunable = (st is not None and st["min"] is not None
+                        and not any(st["min"] <= k <= st["max"]
+                                    for k in ks))
+        except TypeError:            # incomparable key/stat types
+            prunable = False
+        if prunable:
+            skipped_rows += f["rows"]
+            continue
+        kept.append(os.path.join(table_dir, f["path"]))
+
+    want = None if columns is None else \
+        list(dict.fromkeys([key_col] + columns))
+    keyset = pa.array(keys)
+
+    def exact(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[key_col], value_set=keyset))
+        if "_bucket" in t.column_names and (
+                columns is None or "_bucket" not in columns):
+            t = t.drop_columns(["_bucket"])
+        return t
+
+    ds = (rd.read_parquet(kept, columns=want) if kept
+          else rd.from_arrow(pa.table({})))
+    if kept:
+        ds = ds.map_batches(exact, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if return_report:
+        return ds, {"files_scanned": len(kept),
+                    "files_total": len(manifest["files"]),
+                    "rows_skipped": int(skipped_rows)}
+    return ds
