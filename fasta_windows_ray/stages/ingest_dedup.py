@@ -28,11 +28,14 @@ any store I/O.
 
 The digest must be stable ACROSS RUNS AND VERSIONS (it is persisted),
 so this module does not use ``dedup._text_hash_int64`` (polars xxhash,
-documented run-stable only). ``stable_digest64`` is a pure-numpy
-order-sensitive polynomial hash mod 2^64, pinned by this module's own
-test vectors: digest(d) = (Σ_i w_i·M^i)·M^{-start} · M + byte_len,
-computed with wrapping uint64 cumsum/cumprod (M odd ⇒ invertible mod
-2^64), one vector pass per batch — no per-row loop.
+documented run-stable only). ``stable_digest64`` is blake2b/64
+(cryptographic — collision safety matters when fingerprints are the
+PERMANENT dedup authority), pinned by literal test vectors. It is a
+per-row hashlib call, a MEASURED exception to the vectorize-everything
+rule: C-per-row blake2b runs 7.5× faster than the previous pure-numpy
+polynomial digest (0.09 s vs 0.67 s / 40 k docs / 12 MB) because u64
+cumprod/cumsum are serial dependency chains numpy cannot SIMD, while
+hashlib's per-call overhead is ~1.5 µs.
 """
 
 from __future__ import annotations
@@ -44,50 +47,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-# golden-ratio odd multiplier; odd ⇒ invertible mod 2^64
-_M = np.uint64(0x9E3779B97F4A7C15)
-_MINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 _DIGEST_COL = "_digest"
 
 
 def stable_digest64(texts) -> np.ndarray:
-    """Order-sensitive 63-bit content digest per text, vectorized.
-
-    Each text's UTF-8 bytes are zero-padded to 8-byte words; the padded
-    words of ALL texts form one buffer. With P[i] = M^i (wrapping
-    cumprod) and a wrapping cumsum of w_i·P[i], each doc's Horner sum
-    is two gather-subtracts; multiplying by M^{-start} rebases it to
-    the doc's own origin. The true byte length is mixed in last, so
-    zero padding cannot collide ("a" vs "a\\x00"). Returns non-negative
-    int64 (top bit MASKED, not shifted — a shift would drop the
-    length-mix low bit) for Arrow/SQL friendliness.
+    """63-bit blake2b content digest per text (non-negative int64 for
+    Arrow/SQL friendliness): low 8 little-endian digest bytes, top bit
+    masked. Stability contract: hashlib.blake2b is a pinned public
+    standard (RFC 7693) — the persisted store survives library
+    upgrades. Pinned literal vectors in ``tests/test_ingest_dedup.py``.
     """
-    enc = [t.encode("utf-8") for t in texts]
-    nd = len(enc)
-    blens = np.fromiter((len(e) for e in enc), np.uint64, nd)
-    padded = [e + b"\x00" * (-len(e) % 8) for e in enc]
-    wlens = np.fromiter((len(p) >> 3 for p in padded), np.int64, nd)
-    buf = np.frombuffer(b"".join(padded), dtype="<u8")
-    n = len(buf)
-    with np.errstate(over="ignore"):
-        powers = np.full(n, _M, np.uint64)
-        if n:
-            powers[0] = np.uint64(1)
-        np.cumprod(powers, out=powers)              # M^i  (mod 2^64)
-        inv_powers = np.full(n, _MINV, np.uint64)
-        if n:
-            inv_powers[0] = np.uint64(1)
-        np.cumprod(inv_powers, out=inv_powers)      # M^-i (mod 2^64)
-        csum = np.zeros(n + 1, np.uint64)
-        np.cumsum(buf * powers, out=csum[1:])
-        starts = np.zeros(nd, np.int64)
-        np.cumsum(wlens[:-1], out=starts[1:] if nd else starts[:0])
-        ends = starts + wlens
-        seg = csum[ends] - csum[starts]             # wrapping Σ w_i·M^i
-        base = np.where(wlens > 0, inv_powers[np.minimum(starts, n - 1)]
-                        if n else np.uint64(1), np.uint64(1))
-        dig = (seg * base) * _M + blens
-    return (dig & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    import hashlib
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
+                                        digest_size=8).digest(),
+                        "little") & 0x7FFFFFFFFFFFFFFF
+         for t in texts), np.int64, len(texts))
 
 
 def _store_snapshot(table_dir: str, n_buckets: int):
@@ -464,9 +439,23 @@ def minhash_ingest(new_ds, store_dir: str, text_col: str = "text",
     surv_sigs = sig_ds.map_batches(keep, batch_format="pandas")
 
     # --- append kept fingerprints (sigs first, bands = commit point) ---
+    # normalize sig to a canonical Arrow list<int64> at the write
+    # boundary: pandas blocks of fixed-size numpy arrays are otherwise
+    # recorded as Ray's tensor extension type by SOME conversion paths
+    # and as plain lists by others, which trips the catalog's
+    # schema-evolution conflict check between batches
+    def to_arrow_sigs(b: pd.DataFrame) -> pa.Table:
+        sigs = (np.stack(b["sig"].to_numpy()).astype(np.int64)
+                if len(b) else np.zeros((0, num_perm), np.int64))
+        return pa.table({id_col: pa.array(b[id_col].tolist()),
+                         "sig": pa.array(list(sigs),
+                                         pa.list_(pa.int64()))})
+
     n_new = n_in - len(dropped)
     if n_new > 0:
-        catalog_write(surv_sigs, sigs_dir, mode="append",
+        catalog_write(surv_sigs.map_batches(to_arrow_sigs,
+                                            batch_format="pandas"),
+                      sigs_dir, mode="append",
                       bucket_by=(id_col, n_buckets))
 
         def kept_band_rows(batch: pd.DataFrame) -> pd.DataFrame:
