@@ -160,3 +160,28 @@ def test_crash_recovery_idempotent(ray_session, tmp_path):
     assert len(got) == 5
     assert files_before < set(glob.glob(os.path.join(d, "data",
                                                      "*.parquet")))
+
+
+def test_store_survives_compaction(ray_session, tmp_path):
+    """Steady ingests leave one file per (batch, bucket); catalog_compact
+    folds them to one per bucket and later ingests/lookups keep working
+    on the compacted snapshot."""
+    from fasta_windows_ray.sources.catalog import catalog_compact
+
+    d = str(tmp_path / "corpus")
+    for bno in range(4):
+        rows = [{"doc_id": f"b{bno}x{i}", "text": f"t-{bno}-{i}"}
+                for i in range(50)]
+        dedup_ingest(_batch(rows), d, n_buckets=8)
+    before = catalog_read(d).to_pandas()
+    man = catalog_compact(d)
+    assert len(man["files"]) <= 8            # one per non-empty bucket
+    after = catalog_read(d).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.sort_values("doc_id").reset_index(drop=True),
+        after.sort_values("doc_id").reset_index(drop=True))
+    # ingest continues on the compacted snapshot: dups still caught
+    r = dedup_ingest(_batch([{"doc_id": "z", "text": "t-0-0"},
+                             {"doc_id": "z2", "text": "fresh"}]),
+                     d, n_buckets=8)
+    assert r["n_new"] == 1 and r["n_dup_vs_store"] == 1
