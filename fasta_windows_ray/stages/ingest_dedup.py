@@ -386,15 +386,28 @@ def minhash_ingest(new_ds, store_dir: str, text_col: str = "text",
 
     dup_pairs = []          # verified (a, b, b_store)
     if len(cand):
-        for a, b, b_store in cand.itertuples(index=False):
-            if b_store and a == b:
-                dup_pairs.append((a, b, True))
-                continue
-            sa, sb = sig_of.get(a), sig_of.get(b)
-            if sa is None or sb is None:
-                continue                     # orphan bands: skip
-            if float(np.mean(np.asarray(sa) == np.asarray(sb))) >= tau:
-                dup_pairs.append((a, b, b_store))
+        # same-id store pair = exact re-ingest: dup by definition
+        selfm = (cand["b_store"] & (cand["a"] == cand["b"])).to_numpy()
+        dup_pairs += [(a, b, True) for a, b, _ in
+                      cand[selfm].itertuples(index=False)]
+        rest = cand[~selfm]
+        if len(rest):
+            # vectorized estimate: one (n_pairs, num_perm) equality
+            ids = list(sig_of)
+            idx = {v: i for i, v in enumerate(ids)}
+            S = np.stack([np.asarray(sig_of[i]) for i in ids]) \
+                if ids else np.zeros((0, num_perm), np.int64)
+            ai = np.fromiter((idx.get(a, -1) for a in rest["a"]),
+                             np.int64, len(rest))
+            bi = np.fromiter((idx.get(b, -1) for b in rest["b"]),
+                             np.int64, len(rest))
+            ok = (ai >= 0) & (bi >= 0)       # orphan bands: skip
+            est = np.zeros(len(rest))
+            est[ok] = (S[ai[ok]] == S[bi[ok]]).mean(axis=1)
+            hit = est >= tau
+            dup_pairs += list(zip(rest["a"].to_numpy()[hit],
+                                  rest["b"].to_numpy()[hit],
+                                  rest["b_store"].to_numpy()[hit]))
 
     # --- component resolution ------------------------------------------
     parent: dict = {}
