@@ -172,3 +172,37 @@ def hash_topk_sample(ds, key_col: str, k: int,
     return (out.drop(columns=["_slot"])
                .sort_values(strata + [key_col])
                .reset_index(drop=True))
+
+
+def train_val_test_split(ds, key_col: str,
+                         weights: dict | None = None,
+                         split_col: str = "split"):
+    """Deterministic dataset split: adds ``split_col`` from the md5
+    slot of ``key_col`` — the same 1000-slot partition every sampler
+    here uses, so the assignment is a pure function of the key
+    (reproducible across runs, epochs, partitionings and engines; the
+    md5 fold has an exact SQL twin). Weights are permille integers
+    (default 980/10/10) and must sum to 1000; slot ranges are assigned
+    in dict order, so a key's split NEVER changes when later splits'
+    weights are rebalanced among themselves.
+
+    Splitting by key (not row) keeps grouped records together: split
+    on conv_id and every turn of a conversation lands in the same
+    split — the leakage-safe default for transcript data.
+    """
+    weights = weights or {"train": 980, "val": 10, "test": 10}
+    if sum(weights.values()) != SLOTS:
+        raise ValueError(f"weights must sum to {SLOTS} permille, got "
+                         f"{sum(weights.values())}")
+    names = list(weights)
+    bounds = np.cumsum([weights[n] for n in names])
+
+    def assign(t: pa.Table) -> pa.Table:
+        slot = stable_bucket_of(t[key_col].to_numpy(zero_copy_only=False),
+                                SLOTS)
+        idx = np.searchsorted(bounds, slot, side="right")
+        lab = np.asarray(names, dtype=object)[idx]
+        return t.append_column(split_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -370,3 +370,49 @@ def test_redact_pii_counts_and_text(ray_session):
     assert list(out["text"]) == want_text
     # the 555-12345 tail: first 4 digits match, 5th survives
     assert "[PHONE]5" in out["text"][1]
+
+
+# ---------------------------------------------------------------- split
+
+def test_train_val_test_split_oracle(ray_session, tmp_path):
+    """Split assignment matches the SQL md5-slot twin; conv-keyed rows
+    stay together; rebalancing val/test never moves a train key."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.sampling import train_val_test_split
+
+    df = pd.DataFrame({
+        "conv_id": [f"c{i % 200}" for i in range(1000)],
+        "v": np.arange(1000, dtype=np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (train_val_test_split(ds, "conv_id",
+                                {"train": 900, "val": 60, "test": 40})
+           .to_pandas().sort_values("v").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        WITH h AS (SELECT *, md5(CAST(conv_id AS VARCHAR)) AS hx FROM t),
+        s AS (SELECT conv_id, v,
+              (CAST(('0x' || substr(hx, 1, 15)) AS BIGINT) % 1000) AS slot
+              FROM h)
+        SELECT conv_id, v,
+               CASE WHEN slot < 900 THEN 'train'
+                    WHEN slot < 960 THEN 'val' ELSE 'test' END AS split
+        FROM s ORDER BY v""").df()
+    pd.testing.assert_frame_equal(got, want)
+
+    # leakage safety: one split per conv
+    assert (got.groupby("conv_id")["split"].nunique() == 1).all()
+    # rebalance stability: shifting val/test leaves train untouched
+    got2 = (train_val_test_split(ds, "conv_id",
+                                 {"train": 900, "val": 10, "test": 90})
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    tr1 = set(got.loc[got["split"] == "train", "conv_id"])
+    tr2 = set(got2.loc[got2["split"] == "train", "conv_id"])
+    assert tr1 == tr2
+
+    with pytest.raises(ValueError, match="sum to 1000"):
+        train_val_test_split(ds, "conv_id", {"train": 5})
