@@ -147,3 +147,55 @@ def decontaminate(ds, eval_ds, n: int = 5,
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+_CTRL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
+
+
+def normalize_text(ds, text_col: str = "text", lowercase: bool = False):
+    """Canonical text cleanup before dedup/tokenization — the step that
+    makes byte-level fingerprints (``ingest_dedup``) agree across
+    sources that encode the same content differently:
+
+    1. Unicode NFC (composed forms; ``é`` == ``e``+combining-accent),
+    2. control chars stripped (keeping ``\\n`` and ``\\t``),
+    3. horizontal whitespace runs collapsed to one space, spaces
+       trimmed around newlines, 3+ newlines collapsed to 2,
+    4. outer whitespace trimmed; optional ASCII+Unicode lowercase.
+
+    Arrow RE2 kernels throughout, shuffle-free; every rule has an
+    exact DuckDB twin (pytest-oracled). NFC caveat: pyarrow 16.1's
+    ``utf8_normalize`` emits DECOMPOSED text for every form (verified:
+    NFC/NFD/NFKC all return e+combining-accent), so composition uses
+    ``unicodedata`` on the non-ASCII rows only — the
+    ``string_is_ascii`` mask keeps typical web-scale batches (mostly
+    ASCII) fully vectorized.
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ascii_mask = pc.fill_null(pc.string_is_ascii(col), True)
+        if pc.all(ascii_mask).as_py():
+            s = col
+        else:
+            vals = col.to_pylist()
+            keep = ascii_mask.to_numpy(zero_copy_only=False)
+            s = pa.array(
+                [v if v is None or k else unicodedata.normalize("NFC", v)
+                 for v, k in zip(vals, keep)], pa.string())
+        s = pc.replace_substring_regex(s, _CTRL_RE, "")
+        s = pc.replace_substring_regex(s, r"[ \t]+", " ")
+        s = pc.replace_substring_regex(s, r" ?\n ?", "\n")
+        s = pc.replace_substring_regex(s, r"\n{3,}", "\n\n")
+        s = pc.replace_substring_regex(s, r"^[\s]+|[\s]+$", "")
+        if lowercase:
+            s = pc.utf8_lower(s)
+        return t.set_column(t.column_names.index(text_col),
+                            text_col, s)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

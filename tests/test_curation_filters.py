@@ -48,3 +48,41 @@ def test_decontaminate_planted(ray_session):
     out = decontaminate(corpus, eval_ds, n=5).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["contaminated"].tolist() == [True, False, False]
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    """normalize_text (round 4) == the composed DuckDB twin: NFC,
+    control strip, whitespace collapse, newline squeeze, outer trim."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.curation_filters import normalize_text
+
+    texts = ["  héllo\t\tWORLD \x01ok ", "éclair",   # NFC compose
+             "a\n\n\n\nb", "x  \n  y", "\x00zap\x7f", "", "  ",
+             "tab\there\nline  end  ", "UPPER Case"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (normalize_text(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(r"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(nfc_normalize(text),
+            '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+            '[ \t]+', ' ', 'g'),
+            ' ?\n ?', e'\n', 'g'),
+            '\n{3,}', e'\n\n', 'g'),
+            '^[\s]+|[\s]+$', '', 'g') AS text
+        FROM t ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got, want)
+    assert got.loc[1, "text"] == "éclair"          # composed, 6 chars
+    assert len(got.loc[1, "text"]) == 6
+
+    low = normalize_text(ds, lowercase=True).to_pandas()
+    assert low.sort_values("doc_id")["text"].iloc[-1] == "upper case"
