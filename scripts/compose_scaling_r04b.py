@@ -35,7 +35,8 @@ def load(path):
 
 
 def main():
-    recs = [r for r in load("/tmp/scaling_gated.jsonl")
+    paths = sys.argv[1:] or ["/tmp/scaling_gated.jsonl"]
+    recs = [r for p in paths for r in load(p)
             if "mode" in r and "sec" in r]
     accepted = [r for r in recs
                 if r.get("probe_before", 9) <= PROBE_GATE
