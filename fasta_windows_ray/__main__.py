@@ -9,6 +9,8 @@ Two surfaces:
    same ./fw_out/ TSV/BED layout (main.rs:86-110).
 2. ``transcripts`` — the Parquet windowed-stats engine (tumbling /
    sliding / session; batch or stateful path; parquet output).
+3. ``profile`` — the one-pass per-column data card over any Parquet
+   table (stages/profile.py).
 
 Owns its Ray session (guarded init) — the only module besides bench.py
 and tests allowed to.
@@ -82,6 +84,26 @@ def cmd_transcripts(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    import ray.data as rd
+
+    from .stages.profile import dataset_profile
+    _ensure_ray(args.num_cpus)
+    cols = args.columns.split(",") if args.columns else None
+    ds = rd.read_parquet(args.input, columns=cols)
+    card = dataset_profile(ds, columns=cols, p=args.hll_p,
+                           capacity=args.capacity, top_k=args.top_k)
+    import pandas as pd
+    with pd.option_context("display.width", 200,
+                           "display.max_columns", None,
+                           "display.max_colwidth", 48):
+        print(card.to_string(index=False))
+    if args.out:
+        card.to_parquet(args.out, index=False)
+        print(f"[+]\tProfile written to: {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -112,6 +134,18 @@ def main(argv=None) -> int:
     tr.add_argument("--buckets", type=int, default=64)
     tr.add_argument("--stateful", action="store_true")
     tr.set_defaults(fn=cmd_transcripts)
+
+    pr = sub.add_parser("profile", help="one-pass per-column data card "
+                                        "over Parquet (counts, nulls, "
+                                        "distinct~, quantiles~, top values)")
+    pr.add_argument("input", help="parquet file or directory")
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (prunes the read)")
+    pr.add_argument("--hll-p", type=int, default=12)
+    pr.add_argument("--capacity", type=int, default=4096)
+    pr.add_argument("--top-k", type=int, default=10)
+    pr.add_argument("--out", default=None, help="write the card as parquet")
+    pr.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -121,6 +121,19 @@ def test_capacity_truncation_reports_bound():
     assert prof.loc["v", "top_values_err_bound"] > 0
 
 
+def test_cli_profile_subcommand(corpus, tmp_path):
+    from fasta_windows_ray.__main__ import main
+    src = tmp_path / "docs.parquet"
+    corpus.to_parquet(src, index=False)
+    out = tmp_path / "card.parquet"
+    rc = main(["profile", str(src), "--columns", "lang,score",
+               "--out", str(out)])
+    assert rc == 0
+    card = pd.read_parquet(out)
+    assert list(card["column"]) == ["lang", "score"]
+    assert (card["count"] == len(corpus)).all()
+
+
 def test_column_subset_and_empty(corpus):
     ds = rd.from_pandas(corpus)
     prof = dataset_profile(ds, columns=["score", "lang"])
