@@ -112,12 +112,12 @@ def rag_query(index_dir: str, query_texts: list[str], k: int = 5,
     # column-pruned read of ONLY the probed partitions (recomputed from
     # the persisted centroids, same routing as ivf_query); at fleet
     # scale this becomes a bucketed-catalog point lookup keyed by vec_id
+    from ..stages.similarity import ivf_list_files
     C = np.load(os.path.join(index_dir, "centroids.npy"))
     probed = np.unique(np.argsort(-(Q @ C.T), axis=1)[:, :nprobe])
-    paths = [os.path.join(index_dir, f"part={li}", "data.parquet")
-             for li in probed.tolist()]
+    paths = ivf_list_files(index_dir, probed.tolist())
     frames = []
-    for p in [p for p in paths if os.path.exists(p)]:
+    for p in paths:
         t = pq.read_table(p, columns=["vec_id", "doc_id", "chunk_id",
                                       "chunk"])
         m = np.isin(t["vec_id"].to_numpy(), list(want))

@@ -20,6 +20,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 
@@ -234,6 +235,108 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
     return C
 
 
+def ivf_list_files(index_dir: str, list_ids=None) -> list[str]:
+    """COMMITTED data files of the given lists (default: all lists):
+    the build's ``data.parquet`` (committed via ``.done``) plus any
+    ``ivf_append`` batches' ``data-{batch}.parquet`` (committed via
+    ``.done-{batch}``).  Uncommitted files from a crashed append are
+    invisible until the batch is rerun to completion."""
+    import glob as _glob
+    import re
+
+    if list_ids is None:
+        pdirs = sorted(_glob.glob(os.path.join(index_dir, "part=*")))
+    else:
+        pdirs = [os.path.join(index_dir, f"part={li}") for li in list_ids]
+    out = []
+    for pdir in pdirs:
+        if not os.path.isdir(pdir):
+            continue
+        names = set(os.listdir(pdir))
+        if "data.parquet" in names and ".done" in names:
+            out.append(os.path.join(pdir, "data.parquet"))
+        for name in sorted(names):
+            m = re.fullmatch(r"data-(.+)\.parquet", name)
+            if m and f".done-{m.group(1)}" in names:
+                out.append(os.path.join(pdir, name))
+    return out
+
+
+def ivf_append(ds, index_dir: str, batch_id: str) -> pd.DataFrame:
+    """Incremental add to a PERSISTED IVF index — no rebuild, no full
+    rewrite: new vectors are assigned to the FROZEN coarse centroids
+    (quantized iff the index was built with ``quantize=True``, per the
+    recorded meta) and appended as ONE atomically-committed file per
+    touched list: ``part={li}/data-{batch_id}.parquet`` + a
+    ``.done-{batch_id}`` marker written after the rename.  A rerun of
+    the same ``batch_id`` skips committed lists, so a crashed append
+    resumes and a completed one is idempotent (the same observational
+    exactly-once protocol as ``sinks.write_partitioned``).  I/O is one
+    pass over the NEW rows only — the existing index is never read.
+
+    Frozen centroids mean recall degrades only if the appended data
+    drifts from the build-time distribution; the returned report
+    carries ``attrs['list_counts']`` (per-list committed row counts,
+    from parquet footers of the touched + existing files) so callers
+    can trigger a rebuild on imbalance.  Returns (list_id, n_rows,
+    skipped) per touched list."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(os.path.join(index_dir, ".index_done")):
+        raise ValueError(f"{index_dir}: not a completed IVF index "
+                         "(run ivf_build first)")
+    if not re.fullmatch(r"[A-Za-z0-9_\-]+", batch_id):
+        raise ValueError(f"batch_id {batch_id!r}: use [A-Za-z0-9_-]+ "
+                         "(it names files and commit markers)")
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    quantize = bool(_load_meta(index_dir).get("quantize"))
+    cref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        C_ = ray.get(cref)
+        E = _norm_rows(np.stack(batch["embedding"].to_numpy())
+                       .astype(np.float64))
+        batch = batch.copy()
+        batch["list_id"] = np.argmax(E @ C_.T, axis=1).astype(np.int64)
+        if quantize:
+            q, scale = sq8_encode(E)
+            batch = batch.drop(columns=["embedding"])
+            batch["emb_q"] = list(q)
+            batch["scale"] = scale
+        return batch
+
+    def write_list(df: pd.DataFrame) -> pd.DataFrame:
+        li = int(df["list_id"].iloc[0])
+        pdir = os.path.join(index_dir, f"part={li}")
+        done = os.path.join(pdir, f".done-{batch_id}")
+        if os.path.exists(done):
+            return pd.DataFrame([{"list_id": li, "n_rows": 0,
+                                  "skipped": True}])
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"data-{batch_id}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        with open(done + ".tmp", "w") as f:
+            f.write(str(len(df)))
+        os.replace(done + ".tmp", done)
+        return pd.DataFrame([{"list_id": li, "n_rows": len(df),
+                              "skipped": False}])
+
+    report = (ds.map_batches(assign, batch_format="pandas")
+                .groupby("list_id").map_groups(write_list,
+                                               batch_format="pandas")
+                .to_pandas())
+    counts = {}
+    for p in ivf_list_files(index_dir):
+        li = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        counts[li] = counts.get(li, 0) + pq.ParquetFile(p).metadata.num_rows
+    report.attrs["list_counts"] = counts
+    return report
+
+
 def _atomic_meta(index_dir: str, meta: dict) -> None:
     import json
     p = os.path.join(index_dir, "index_meta.json")
@@ -260,8 +363,6 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
     — the scan and the I/O are both pruned (no re-quantization: the
     stored ``list_id`` column routes rows to queries). Sets
     ``pdf.attrs['bytes_read' / 'bytes_total']`` for scale evidence."""
-    import glob
-
     import ray.data as rd
 
     C = np.load(os.path.join(index_dir, "centroids.npy"))
@@ -269,12 +370,10 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]   # (q, nprobe)
     wanted = [set(p) for p in probes.tolist()]
     lists_needed = sorted(set(probes.ravel().tolist()))
-    paths = [os.path.join(index_dir, f"part={li}", "data.parquet")
-             for li in lists_needed]
-    paths = [p for p in paths if os.path.exists(p)]  # empty lists: no file
+    # committed build + append files of the probed lists only
+    paths = ivf_list_files(index_dir, lists_needed)
     bytes_read = sum(os.path.getsize(p) for p in paths)
-    bytes_total = sum(os.path.getsize(p) for p in glob.glob(
-        os.path.join(index_dir, "part=*", "data.parquet")))
+    bytes_total = sum(os.path.getsize(p) for p in ivf_list_files(index_dir))
     qref = ray.put((Q, wanted))
     quantized = bool(_load_meta(index_dir).get("quantize"))
 
