@@ -86,3 +86,33 @@ def test_normalize_text_matches_duckdb(ray_session):
 
     low = normalize_text(ds, lowercase=True).to_pandas()
     assert low.sort_values("doc_id")["text"].iloc[-1] == "upper case"
+
+
+def test_compression_ratio_signal(ray_session):
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.curation_filters import compression_ratio
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["spam " * 400,                          # boilerplate
+                 " ".join(f"sentence {i} about topic {i * 13 % 57} with "
+                          f"detail {i * 31 % 101}." for i in range(60)),
+                 "".join(chr(33 + c) for c in
+                         np.random.RandomState(0).randint(0, 90, 2000)),
+                 ""]})                                   # empty -> NaN
+    out = (compression_ratio(rd.from_pandas(docs).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # exact per-doc agreement with direct zlib at the same level
+    for i in range(3):
+        b = docs.loc[i, "text"].encode()
+        assert out.loc[i, "raw_bytes"] == len(b)
+        assert out.loc[i, "compression_ratio"] == \
+            len(zlib.compress(b, 6)) / len(b)
+    # signal ordering: boilerplate << prose << pseudo-random
+    r = out["compression_ratio"]
+    assert r[0] < 0.05 < r[1] < r[2]
+    assert np.isnan(r[3]) and out.loc[3, "raw_bytes"] == 0
