@@ -130,9 +130,68 @@ def _atomic_json_exclusive(path: str, obj) -> None:
         os.remove(tmp)
 
 
+def _z_boundaries(ds, cols: list[str], bits: int) -> dict:
+    """One streaming pass over ``cols`` -> per-column quantile
+    boundaries (2^bits - 1 cut points) via merged t-digests — the
+    rank map that makes z-values distribution-aware (uniform in RANK
+    space, so skewed columns still spread across files)."""
+    import pandas as pd
+
+    from ..stages.sketches import (_merge_digests, tdigest_compress,
+                                   tdigest_quantile)
+
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            v = np.asarray(t[c].to_numpy(zero_copy_only=False))
+            if np.issubdtype(v.dtype, np.datetime64):
+                v = v.astype("datetime64[us]").astype(np.int64)
+            v = v.astype(np.float64)
+            v = v[~np.isnan(v)]
+            m, w = tdigest_compress(v, np.ones(len(v)), 200)
+            frames.append(pd.DataFrame({"_col": c, "_mean": m,
+                                        "_weight": w}))
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    parts = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas())
+    qs = list(np.linspace(0.0, 1.0, (1 << bits) + 1)[1:-1])
+    out = {}
+    for c in cols:
+        sub = parts[parts["_col"] == c]
+        m, w = _merge_digests(sub, 200)
+        out[c] = np.asarray(tdigest_quantile(m, w, qs), np.float64)
+    return out
+
+
+def _z_values(t: pa.Table, boundaries: dict, bits: int) -> np.ndarray:
+    """Vectorized Morton/Z-value: per column, rank against the
+    boundaries (searchsorted -> a ``bits``-bit code), then interleave
+    the code bits across columns."""
+    cols = list(boundaries)
+    codes = []
+    for c in cols:
+        v = np.asarray(t[c].to_numpy(zero_copy_only=False))
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").astype(np.int64)
+        v = v.astype(np.float64)
+        code = np.searchsorted(boundaries[c], v, side="right")
+        code[np.isnan(v)] = 0          # nulls/NaN sort first
+        codes.append(code.astype(np.int64))
+    z = np.zeros(len(t), np.int64)
+    k = len(codes)
+    for b in range(bits):
+        for ci, code in enumerate(codes):
+            z |= ((code >> b) & 1) << (b * k + ci)
+    return z
+
+
 def catalog_write(ds, table_dir: str, mode: str = "append",
                   stats_cols: list[str] | None = None,
-                  bucket_by: tuple[str, int] | None = None) -> dict:
+                  bucket_by: tuple[str, int] | None = None,
+                  zorder: list[str] | None = None) -> dict:
     """Commit a Dataset to the catalog table as one new version.
 
     ``mode``: "append" adds this write's files to the current snapshot;
@@ -152,12 +211,29 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     keep the parent snapshot's spec; the tagged ``_bucket`` column is
     stored in the files.
 
+    ``zorder=[cols]`` clusters this write's rows along a Morton
+    (Z-order) curve over the named numeric/timestamp columns before
+    the per-block file writes: each value is mapped to its RANK
+    (t-digest quantile boundaries, one extra streaming pass — skew-
+    proof), the rank bits are interleaved, and rows are range-
+    partitioned by the z-value (one sort exchange, paid once at write
+    time).  Each file then covers a tight hyper-rectangle in the
+    z-columns, so the EXISTING min/max file pruning in
+    ``catalog_read`` becomes selective on EVERY z-column at once —
+    the multi-dimensional data-skipping trick of the lakehouse
+    engines.  Advisory (not a join contract like ``bucket_by``, which
+    it is mutually exclusive with): appends may z-order themselves or
+    not; the manifest records the spec per write.
+
     The data files are written DISTRIBUTED (one per input block, inside
     the map_batches tasks); only the tiny per-file manifest rows travel
     to the driver for the atomic commit.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if zorder is not None and bucket_by is not None:
+        raise ValueError("zorder and bucket_by are mutually exclusive "
+                         "(range clustering vs hash co-partitioning)")
     data_dir = os.path.join(table_dir, "data")
     mdir = os.path.join(table_dir, _MANIFEST)
     os.makedirs(data_dir, exist_ok=True)
@@ -193,10 +269,30 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
         report = (tagged.groupby("_bucket")
                         .map_groups(write_block,
                                     batch_format="pyarrow").to_pandas())
+    elif zorder is not None:
+        import ray
+
+        bits = min(16, 63 // max(len(zorder), 1))
+        bref = ray.put(_z_boundaries(ds, zorder, bits))
+
+        def tag_z(t: pa.Table) -> pa.Table:
+            z = _z_values(t, ray.get(bref), bits)
+            return t.append_column("_z", pa.array(z, pa.int64()))
+
+        def write_zblock(t: pa.Table) -> pa.Table:
+            return _write_data_file(t.drop_columns(["_z"]), data_dir,
+                                    stats_cols)
+
+        report = (ds.map_batches(tag_z, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                    .sort("_z")
+                    .map_batches(write_zblock, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas())
     else:
         report = ds.map_batches(write_block, batch_format="pyarrow",
                                 zero_copy_batch=True).to_pandas()
-    return _commit_files(table_dir, report, mode, bucket_by)
+    return _commit_files(table_dir, report, mode, bucket_by,
+                         zorder=zorder)
 
 
 def _write_data_file(t: pa.Table, data_dir: str,
@@ -243,7 +339,8 @@ def _write_data_file(t: pa.Table, data_dir: str,
 
 def _commit_files(table_dir: str, report, mode: str,
                   bucket_by: tuple[str, int] | None,
-                  base_files: list | None = None) -> dict:
+                  base_files: list | None = None,
+                  zorder: list[str] | None = None) -> dict:
     """Assemble the file list from distributed write reports and commit
     one new manifest version (the atomic commit point).
 
@@ -285,6 +382,8 @@ def _commit_files(table_dir: str, report, mode: str,
     manifest = {"version": version, "parent": parent, "mode": mode,
                 "files": files, "schema": unified,
                 "total_rows": int(sum(f["rows"] for f in files))}
+    if zorder is not None:
+        manifest["zorder"] = list(zorder)
     if bucket_by is not None:
         manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
     elif mode == "append" and parent:

@@ -161,3 +161,48 @@ def test_schema_evolution_list_column(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert out["embedding"].isna().tolist() == [True, True, False]
     assert list(out.loc[2, "embedding"]) == [0.5, 0.25]
+
+
+def test_zorder_write_prunes_multi_dim(ray_session, tmp_path):
+    """Z-ordered files cover tight (x, y) hyper-rectangles, so the
+    EXISTING min/max pruning turns selective on both columns at once;
+    a random-order write's files all straddle the query box."""
+    rng = np.random.default_rng(0)
+    n = 60_000
+    df = pd.DataFrame({"x": rng.random(n), "y": rng.random(n),
+                       "v": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(32)
+    t_plain, t_z = str(tmp_path / "plain"), str(tmp_path / "zed")
+    catalog_write(ds, t_plain, mode="overwrite")
+    m = catalog_write(ds, t_z, mode="overwrite", zorder=["x", "y"])
+    assert m["zorder"] == ["x", "y"]
+
+    box = [("x", ">=", 0.40), ("x", "<=", 0.50),
+           ("y", ">=", 0.40), ("y", "<=", 0.50)]
+    dp, rep_p = catalog_read(t_plain, predicate=box, return_report=True)
+    dz, rep_z = catalog_read(t_z, predicate=box, return_report=True)
+    assert rep_p["files_scanned"] == rep_p["files_total"]  # no pruning
+    assert rep_z["files_scanned"] <= rep_z["files_total"] // 4
+
+    # exact results identical after the in-file filter
+    def exact(d):
+        pdf = d.to_pandas()
+        pdf = pdf[(pdf["x"].between(0.40, 0.50))
+                  & (pdf["y"].between(0.40, 0.50))]
+        return sorted(pdf["v"].tolist())
+    assert exact(dz) == exact(dp)
+
+    # single-dimension predicates prune too (the z-order payoff vs a
+    # plain single-column sort, which prunes only its own column)
+    for col in ("x", "y"):
+        _, rep1 = catalog_read(
+            t_z, predicate=[(col, ">=", 0.45), (col, "<=", 0.55)],
+            return_report=True)
+        assert rep1["files_scanned"] < rep1["files_total"]
+
+
+def test_zorder_guards(ray_session, tmp_path):
+    ds = _mk(range(100))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        catalog_write(ds, str(tmp_path / "t"), zorder=["score"],
+                      bucket_by=("doc_id", 4))
