@@ -1,0 +1,97 @@
+"""Incrementally-maintained materialized aggregates
+(stages/matview.py): every refresh must equal a from-scratch rollup of
+the source's current snapshot, across append / delete / compaction,
+with the documented I/O class (delta-only after the first sync)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fasta_windows_ray.sources.catalog import (catalog_compact,
+                                               catalog_delete,
+                                               catalog_read, catalog_write)
+from fasta_windows_ray.stages.matview import (read_materialized_agg,
+                                              refresh_materialized_agg)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _mk(ids, langs, scores):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, np.int64)),
+        "lang": pa.array(list(langs)),
+        "score": pa.array(np.asarray(scores, np.float64))}))
+
+
+def _view_pdf(view_dir):
+    return (read_materialized_agg(view_dir).to_pandas()
+            .sort_values("lang").reset_index(drop=True)
+            [["lang", "n_rows", "sum_score"]])
+
+
+def _expect(table_dir):
+    pdf = catalog_read(table_dir).to_pandas()
+    g = (pdf.groupby("lang").agg(n_rows=("lang", "size"),
+                                 sum_score=("score", "sum"))
+         .reset_index().sort_values("lang").reset_index(drop=True))
+    g["n_rows"] = g["n_rows"].astype(np.int64)
+    return g
+
+
+def test_matview_tracks_source_through_dml(tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    catalog_write(_mk(range(100), ["en", "de"] * 50,
+                      np.arange(100) * 0.5), src)
+
+    rep = refresh_materialized_agg(src, view, ["lang"], ["score"])
+    assert rep["full_scan"] and not rep["noop"]
+    pd.testing.assert_frame_equal(_view_pdf(view), _expect(src))
+
+    # no new source version -> noop, same view version
+    rep2 = refresh_materialized_agg(src, view, ["lang"], ["score"])
+    assert rep2["noop"] and rep2["view_version"] == rep["view_version"]
+
+    # append a new language + more of an old one; delta-only sync
+    catalog_write(_mk(range(100, 140), ["fr", "en"] * 20,
+                      np.arange(40) * 2.0), src, mode="append")
+    rep3 = refresh_materialized_agg(src, view, ["lang"], ["score"])
+    assert not rep3["full_scan"] and rep3["rows_net_delta"] == 40
+    pd.testing.assert_frame_equal(_view_pdf(view), _expect(src))
+
+    # copy-on-write delete, including wiping a whole group
+    catalog_delete(src, [("lang", "==", "de")])
+    refresh_materialized_agg(src, view, ["lang"], ["score"])
+    got = _view_pdf(view)
+    assert "de" not in set(got["lang"])
+    pd.testing.assert_frame_equal(got, _expect(src))
+
+    # compaction: delta cancels, view rows unchanged
+    before = _view_pdf(view)
+    catalog_compact(src, target_rows=1 << 20)
+    rep4 = refresh_materialized_agg(src, view, ["lang"], ["score"])
+    assert not rep4["noop"] and rep4["rows_net_delta"] == 0
+    pd.testing.assert_frame_equal(_view_pdf(view), before)
+
+
+def test_matview_spec_mismatch_refused(tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    catalog_write(_mk(range(10), ["en"] * 10, np.ones(10)), src)
+    refresh_materialized_agg(src, view, ["lang"], ["score"])
+    with pytest.raises(ValueError, match="spec mismatch"):
+        refresh_materialized_agg(src, view, ["lang"], [])
+
+
+def test_matview_count_only_and_multi_group(tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    ds = rd.from_pandas(pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": [1, 1, 1, 2, 2],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    catalog_write(ds, src)
+    refresh_materialized_agg(src, view, ["a", "b"])
+    got = (read_materialized_agg(view).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    assert got["n_rows"].tolist() == [2, 1, 2]
+    assert "sum_v" not in got.columns
