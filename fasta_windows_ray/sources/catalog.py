@@ -191,7 +191,9 @@ def _z_values(t: pa.Table, boundaries: dict, bits: int) -> np.ndarray:
 def catalog_write(ds, table_dir: str, mode: str = "append",
                   stats_cols: list[str] | None = None,
                   bucket_by: tuple[str, int] | None = None,
-                  zorder: list[str] | None = None) -> dict:
+                  zorder: list[str] | None = None,
+                  bloom_cols: list[str] | None = None,
+                  bloom_bits: int = 1 << 17) -> dict:
     """Commit a Dataset to the catalog table as one new version.
 
     ``mode``: "append" adds this write's files to the current snapshot;
@@ -224,6 +226,15 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     engines.  Advisory (not a join contract like ``bucket_by``, which
     it is mutually exclusive with): appends may z-order themselves or
     not; the manifest records the spec per write.
+
+    ``bloom_cols=[cols]`` additionally records a per-FILE Bloom bitmap
+    of each named int/float/string column in the manifest
+    (``bloom_bits`` bits -> bits/8 bytes per file per column;
+    no-false-negative membership). ``catalog_read`` equality
+    predicates and ``catalog_lookup`` key sets then skip files the
+    Bloom PROVES clean — the pruning that min/max stats cannot do when
+    value ranges interleave across files (e.g. hash-distributed ids),
+    and the one that makes point lookups work on UNBUCKETED tables.
 
     The data files are written DISTRIBUTED (one per input block, inside
     the map_batches tasks); only the tiny per-file manifest rows travel
@@ -263,7 +274,8 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                                 zero_copy_batch=True)
 
     def write_block(t: pa.Table) -> pa.Table:
-        return _write_data_file(t, data_dir, stats_cols)
+        return _write_data_file(t, data_dir, stats_cols,
+                                bloom_cols, bloom_bits)
 
     if bucket_by is not None:
         report = (tagged.groupby("_bucket")
@@ -281,7 +293,7 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
 
         def write_zblock(t: pa.Table) -> pa.Table:
             return _write_data_file(t.drop_columns(["_z"]), data_dir,
-                                    stats_cols)
+                                    stats_cols, bloom_cols, bloom_bits)
 
         report = (ds.map_batches(tag_z, batch_format="pyarrow",
                                  zero_copy_batch=True)
@@ -295,11 +307,74 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                          zorder=zorder)
 
 
+def _file_bloom(col: pa.ChunkedArray, n_bits: int) -> dict | None:
+    """Per-file Bloom bitmap of a key column (int/float/string only —
+    types whose probe-side pandas hash matches the build side; nulls
+    are dropped so an int column with nulls still hashes as int64)."""
+    import base64
+
+    from ..stages.bloom import _bloom_positions
+    ty = col.type
+    if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+            or pa.types.is_string(ty) or pa.types.is_large_string(ty)):
+        return None
+    keys = col.drop_null().to_pandas()
+    bitmap = np.zeros(n_bits // 64, np.uint64)
+    if len(keys):
+        pos = _bloom_positions(keys, n_bits, 4).ravel()
+        np.bitwise_or.at(bitmap, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64)
+                                          & np.uint64(63)))
+    return {"n_bits": n_bits, "n_hashes": 4,
+            "b64": base64.b64encode(bitmap.tobytes()).decode()}
+
+
+def _coerce_keys(vals: list, type_str: str | None):
+    """Coerce probe values to the column's hashed dtype (manifest
+    per-file schema string) so the Bloom probe hashes like the build;
+    None = uncoercible -> caller must not prune."""
+    import pandas as pd
+    try:
+        if type_str is None:
+            return pd.Series(vals)
+        if type_str.startswith(("int", "uint")):
+            return pd.Series([int(v) for v in vals], dtype=np.int64)
+        if type_str in ("float", "double", "halffloat"):
+            return pd.Series([float(v) for v in vals], dtype=np.float64)
+        if "string" in type_str:
+            return pd.Series([str(v) for v in vals], dtype=object)
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+def _bloom_excludes(st: dict | None, vals: list,
+                    type_str: str | None) -> bool:
+    """True iff the file's Bloom PROVES none of ``vals`` is present
+    (no false negatives — safe to skip the file)."""
+    import base64
+
+    import pandas as pd
+
+    from ..stages.bloom import bloom_contains
+    bl = (st or {}).get("bloom")
+    if not bl or not vals:
+        return False
+    keys = _coerce_keys(vals, type_str)
+    if keys is None or not isinstance(keys, pd.Series):
+        return False
+    bitmap = np.frombuffer(base64.b64decode(bl["b64"]), np.uint64)
+    return not bool(bloom_contains(bitmap, keys, bl["n_hashes"]).any())
+
+
 def _write_data_file(t: pa.Table, data_dir: str,
-                     stats_cols: list[str] | None = None) -> pa.Table:
+                     stats_cols: list[str] | None = None,
+                     bloom_cols: list[str] | None = None,
+                     bloom_bits: int = 1 << 17) -> pa.Table:
     """Write one data file (tmp + atomic rename) and return its
     one-row manifest report (path, rows, per-column min/max stats,
-    bucket id if tagged, schema). Runs INSIDE distributed tasks."""
+    optional per-column Bloom bitmaps, bucket id if tagged, schema).
+    Runs INSIDE distributed tasks."""
     import pyarrow.parquet as pq
     if len(t) == 0:
         return pa.table({"path": pa.array([], pa.string()),
@@ -329,6 +404,12 @@ def _write_data_file(t: pa.Table, data_dir: str,
         mm = pc.min_max(col)
         stats[field.name] = {"min": _scalar(mm["min"]),
                              "max": _scalar(mm["max"])}
+    for bc in (bloom_cols or []):
+        if bc not in t.column_names:
+            continue
+        bl = _file_bloom(t[bc], bloom_bits)
+        if bl is not None:
+            stats.setdefault(bc, {"min": None, "max": None})["bloom"] = bl
     schema_json = json.dumps({f.name: str(f.type) for f in t.schema})
     return pa.table({"path": pa.array([f"data/{name}"]),
                      "rows": pa.array([len(t)], pa.int64()),
@@ -446,6 +527,10 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
         keep = True
         for col, op, val in (predicate or []):
             st = f["stats"].get(col)
+            if op == "==" and _bloom_excludes(
+                    st, [val], f.get("schema", {}).get(col)):
+                keep = False                  # Bloom-proven absent
+                break
             if st is None or st["min"] is None:
                 continue                      # no stats -> can't prune
             lo, hi = st["min"], st["max"]
@@ -1086,19 +1171,25 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
 
 def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
                    version: int | None = None,
-                   return_report: bool = False):
-    """Point lookup on a BUCKETED table: rows whose bucket key is in
-    ``keys``, reading ONLY the bucket files those keys hash into and
-    skipping files whose min/max stats window contains none of them.
+                   return_report: bool = False,
+                   key_col: str | None = None):
+    """Point lookup: rows whose key is in ``keys``, reading only the
+    files that can possibly hold them.
+
+    On a BUCKETED table the lookup reads ONLY the bucket files the
+    keys hash into, further skipping files whose min/max stats window
+    and (when written with ``bloom_cols``) per-file Bloom prove clean.
+    On an UNBUCKETED table pass ``key_col=``: pruning then relies on
+    file stats + Blooms alone — with ``bloom_cols`` at write time
+    this still reads ~|keys| files out of any number (the Bloom is
+    what min/max cannot do when key ranges interleave across files).
 
     This is the storage-layout answer to "fetch these ids from a
-    100 TB table": I/O is bounded by |touched buckets| / n_buckets of
-    the table (further shrunk by file stats after compaction sorts
-    ranges apart), not by table size. ``keys`` is driver-small by
-    contract (a point-lookup key set, not a join side — use
-    ``bucketed_join`` for that). Returns a Ray Dataset of exactly the
-    matching rows; with ``return_report=True`` also the pruning
-    evidence dict.
+    100 TB table": I/O is bounded by the touched files, not table
+    size. ``keys`` is driver-small by contract (a point-lookup key
+    set, not a join side — use ``bucketed_join`` for that). Returns a
+    Ray Dataset of exactly the matching rows; with
+    ``return_report=True`` also the pruning evidence dict.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -1111,11 +1202,13 @@ def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
     spec = manifest.get("bucket_by")
-    if spec is None:
-        raise ValueError(f"{table_dir} is not bucketed; catalog_lookup "
-                         "needs a bucket_by table (use catalog_read + "
-                         "filter for unbucketed scans)")
-    key_col, n_buckets = spec
+    if spec is None and key_col is None:
+        raise ValueError(f"{table_dir} is not bucketed; pass key_col= "
+                         "to look up via file stats/Bloom pruning, or "
+                         "use catalog_read + filter for full scans")
+    n_buckets = None
+    if spec is not None:
+        key_col, n_buckets = spec
     keys = list(dict.fromkeys(keys))          # dedup, keep order
     if not keys:
         empty = rd.from_arrow(pa.table({}))
@@ -1123,17 +1216,21 @@ def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
                         "files_total": len(manifest["files"]),
                         "rows_skipped": int(manifest["total_rows"])}) \
             if return_report else empty
-    kb = stable_bucket_of(np.asarray(keys, dtype=object), n_buckets)
     by_bucket: dict[int, list] = {}
-    for k, b in zip(keys, kb.tolist()):
-        by_bucket.setdefault(b, []).append(k)
+    if n_buckets is not None:
+        kb = stable_bucket_of(np.asarray(keys, dtype=object), n_buckets)
+        for k, b in zip(keys, kb.tolist()):
+            by_bucket.setdefault(b, []).append(k)
 
     kept, skipped_rows = [], 0
     for f in manifest["files"]:
-        ks = by_bucket.get(f.get("bucket", -1))
-        if ks is None:
-            skipped_rows += f["rows"]
-            continue
+        if n_buckets is not None:
+            ks = by_bucket.get(f.get("bucket", -1))
+            if ks is None:
+                skipped_rows += f["rows"]
+                continue
+        else:
+            ks = keys
         st = f["stats"].get(key_col)
         try:
             prunable = (st is not None and st["min"] is not None
@@ -1141,6 +1238,9 @@ def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
                                     for k in ks))
         except TypeError:            # incomparable key/stat types
             prunable = False
+        if not prunable and _bloom_excludes(
+                st, ks, f.get("schema", {}).get(key_col)):
+            prunable = True
         if prunable:
             skipped_rows += f["rows"]
             continue

@@ -70,3 +70,80 @@ def test_lookup_rejects_unbucketed(ray_session, tmp_path):
     catalog_write(rd.from_items([{"k": "a", "v": 1}]), d)
     with pytest.raises(ValueError, match="not bucketed"):
         catalog_lookup(d, ["a"])
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom pruning (round 4): point lookups on UNBUCKETED tables,
+# and extra pruning where min/max windows interleave
+# ---------------------------------------------------------------------------
+
+def _interleaved(tmp_path, bloom=True, n=16_000, files=16):
+    """ids are round-robin across files, so every file's min/max spans
+    ~the whole id range — min/max stats prune NOTHING."""
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "v": ids * 2})
+    d = str(tmp_path / ("bl" if bloom else "nobl"))
+    catalog_write(rd.from_pandas(df).repartition(files), d,
+                  bloom_cols=["doc_id"] if bloom else None)
+    return d, df
+
+
+def test_unbucketed_bloom_lookup_prunes(ray_session, tmp_path):
+    d, df = _interleaved(tmp_path)
+    keys = [5, 777, 15_221, 999_999]          # 3 present + 1 absent
+    ds, rep = catalog_lookup(d, keys, key_col="doc_id",
+                             return_report=True)
+    # each present key lives in exactly one file; FPR adds at most a
+    # couple more — far below the 16 files min/max would all scan
+    assert rep["files_scanned"] <= 6 < rep["files_total"] == 16
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [5, 777, 15_221]
+    assert got["v"].tolist() == [10, 1554, 30_442]
+
+    # without blooms the same lookup must scan everything (no pruning
+    # signal exists) — the contrast that proves the Bloom does the work
+    d0, _ = _interleaved(tmp_path, bloom=False)
+    _, rep0 = catalog_lookup(d0, keys, key_col="doc_id",
+                             return_report=True)
+    assert rep0["files_scanned"] == rep0["files_total"]
+
+
+def test_read_equality_predicate_uses_bloom(ray_session, tmp_path):
+    from fasta_windows_ray.sources.catalog import catalog_read
+    d, df = _interleaved(tmp_path)
+    ds, rep = catalog_read(d, predicate=[("doc_id", "==", 4242)],
+                           return_report=True)
+    assert rep["files_scanned"] <= 3 < rep["files_total"]
+    pdf = ds.to_pandas()
+    assert 4242 in set(pdf["doc_id"])         # superset semantics kept
+
+
+def test_bloom_string_keys_and_bucketed_combo(ray_session, tmp_path):
+    df = pd.DataFrame({"k": [f"user-{i}" for i in range(4000)],
+                       "v": np.arange(4000)})
+    d = str(tmp_path / "bstr")
+    catalog_write(rd.from_pandas(df).repartition(8), d,
+                  bucket_by=("k", 8), bloom_cols=["k"])
+    # two appends -> 2 files per bucket; Bloom prunes the append file
+    # that doesn't hold the key even inside the right bucket
+    catalog_write(rd.from_pandas(pd.DataFrame(
+        {"k": [f"new-{i}" for i in range(4000)],
+         "v": np.arange(4000)})).repartition(8), d,
+        bucket_by=("k", 8), bloom_cols=["k"])
+    ds, rep = catalog_lookup(d, ["user-7"], return_report=True)
+    assert rep["files_scanned"] == 1          # bucket (2 files) -> 1
+    assert ds.to_pandas()["v"].tolist() == [7]
+
+
+def test_bloom_null_keys_hash_parity(ray_session, tmp_path):
+    # int column WITH nulls: build must still hash as int64 (nulls
+    # dropped before to_pandas), or every probe would false-exclude
+    df = pd.DataFrame({"doc_id": pd.array([1, 2, None, 4] * 250,
+                                          dtype="Int64"),
+                       "v": np.arange(1000)})
+    d = str(tmp_path / "bnull")
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+                  d, bloom_cols=["doc_id"])
+    ds = catalog_lookup(d, [4], key_col="doc_id")
+    assert len(ds.to_pandas()) == 250
