@@ -237,6 +237,16 @@ def bench_queries() -> dict:
     def hash_join_enrich():
         return len(Q.q_hash_join_enrich(SF_DIR))
 
+    def profile_documents():
+        # one-pass data card over every documents column (sketch
+        # partials only — no shuffle; measures the profiler's
+        # streaming fold at suite scale)
+        import ray.data as rd
+
+        from fasta_windows_ray.stages.profile import dataset_profile
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        return len(dataset_profile(docs))
+
     return {
         "sliding_window_stats": sliding_full,
         "tumbling_window_stats": tumbling_full,
@@ -252,6 +262,7 @@ def bench_queries() -> dict:
         "lm_quality_score": lm_quality,
         "hash_join_enrich": hash_join_enrich,
         "interval_join": interval_join_pairs,
+        "dataset_profile": profile_documents,
     }
 
 

@@ -1320,6 +1320,9 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys) -> dict:
                                     for k in ks))
         except TypeError:
             prunable = False
+        if not prunable and _bloom_excludes(
+                st, ks, f.get("schema", {}).get(key_col)):
+            prunable = True            # Bloom-proven clean: zero I/O
         (untouched if prunable else cands).append(f)
 
     data_dir = os.path.join(table_dir, "data")
@@ -1332,11 +1335,17 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys) -> dict:
         t = pq.read_table(os.path.join(table_dir, entry["path"]))
         keep = t.filter(pc.invert(pc.fill_null(
             pc.is_in(t[key_col], value_set=keyset), False)))
+        # preserve the key column's Bloom through the rewrite (an
+        # absent Bloom is never wrong, just unprunable later)
+        bl = entry.get("stats", {}).get(key_col, {}).get("bloom")
+        bcols = [key_col] if bl else None
+        bbits = bl["n_bits"] if bl else 1 << 17
         if len(keep) == len(t):
             return _untouched_report_row(entry)
         if len(keep) == 0:
             return _write_data_file(pa.table({}), data_dir)
-        return _write_data_file(keep, data_dir)
+        return _write_data_file(keep, data_dir, bloom_cols=bcols,
+                                bloom_bits=bbits)
 
     if cands:
         work = rd.from_items([{"entry": json.dumps(f)} for f in cands])

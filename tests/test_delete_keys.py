@@ -61,3 +61,32 @@ def test_delete_whole_file_and_empty_keys(ray_session, tmp_path):
     assert catalog_read(d).to_pandas()["conv_id"].unique().tolist() == ["b"]
     rep2 = catalog_delete_keys(d, "conv_id", [])
     assert rep2["rows_deleted"] == 0
+
+
+def test_delete_keys_bloom_pruning_and_preservation(ray_session, tmp_path):
+    """On interleaved ids (min/max prunes nothing) the Bloom bounds the
+    rewrite set to ~|keys| files, and rewritten files KEEP their Bloom
+    so a second delete prunes just as hard."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fasta_windows_ray.sources.catalog import (catalog_delete_keys,
+                                                   catalog_lookup,
+                                                   catalog_write)
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(8000).astype(np.int64)
+    d = str(tmp_path / "tbl")
+    catalog_write(rd.from_pandas(pd.DataFrame({"doc_id": ids,
+                                               "v": ids}))
+                  .repartition(16), d, bloom_cols=["doc_id"])
+    rep = catalog_delete_keys(d, "doc_id", [3, 4444, 7999])
+    assert rep["rows_deleted"] == 3
+    assert rep["files_rewritten"] <= 4        # ~1 file per key + FPR
+    # rewritten files kept their Bloom: a follow-up lookup still prunes
+    _, lrep = catalog_lookup(d, [5, 6000], key_col="doc_id",
+                             return_report=True)
+    assert lrep["files_scanned"] <= 4 < lrep["files_total"]
+    # and a second targeted delete is equally bounded
+    rep2 = catalog_delete_keys(d, "doc_id", [5])
+    assert rep2["rows_deleted"] == 1 and rep2["files_rewritten"] <= 2
