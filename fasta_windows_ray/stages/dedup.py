@@ -857,17 +857,27 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
 
 def dedup_clusters(docs, pairs, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b",
-                   num_buckets: int = 64):
+                   num_buckets: int = 64,
+                   quality_col: str | None = None):
     """Fuzzy-dedup cluster assignment: every doc gets a ``cluster_id``
     (the minimum doc id of its connected near-dup component; its own id
     when untouched by any pair) and a ``keep`` flag (1 for the one
-    keeper per cluster — the canonical keep-min-id dedup policy).
+    keeper per cluster).
+
+    Keeper policy: ``quality_col=None`` keeps the minimum id (the
+    canonical deterministic policy); with ``quality_col`` the keeper is
+    the cluster member with the HIGHEST quality (ties -> min id) — the
+    curation-grade policy ("keep the best copy, not the first crawl").
+    The quality fetch is a shuffle-free filtered scan: only pair-
+    touched ids' qualities leave the tasks, so the extra cost is
+    bounded by the duplicate subset, like the component table itself.
 
     The component table is bounded by pair-touched nodes (the duplicate
     subset), so it is broadcast (``ray.put``) and applied as a
     shuffle-free vectorized map over the corpus — the small-side-lookup
     discipline. Returns a Dataset of (id, cluster_id, keep).
     """
+    import pandas as pd
     import ray
 
     cc = connected_components(pairs, a_col=a_col, b_col=b_col,
@@ -875,21 +885,56 @@ def dedup_clusters(docs, pairs, id_col: str = "doc_id",
     lookup_nodes = cc["node"].to_numpy(np.int64)
     lookup_cluster = cc["cluster_id"].to_numpy(np.int64)
     order = np.argsort(lookup_nodes)
-    ref = ray.put((lookup_nodes[order], lookup_cluster[order]))
+    nodes_sorted = lookup_nodes[order]
+    clusters_sorted = lookup_cluster[order]
+
+    keepers_sorted = None
+    if quality_col is not None and len(nodes_sorted):
+        nref = ray.put(nodes_sorted)
+
+        def grab(t: pa.Table) -> pa.Table:
+            nodes = ray.get(nref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.minimum(np.searchsorted(nodes, ids), len(nodes) - 1)
+            hit = nodes[pos] == ids
+            return pa.table({
+                "_id": pa.array(ids[hit]),
+                "_q": pa.array(t[quality_col].to_numpy(
+                    zero_copy_only=False).astype(np.float64)[hit])})
+
+        touched = docs.map_batches(grab, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+        m = pd.DataFrame({"_id": nodes_sorted,
+                          "_cl": clusters_sorted}).merge(touched, on="_id")
+        # highest quality wins, ties -> min id (stable + deterministic)
+        m = m.sort_values(["_cl", "_q", "_id"],
+                          ascending=[True, False, True], kind="stable")
+        keepers_sorted = np.sort(
+            m.groupby("_cl", sort=False).head(1)["_id"].to_numpy(np.int64))
+
+    ref = ray.put((nodes_sorted, clusters_sorted, keepers_sorted))
 
     def assign(t: pa.Table) -> pa.Table:
-        nodes, clusters = ray.get(ref)
+        nodes, clusters, keepers = ray.get(ref)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cl = ids.copy()
+        hit = np.zeros(len(ids), bool)
         if len(nodes):
-            pos = np.searchsorted(nodes, ids)
-            pos = np.minimum(pos, len(nodes) - 1)
+            pos = np.minimum(np.searchsorted(nodes, ids), len(nodes) - 1)
             hit = nodes[pos] == ids
             cl[hit] = clusters[pos[hit]]
+        if keepers is None:
+            keep = (ids == cl)
+        else:
+            kpos = np.minimum(np.searchsorted(keepers, ids),
+                              max(len(keepers) - 1, 0))
+            is_keeper = (keepers[kpos] == ids) if len(keepers) \
+                else np.zeros(len(ids), bool)
+            keep = ~hit | is_keeper
         return pa.table({
             id_col: pa.array(ids),
             "cluster_id": pa.array(cl),
-            "keep": pa.array((ids == cl).astype(np.int64))})
+            "keep": pa.array(keep.astype(np.int64))})
 
     return docs.map_batches(assign, batch_format="pyarrow",
                             zero_copy_batch=True)

@@ -426,6 +426,38 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
     return pdf
 
 
+def mine_hard_negatives(index_dir: str, query_vecs: np.ndarray,
+                        query_ids: list[int], positives: dict,
+                        k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` most similar corpus vectors that are NOT among its known
+    positives — the negatives that actually move an InfoNCE/triplet
+    loss, mined straight off the persisted IVF index (probed-partition
+    reads only; I/O ∝ nprobe/n_lists).
+
+    ``positives``: ``{query_id: iterable of positive vec_ids}`` (the
+    query's own id is always excluded by ``ivf_query``).  The probe
+    over-fetches ``k + max|positives|`` then filters and re-ranks on
+    the driver — the hit table is q×k-small by construction.  Returns
+    (query_id, rank, vec_id, cos_sim).
+    """
+    pos = {int(q): set(int(v) for v in vs) for q, vs in positives.items()}
+    extra = max((len(v) for v in pos.values()), default=0)
+    hits = ivf_query(index_dir, query_vecs, query_ids,
+                     k=k + extra, nprobe=nprobe)
+    if not len(hits):
+        return hits
+    drop = np.fromiter(
+        (int(v) in pos.get(int(q), ()) for q, v in
+         zip(hits["query_id"].to_numpy(), hits["vec_id"].to_numpy())),
+        bool, len(hits))
+    out = hits[~drop].copy()
+    out = out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out.attrs.update(hits.attrs)
+    return out[["query_id", "rank", "vec_id", "cos_sim"]]
+
+
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
              train_sample: int = 2048, quantize: bool = False,

@@ -117,3 +117,31 @@ def test_ivf_append_crash_resume(tmp_path):
     rep = ivf_append(ds1, idx, "b1")               # resume
     assert (~rep["skipped"]).sum() == 1            # only the victim redone
     assert victims[0] in ivf_list_files(idx)
+
+
+def test_mine_hard_negatives(tmp_path):
+    """Negatives = the most similar NON-positive corpus vectors: must
+    match brute force minus positives at near-exhaustive probing."""
+    from fasta_windows_ray.stages.similarity import mine_hard_negatives
+    E, ds = _vecs(600, seed=12)
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx, n_centroids=8, seed=3)
+    Q = E[:2].astype(np.float64)
+    exact = brute_force_topk(ds, Q, [9001, 9002], k=8)
+    positives = {
+        9001: exact.loc[exact["query_id"] == 9001, "vec_id"].head(2)
+        .tolist(),
+        9002: exact.loc[exact["query_id"] == 9002, "vec_id"].head(3)
+        .tolist()}
+    negs = mine_hard_negatives(idx, Q, [9001, 9002], positives,
+                               k=5, nprobe=7)
+    for qid in (9001, 9002):
+        got = negs.loc[negs["query_id"] == qid, "vec_id"].tolist()
+        assert len(got) == 5
+        assert not (set(got) & set(positives[qid]))        # no positives
+        want = [v for v in
+                exact.loc[exact["query_id"] == qid, "vec_id"].tolist()
+                if v not in positives[qid]][:5]
+        assert len(set(got) & set(want)) >= 4              # IVF recall
+    assert (negs.groupby("query_id")["rank"].apply(
+        lambda r: r.tolist() == [1, 2, 3, 4, 5]).all())

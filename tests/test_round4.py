@@ -405,6 +405,28 @@ def test_dedup_clusters_keepers_and_singletons(ray_session):
     assert keepers == {0, 1, 2, 3, 4, 6, 7, 10, 11}
 
 
+def test_dedup_clusters_quality_keeper_policy(ray_session):
+    """quality_col switches the keeper from min-id to best-quality
+    (ties -> min id); singletons and cluster_ids are unchanged."""
+    from fasta_windows_ray.stages.dedup import dedup_clusters
+    qual = np.array([.1, .2, .3, .4, .5, .9, .6, .7, .7, .2, .1, .8])
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+        "quality": pa.array(qual)}))
+    pairs = rd.from_items([{"doc_a": 2, "doc_b": 5},
+                           {"doc_a": 5, "doc_b": 9},
+                           {"doc_a": 7, "doc_b": 8}])
+    out = dedup_clusters(docs, pairs, quality_col="quality").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[2] == cl[5] == cl[9] == 2          # cluster ids unchanged
+    keepers = set(out.loc[out["keep"] == 1, "doc_id"])
+    # cluster {2,5,9}: doc 5 has the best quality (0.9); cluster
+    # {7,8}: tie at 0.7 -> min id 7; singletons always keep
+    assert keepers == {0, 1, 3, 4, 5, 6, 7, 10, 11}
+    assert out["keep"].sum() == 9
+
+
 # ---------------------------------------------------------------------------
 # Slot pre-compression (sliding char stats) — bit-equality of both paths
 # ---------------------------------------------------------------------------
