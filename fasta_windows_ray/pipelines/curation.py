@@ -1,7 +1,21 @@
-"""Training-data curation pipeline: the composed document flow a
-100 TB text corpus runs before training — quality filter → exact dedup →
-per-language rollup. Demonstrates operator composition (stages share the
-Dataset; no intermediate materialization beyond the tiny rollup).
+"""Training-data curation pipelines: the composed document flow a
+100 TB text corpus runs before training.
+
+``curate``       — quality filter → exact dedup → per-language rollup
+                   (the round-2 stats pipeline).
+``curate_full``  — the round-4 end-to-end flow that RETURNS the
+                   curated corpus: normalize → one-pass signal filter
+                   (C4 heuristics + DEFLATE ratio + word repetition)
+                   → MinHash near-dup clustering keeping the BEST-
+                   quality copy → eval-set decontamination →
+                   leakage-safe train/val/test split.
+
+Scale shape of ``curate_full``: normalize+signals are ONE shuffle-free
+streaming pass (all three signal kernels run on the same batch); the
+MinHash band exchange is the only corpus shuffle; cluster/keeper
+tables and eval n-grams are broadcast small sides; the split is a pure
+hash of the id. Nothing materializes the corpus on the driver — the
+result is a lazy Dataset ready for ``catalog_write``/``write_parquet``.
 """
 
 from __future__ import annotations
@@ -66,3 +80,109 @@ def curate(docs_ds, min_tokens: int = 10, min_stop: float = 0.05,
     for c in ("n_docs", "n_quality", "n_unique", "unique_tokens"):
         final[c] = final[c].astype(np.int64)
     return final
+
+
+def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
+                min_stop: float = 0.05, max_punct: float = 0.2,
+                max_dup_word_frac: float = 0.6,
+                ratio_bounds: tuple = (0.03, 0.98),
+                jaccard_tau: float = 0.5, shingle_k: int = 7,
+                split_weights: dict | None = None):
+    """Normalize → filter → near-dup keep-best → decontaminate → split.
+
+    Returns ``(survivors, funnel)``: a lazy Dataset of the curated
+    docs (original columns + ``n_tokens``, ``quality``,
+    ``cluster_id``, ``split``) and a funnel dict of per-stage
+    survivor counts. ``quality`` (the keeper criterion) is the
+    stopword ratio — the strongest single naturalness signal of the
+    heuristic family; swap by passing a pre-computed column instead.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.curation_filters import (_token_segments, decontaminate,
+                                           normalize_text)
+    from ..stages.dedup import (dedup_clusters, lsh_candidate_pairs,
+                                minhash_band_rows,
+                                verify_jaccard_distributed)
+    from ..stages.sampling import train_val_test_split
+    from ..stages.text_analysis import QualityScorer
+
+    n_raw = docs_ds.count()
+    norm = normalize_text(docs_ds)
+    lo, hi = ratio_bounds
+
+    class SignalFilter:
+        """All three shuffle-free signal kernels on one batch, then one
+        mask — a single streaming pass over the corpus."""
+
+        def __init__(self):
+            self.scorer = QualityScorer(min_tokens, min_stop, max_punct)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+            if batch.empty:
+                out = batch.copy()
+                out["n_tokens"] = pd.Series(dtype=np.int64)
+                out["quality"] = pd.Series(dtype=np.float64)
+                return out
+            batch = batch.reset_index(drop=True)
+            scored = self.scorer(batch)
+            # word repetition (the canonical segment kernel of
+            # curation_filters.repetition_stats)
+            codes, offs = _token_segments(list(batch["text"]))
+            ntok = offs[1:] - offs[:-1]
+            nd = len(batch)
+            doc_of = np.repeat(np.arange(nd), ntok)
+            V = int(codes.max()) + 1 if len(codes) else 1
+            distinct = np.bincount(np.unique(doc_of * V + codes) // V,
+                                   minlength=nd)
+            dup_frac = np.where(ntok > 0,
+                                1.0 - distinct / np.maximum(ntok, 1), 0.0)
+            # DEFLATE redundancy ratio
+            ratio = np.full(nd, np.nan)
+            for i, s in enumerate(batch["text"]):
+                if s:
+                    b = s.encode("utf-8")
+                    ratio[i] = len(zlib.compress(b, 6)) / len(b)
+            keep = ((scored["passes"].to_numpy() == 1)
+                    & (dup_frac <= max_dup_word_frac)
+                    & (ratio >= lo) & (ratio <= hi))
+            out = batch.loc[keep].copy()
+            out["n_tokens"] = scored["n_tokens"].to_numpy()[keep]
+            out["quality"] = scored["stop_ratio"].to_numpy()[keep]
+            return out
+
+    # four consumers follow (count, band rows, pair verify, cluster
+    # assignment): pin the filtered corpus in the (spillable) object
+    # store once instead of re-running normalize+signals per consumer;
+    # at fleet scale the same role is played by checkpointing this
+    # stage to parquet via catalog_write and re-reading
+    filtered = norm.map_batches(SignalFilter, batch_format="pandas",
+                                concurrency=(1, 8)).materialize()
+    n_filtered = filtered.count()
+
+    bands = minhash_band_rows(filtered, shingle_k=shingle_k)
+    pairs = verify_jaccard_distributed(
+        lsh_candidate_pairs(bands, dedup=False), filtered,
+        shingle_k=shingle_k, threshold=jaccard_tau)
+    clustered = dedup_clusters(filtered, pairs, quality_col="quality",
+                               append_to_docs=True)
+    unique = clustered.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], 1)).drop_columns(["keep"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_unique = unique.count()
+
+    n_clean = n_unique
+    if eval_ds is not None:
+        unique = decontaminate(unique, eval_ds, append_to_docs=True) \
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["contaminated"], False))
+                           .drop_columns(["contaminated"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        n_clean = unique.count()
+
+    survivors = train_val_test_split(unique, "doc_id",
+                                     weights=split_weights)
+    funnel = {"n_raw": int(n_raw), "n_filtered": int(n_filtered),
+              "n_unique": int(n_unique), "n_clean": int(n_clean)}
+    return survivors, funnel

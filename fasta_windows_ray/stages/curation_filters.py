@@ -149,7 +149,8 @@ def _gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decontaminate(ds, eval_ds, n: int = 5,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  append_to_docs: bool = False):
     """Flag corpus docs sharing ANY word ``n``-gram with the eval set.
 
     ``eval_ds`` is the held-out benchmark (small side): its n-grams are
@@ -179,6 +180,9 @@ def decontaminate(ds, eval_ds, n: int = 5,
         nz = np.flatnonzero(offs[1:] > offs[:-1])
         if len(h) and len(nz):
             hit[nz] = np.logical_or.reduceat(np.isin(h, g), offs[:-1][nz])
+        if append_to_docs:       # join-back-free composition: the flag
+            return t.append_column("contaminated",   # rides the payload
+                                   pa.array(hit))
         return pd.DataFrame({id_col: ids, "contaminated": hit})
 
     return ds.map_batches(probe, batch_format="pyarrow",

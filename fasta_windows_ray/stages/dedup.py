@@ -858,7 +858,8 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
 def dedup_clusters(docs, pairs, id_col: str = "doc_id",
                    a_col: str = "doc_a", b_col: str = "doc_b",
                    num_buckets: int = 64,
-                   quality_col: str | None = None):
+                   quality_col: str | None = None,
+                   append_to_docs: bool = False):
     """Fuzzy-dedup cluster assignment: every doc gets a ``cluster_id``
     (the minimum doc id of its connected near-dup component; its own id
     when untouched by any pair) and a ``keep`` flag (1 for the one
@@ -931,6 +932,10 @@ def dedup_clusters(docs, pairs, id_col: str = "doc_id",
             is_keeper = (keepers[kpos] == ids) if len(keepers) \
                 else np.zeros(len(ids), bool)
             keep = ~hit | is_keeper
+        if append_to_docs:       # join-back-free composition: flags
+            return (t.append_column("cluster_id", pa.array(cl))
+                     .append_column("keep",
+                                    pa.array(keep.astype(np.int64))))
         return pa.table({
             id_col: pa.array(ids),
             "cluster_id": pa.array(cl),

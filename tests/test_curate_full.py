@@ -1,0 +1,78 @@
+"""End-to-end curation pipeline (pipelines/curation.py curate_full):
+the full funnel — signal filters, near-dup keep-best-quality,
+decontamination, leakage-safe split — on a corpus with planted
+outcomes for every stage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fasta_windows_ray.pipelines.curation import curate_full
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall fence and the birds sing in the garden "
+        "as the sun sets slowly behind the old red barn near the river")
+
+
+def _corpus():
+    rows = [
+        # 0: good doc A (unique — no shared shingles with the pair)
+        {"doc_id": 0, "text": "every morning the baker would rise "
+                              "before dawn to knead the dough and the "
+                              "smell of the fresh bread would drift "
+                              "through all of the sleepy town streets"},
+        # 1/2: near-dup pair; 2 has MORE stopwords -> higher quality
+        {"doc_id": 1, "text": BASE.replace("birds sing", "frogs croak")
+         + " extra trailing words here"},
+        {"doc_id": 2, "text": BASE.replace("birds sing", "frogs croak")
+         + " and then of the end"},
+        # 3: too short -> quality filter
+        {"doc_id": 3, "text": "short junk"},
+        # 4: boilerplate -> repetition + compression filters
+        {"doc_id": 4, "text": "buy now " * 200},
+        # 5: good doc, but shares a 5-gram with the eval set
+        {"doc_id": 5, "text": "it was the best of times and the worst "
+                              "of days for the people of the small "
+                              "village by the sea with their boats"},
+        # 6: good doc B (unique)
+        {"doc_id": 6, "text": "a long time ago in a land far away the "
+                              "people would gather at the square to "
+                              "trade stories and the goods of the day"},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_curate_full_funnel_and_policies():
+    eval_ds = rd.from_items(
+        [{"doc_id": 100, "text": "it was the best of times indeed"}])
+    survivors, funnel = curate_full(_corpus(), eval_ds)
+    pdf = survivors.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert funnel == {"n_raw": 7, "n_filtered": 5,   # 3, 4 filtered
+                      "n_unique": 4,                 # one of 1/2 dropped
+                      "n_clean": 3}                  # 5 decontaminated
+    # keep-best-quality: doc 2 (more stopwords) is the keeper of {1,2}
+    assert pdf["doc_id"].tolist() == [0, 2, 6]
+    assert (pdf.loc[pdf["doc_id"] == 2, "cluster_id"] == 1).all()
+    # split column present, valid, and keyed deterministically
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    # payload + signals survived the whole composition
+    assert {"text", "n_tokens", "quality"} <= set(pdf.columns)
+    assert (pdf["n_tokens"] >= 10).all()
+
+    # determinism: the whole funnel reproduces bit-identically
+    survivors2, funnel2 = curate_full(_corpus(), eval_ds)
+    pdf2 = survivors2.to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert funnel2 == funnel
+    pd.testing.assert_frame_equal(pdf, pdf2)
+
+
+def test_curate_full_without_eval_set():
+    survivors, funnel = curate_full(_corpus())
+    got = set(survivors.to_pandas()["doc_id"])
+    assert funnel["n_clean"] == funnel["n_unique"] == 4
+    assert got == {0, 2, 5, 6}
