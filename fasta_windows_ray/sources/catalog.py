@@ -367,6 +367,22 @@ def _bloom_excludes(st: dict | None, vals: list,
     return not bool(bloom_contains(bitmap, keys, bl["n_hashes"]).any())
 
 
+def _manifest_bloom_spec(manifest: dict) -> tuple[list[str] | None, int]:
+    """The table's effective Bloom spec — the union of columns any
+    parent file carries a Bloom for (+ the largest bit width).  Every
+    copy-on-write rewrite (delete / merge / compact) passes this to
+    its ``_write_data_file`` calls so maintenance never silently
+    degrades the table's prunability."""
+    cols: dict[str, int] = {}
+    for f in manifest.get("files", []):
+        for c, st in f.get("stats", {}).items():
+            if isinstance(st, dict) and isinstance(st.get("bloom"), dict):
+                cols[c] = max(cols.get(c, 0), st["bloom"]["n_bits"])
+    if not cols:
+        return None, 1 << 17
+    return sorted(cols), max(cols.values())
+
+
 def _write_data_file(t: pa.Table, data_dir: str,
                      stats_cols: list[str] | None = None,
                      bloom_cols: list[str] | None = None,
@@ -817,6 +833,7 @@ def catalog_delete(table_dir: str, predicate: list[tuple]) -> dict:
 
     data_dir = os.path.join(table_dir, "data")
     rows_before = sum(f["rows"] for f in cands)
+    bcols, bbits = _manifest_bloom_spec(manifest)
 
     def rewrite(batch) -> pa.Table:
         import pyarrow.parquet as pq
@@ -828,7 +845,8 @@ def catalog_delete(table_dir: str, predicate: list[tuple]) -> dict:
             return _untouched_report_row(entry)    # false positive
         if len(keep) == 0:
             return _write_data_file(pa.table({}), data_dir)  # drop file
-        return _write_data_file(keep, data_dir)
+        return _write_data_file(keep, data_dir, bloom_cols=bcols,
+                                bloom_bits=bbits)
 
     if cands:
         work = rd.from_items([{"entry": json.dumps(f)} for f in cands])
@@ -886,6 +904,7 @@ def catalog_merge(ds, table_dir: str, on: str) -> dict:
     manifest = _load_manifest(table_dir, v)
     data_dir = os.path.join(table_dir, "data")
     spec = manifest.get("bucket_by")
+    bcols_m, bbits_m = _manifest_bloom_spec(manifest)
 
     def check_unique(keys: pa.ChunkedArray, n: int) -> None:
         if pc.count_distinct(keys, mode="all").as_py() != n:
@@ -925,7 +944,8 @@ def catalog_merge(ds, table_dir: str, on: str) -> dict:
                 n_updated = len(target) - len(keep)
                 merged = pa.concat_tables([keep, t],
                                           promote_options="default")
-            rep = _write_data_file(merged, data_dir)
+            rep = _write_data_file(merged, data_dir, bloom_cols=bcols_m,
+                                   bloom_bits=bbits_m)
             return rep.append_column(
                 "updated", pa.array([n_updated] * len(rep), pa.int64()))
 
@@ -983,7 +1003,8 @@ def catalog_merge(ds, table_dir: str, on: str) -> dict:
             rep = _write_data_file(pa.table({}), data_dir)
             upd = len(t)
         else:
-            rep = _write_data_file(keep, data_dir)
+            rep = _write_data_file(keep, data_dir, bloom_cols=bcols_m,
+                                   bloom_bits=bbits_m)
             upd = len(t) - len(keep)
         return rep.append_column("updated",
                                  pa.array([upd] * len(rep), pa.int64()))
@@ -995,7 +1016,8 @@ def catalog_merge(ds, table_dir: str, on: str) -> dict:
         parts.append(work.map_batches(rewrite, batch_size=1,
                                       batch_format="numpy").to_pandas())
     parts.append(src.map_batches(
-        lambda t: _write_data_file(t, data_dir).append_column(
+        lambda t: _write_data_file(t, data_dir, bloom_cols=bcols_m,
+                                   bloom_bits=bbits_m).append_column(
             "updated", pa.array([0], pa.int64())),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas())
     report = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
@@ -1120,6 +1142,7 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
     spec = manifest.get("bucket_by")
+    bcols_m, bbits_m = _manifest_bloom_spec(manifest)
 
     if spec is not None:
         bcol, n_buckets = spec
@@ -1143,7 +1166,9 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
             data_dir = os.path.join(table_dir, "data")
 
             def compact_bucket(batch) -> pa.Table:
-                return _write_data_file(load_bucket(batch), data_dir)
+                return _write_data_file(load_bucket(batch), data_dir,
+                                        bloom_cols=bcols_m,
+                                        bloom_bits=bbits_m)
 
             report = work.map_batches(compact_bucket, batch_size=1,
                                       batch_format="numpy").to_pandas()
@@ -1159,14 +1184,16 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
             lambda t: t.drop_columns(["_bucket"]),
             batch_format="pyarrow", zero_copy_batch=True)
         return catalog_write(ds, table_dir, mode="overwrite",
-                             bucket_by=(bcol, n_buckets))
+                             bucket_by=(bcol, n_buckets),
+                             bloom_cols=bcols_m, bloom_bits=bbits_m)
 
     paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
     ds = rd.read_parquet(paths)
     n_files = max(1, (manifest["total_rows"] + target_rows - 1)
                   // target_rows)
     return catalog_write(ds.repartition(n_files), table_dir,
-                         mode="overwrite")
+                         mode="overwrite",
+                         bloom_cols=bcols_m, bloom_bits=bbits_m)
 
 
 def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
@@ -1328,6 +1355,9 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys) -> dict:
     data_dir = os.path.join(table_dir, "data")
     rows_before = sum(f["rows"] for f in cands)
     keyset = pa.array(keys)
+    # preserve the table's Blooms through the rewrite (an absent Bloom
+    # is never wrong, just unprunable later)
+    bcols, bbits = _manifest_bloom_spec(manifest)
 
     def rewrite(batch) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1335,11 +1365,6 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys) -> dict:
         t = pq.read_table(os.path.join(table_dir, entry["path"]))
         keep = t.filter(pc.invert(pc.fill_null(
             pc.is_in(t[key_col], value_set=keyset), False)))
-        # preserve the key column's Bloom through the rewrite (an
-        # absent Bloom is never wrong, just unprunable later)
-        bl = entry.get("stats", {}).get(key_col, {}).get("bloom")
-        bcols = [key_col] if bl else None
-        bbits = bl["n_bits"] if bl else 1 << 17
         if len(keep) == len(t):
             return _untouched_report_row(entry)
         if len(keep) == 0:

@@ -147,3 +147,57 @@ def test_bloom_null_keys_hash_parity(ray_session, tmp_path):
                   d, bloom_cols=["doc_id"])
     ds = catalog_lookup(d, [4], key_col="doc_id")
     assert len(ds.to_pandas()) == 250
+
+
+def test_bloom_survives_compaction_and_merge(ray_session, tmp_path):
+    """Maintenance must not silently degrade prunability: compaction
+    and merge rewrites re-derive every Bloom the parent files carried."""
+    from fasta_windows_ray.sources.catalog import (catalog_compact,
+                                                   catalog_merge)
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(6000).astype(np.int64)
+    d = str(tmp_path / "tbl")
+    # two bloom'd writes -> many small files
+    catalog_write(rd.from_pandas(pd.DataFrame(
+        {"doc_id": ids[:3000], "v": ids[:3000]})).repartition(8), d,
+        bloom_cols=["doc_id"])
+    catalog_write(rd.from_pandas(pd.DataFrame(
+        {"doc_id": ids[3000:], "v": ids[3000:]})).repartition(8), d,
+        bloom_cols=["doc_id"])
+    catalog_compact(d, target_rows=1000)
+    _, rep = catalog_lookup(d, [int(ids[7])], key_col="doc_id",
+                            return_report=True)
+    assert rep["files_total"] >= 6
+    assert rep["files_scanned"] <= 2          # Blooms re-derived
+
+    catalog_merge(rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([10_001, 10_002], np.int64),
+         "v": np.array([1, 2], np.int64)})), d, on="doc_id")
+    _, rep2 = catalog_lookup(d, [10_001], key_col="doc_id",
+                             return_report=True)
+    assert rep2["files_scanned"] < rep2["files_total"]
+
+
+def test_zorder_table_survives_delete(ray_session, tmp_path):
+    """DML interplay: a copy-on-write delete on a z-ordered table keeps
+    results exact; untouched files keep their tight stats."""
+    from fasta_windows_ray.sources.catalog import (catalog_delete,
+                                                   catalog_read)
+    rng = np.random.default_rng(8)
+    n = 20_000
+    df = pd.DataFrame({"x": rng.random(n), "y": rng.random(n),
+                       "v": np.arange(n, dtype=np.int64)})
+    d = str(tmp_path / "zt")
+    catalog_write(rd.from_pandas(df).repartition(16), d,
+                  mode="overwrite", zorder=["x", "y"])
+    rep = catalog_delete(d, [("x", ">=", 0.9)])
+    assert rep["rows_deleted"] == int((df["x"] >= 0.9).sum())
+    box = [("x", ">=", 0.2), ("x", "<=", 0.3),
+           ("y", ">=", 0.2), ("y", "<=", 0.3)]
+    ds, prep = catalog_read(d, predicate=box, return_report=True)
+    assert prep["files_scanned"] < prep["files_total"]   # pruning kept
+    pdf = ds.to_pandas()
+    pdf = pdf[pdf["x"].between(0.2, 0.3) & pdf["y"].between(0.2, 0.3)]
+    want = df[(df["x"] < 0.9) & df["x"].between(0.2, 0.3)
+              & df["y"].between(0.2, 0.3)]
+    assert sorted(pdf["v"]) == sorted(want["v"])
