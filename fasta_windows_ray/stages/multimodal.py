@@ -174,6 +174,57 @@ def bmp_decode(buf: bytes) -> np.ndarray:
     return (img[::-1] if flip else img).copy()
 
 
+def ppm_encode(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a binary PPM (P6,
+    maxval 255) — the Netpbm format: ASCII header, raw RGB triplets."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("ppm_encode expects an (h, w, 3) RGB array")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def ppm_decode(buf: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) to an (h, w, 3) uint8 RGB array.
+
+    Real parsing: magic, ``#`` comments, arbitrary whitespace between
+    header tokens, the single whitespace byte after maxval, 8-bit
+    samples only — raises ValueError on anything else."""
+    if len(buf) < 2 or buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
+        c = buf[pos:pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":                       # comment to end of line
+            pos = buf.find(b"\n", pos)
+            if pos < 0:
+                raise ValueError("truncated PPM comment")
+        elif c.isdigit():
+            end = pos
+            while end < len(buf) and buf[end:end + 1].isdigit():
+                end += 1
+            tokens.append(int(buf[pos:end]))
+            pos = end
+        else:
+            raise ValueError("bad PPM header byte")
+    w, h, maxval = tokens
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (maxval={maxval})")
+    pos += 1                                  # single whitespace byte
+    if len(buf) < pos + w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(buf, np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3).copy()
+
+
+# codec registry for the real decode path: sniff -> (decode, encode)
+_CODECS = {b"BM": (bmp_decode, bmp_encode), b"P6": (ppm_decode, ppm_encode)}
+
+
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resample: out[i, j] = img[i*h//out_h, j*w//out_w]
     (floor mapping — exactly reproducible in SQL for the oracle)."""
@@ -214,14 +265,15 @@ class ResizeStub:
     """Resize stage with the real signature (payload + target dims in,
     payload + dims out).
 
-    Format-tiered: BMP payloads (magic ``BM``) take the REAL path —
-    ``bmp_decode`` → ``resize_nearest`` → ``bmp_encode`` — and emit the
-    md5 of the genuinely resampled file plus a weighted pixel checksum
-    (``sum(3R + 5G + 7B)``, order/channel-swap sensitive). Non-BMP
-    payloads: ``strict=True`` raises (no JPEG/PNG codec in this
-    container); else the deterministic fake tags the payload with the
-    target and re-digests, so downstream exactly-once / lineage plumbing
-    sees a genuinely transformed payload column either way."""
+    Format-tiered: BMP (magic ``BM``) and binary PPM (magic ``P6``)
+    payloads take the REAL path — decode → ``resize_nearest`` →
+    re-encode in the same format — and emit the md5 of the genuinely
+    resampled file plus a weighted pixel checksum (``sum(3R+5G+7B)``,
+    order/channel-swap sensitive). Other payloads: ``strict=True``
+    raises (no JPEG/PNG codec in this container); else the
+    deterministic fake tags the payload with the target and
+    re-digests, so downstream exactly-once / lineage plumbing sees a
+    genuinely transformed payload column either way."""
 
     def __init__(self, width: int = 32, height: int = 32,
                  strict: bool = False):
@@ -234,12 +286,14 @@ class ResizeStub:
         checksum = np.full(len(batch), -1, dtype=np.int64)
         md5s = []
         for i, p in enumerate(batch["payload"]):
-            if p[:2] == b"BM":
+            codec = _CODECS.get(bytes(p[:2]))
+            if codec is not None:
+                decode, encode = codec
                 try:
-                    img = bmp_decode(p)
+                    img = decode(p)
                 except ValueError:
-                    # sniffed like BMP but isn't one (e.g. text bytes
-                    # starting "BM") — treat as a non-BMP payload
+                    # sniffed like an image but isn't one (e.g. text
+                    # bytes starting "BM") — treat as a non-image
                     if self.strict:
                         raise
                     md5s.append(hashlib.md5(p + tag).hexdigest())
@@ -248,12 +302,12 @@ class ResizeStub:
                 out = resize_nearest(img, self.h, self.w)
                 px = out.astype(np.int64)
                 checksum[i] = int((px * np.array([3, 5, 7])).sum())
-                md5s.append(hashlib.md5(bmp_encode(out)).hexdigest())
+                md5s.append(hashlib.md5(encode(out)).hexdigest())
             elif self.strict:
                 raise NotImplementedError(
-                    "non-BMP image resize requires PIL/cv2 — not available "
-                    "in this environment; run with strict=False for the "
-                    "deterministic fake resize")
+                    "non-BMP/PPM image resize requires PIL/cv2 — not "
+                    "available in this environment; run with "
+                    "strict=False for the deterministic fake resize")
             else:
                 md5s.append(hashlib.md5(p + tag).hexdigest())
         return pd.DataFrame({

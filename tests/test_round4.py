@@ -454,3 +454,45 @@ def test_slot_compression_bit_equal_to_expanded(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) codec — the second real decode format
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_header_parsing():
+    from fasta_windows_ray.stages.multimodal import ppm_decode, ppm_encode
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(ppm_decode(ppm_encode(img)), img)
+    # foreign writer quirks: comments + arbitrary whitespace
+    quirky = (b"P6\n# written by gimp\n 13\t9 # dims\n255 "
+              + img.tobytes())
+    assert np.array_equal(ppm_decode(quirky), img)
+    for bad in (b"P5\n1 1\n255\nx",                    # wrong magic
+                b"P6\n2 2\n65535\n" + b"\0" * 24,      # 16-bit samples
+                b"P6\n4 4\n255\n" + b"\0" * 5):        # truncated body
+        with pytest.raises(ValueError):
+            ppm_decode(bad)
+
+
+def test_resize_stub_real_path_ppm():
+    """PPM payloads take the REAL decode->resample->re-encode path in
+    strict mode, producing the same pixel checksum as the BMP route
+    for the same image (format-independent resample semantics)."""
+    from fasta_windows_ray.stages.multimodal import (ResizeStub,
+                                                     bmp_encode,
+                                                     ppm_encode)
+    ids = [0, 7, 42]
+    imgs = [_formula_img(i) for i in ids]
+    as_bmp = ResizeStub(width=5, height=5, strict=True)(pd.DataFrame({
+        "media_id": np.asarray(ids, np.int64),
+        "payload": [bmp_encode(m) for m in imgs]}))
+    as_ppm = ResizeStub(width=5, height=5, strict=True)(pd.DataFrame({
+        "media_id": np.asarray(ids, np.int64),
+        "payload": [ppm_encode(m) for m in imgs]}))
+    assert as_bmp["pixel_checksum"].tolist() == \
+        as_ppm["pixel_checksum"].tolist()
+    assert (as_ppm["src_height"] == as_bmp["src_height"]).all()
+    # md5s differ (different container formats around the same pixels)
+    assert (as_ppm["resized_md5"] != as_bmp["resized_md5"]).all()
