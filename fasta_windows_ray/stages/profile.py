@@ -22,6 +22,11 @@ truncation deltas (0 = provably exact counts), per the mergeable-
 summaries result (Agarwal et al., PODS'12) shared with
 ``stages/heavy_hitters.py``.
 
+Embedding columns (``list<float>`` / ``fixed_size_list``) profile
+their per-row L2 NORM through the numeric fields (min/max/mean/std/
+quantiles — the drift/QA signal an embedding column wants) and the
+vector dim through the length fields.
+
 Reuses the sketch kernels of ``stages/sketches.py`` (HLL partial /
 estimator, t-digest compress / quantile).
 """
@@ -52,6 +57,11 @@ def _classify(typ: pa.DataType) -> str:
         return "string"
     if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
         return "binary"
+    if (pa.types.is_list(typ) or pa.types.is_large_list(typ)
+            or pa.types.is_fixed_size_list(typ)) \
+            and (pa.types.is_floating(typ.value_type)
+                 or pa.types.is_integer(typ.value_type)):
+        return "embedding"   # numeric stats apply to the row L2 NORM
     return "other"
 
 
@@ -81,6 +91,31 @@ def _col_partial(name: str, arr: pa.ChunkedArray, p: int, delta: int,
         np.maximum.at(regs, idx, rho.astype(np.int8))
         row["hll"] = regs.tobytes()
 
+    if kind == "embedding":
+        # numeric stats of the per-row L2 norm (the drift/QA signal an
+        # embedding column wants); len stats carry the vector dim.
+        # list_value_length + list_flatten + cumsum segments: exact,
+        # empty-row-safe, slice-alignment-safe
+        wdt = pc.list_value_length(valid).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(valid).to_numpy(
+            zero_copy_only=False), np.float64)
+        offs = np.concatenate([[0], np.cumsum(wdt)])
+        csq = np.concatenate([[0.0], np.cumsum(flat * flat)])
+        v = np.sqrt(csq[offs[1:]] - csq[offs[:-1]])
+        d = wdt
+        if len(v):
+            row["vmin"] = float(v.min())
+            row["vmax"] = float(v.max())
+            row["vsum"] = float(v.sum())
+            row["vsum2"] = float((v * v).sum())
+            m, w = tdigest_compress(v, np.ones(len(v)), delta)
+            row["td_means"] = m.tobytes()
+            row["td_weights"] = w.tobytes()
+            row["len_min"] = int(d.min())
+            row["len_max"] = int(d.max())
+            row["len_sum"] = int(d.sum())
+        return row
     if kind in ("numeric", "timestamp"):
         if kind == "timestamp":
             vals = valid.cast(pa.timestamp("us")).cast(pa.int64())
@@ -211,7 +246,7 @@ def dataset_profile(ds, columns: list[str] | None = None, p: int = 12,
         sub = folded[folded["column"] == nm]
         r = _merge_rows(sub, p, delta, capacity)
         n_valid = r["n"] - r["nulls"]
-        numericish = r["kind"] in ("numeric", "timestamp")
+        numericish = r["kind"] in ("numeric", "timestamp", "embedding")
         mean = r["vsum"] / n_valid if numericish and n_valid else np.nan
         var = (r["vsum2"] / n_valid - mean * mean
                if numericish and n_valid else np.nan)
@@ -223,7 +258,9 @@ def dataset_profile(ds, columns: list[str] | None = None, p: int = 12,
         distinct = hll_estimate(regs.astype(np.int64)) if n_valid else 0.0
         counter = pickle.loads(r["topk"]) if r["topk"] else {}
         top = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
-        stringish = r["kind"] in ("string", "binary")
+        # len stats: byte length for string/binary, vector dim for
+        # embedding columns
+        stringish = r["kind"] in ("string", "binary", "embedding")
         out_rows.append({
             "column": nm, "kind": r["kind"], "count": r["n"],
             "null_count": r["nulls"],

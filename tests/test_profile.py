@@ -142,3 +142,27 @@ def test_column_subset_and_empty(corpus):
     assert len(empty) == len(corpus.columns)
     assert (empty["count"] == 0).all()
     assert (empty["n_distinct_approx"] == 0).all()
+
+
+def test_embedding_column_norm_profile():
+    """list<float> columns profile the per-row L2 norm (numeric
+    fields) and the vector dim (length fields)."""
+    import pyarrow as pa
+    rng = np.random.RandomState(4)
+    E = rng.randn(3000, 16)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(3000, dtype=np.int64)),
+        "embedding": pa.array(list(E.astype(np.float32)))}))
+    prof = dataset_profile(ds.repartition(5)).set_index("column")
+    row = prof.loc["embedding"]
+    norms = np.linalg.norm(E.astype(np.float32).astype(np.float64),
+                           axis=1)
+    assert row["kind"] == "embedding" and row["count"] == 3000
+    assert abs(row["min"] - norms.min()) < 1e-9
+    assert abs(row["max"] - norms.max()) < 1e-9
+    assert abs(row["mean"] - norms.mean()) < 1e-9
+    assert row["min_len"] == 16 and row["max_len"] == 16
+    assert abs(row["avg_len"] - 16) < 1e-12
+    # p50 of the norm within t-digest rank error
+    s = np.sort(norms)
+    assert abs(np.searchsorted(s, row["p50"]) / len(s) - 0.5) < 0.02
