@@ -11,6 +11,8 @@ Two surfaces:
    sliding / session; batch or stateful path; parquet output).
 3. ``profile`` — the one-pass per-column data card over any Parquet
    table (stages/profile.py).
+4. ``curate`` — the end-to-end curation funnel over a documents table
+   (pipelines/curation.py curate_full).
 
 Owns its Ray session (guarded init) — the only module besides bench.py
 and tests allowed to.
@@ -104,6 +106,21 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    import ray.data as rd
+
+    from .pipelines.curation import curate_full
+    _ensure_ray(args.num_cpus)
+    docs = rd.read_parquet(args.input)
+    eval_ds = rd.read_parquet(args.eval) if args.eval else None
+    survivors, funnel = curate_full(
+        docs, eval_ds, min_tokens=args.min_tokens,
+        jaccard_tau=args.jaccard_tau)
+    survivors.write_parquet(args.out_dir)
+    print(f"[+]\t{funnel} -> {args.out_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -146,6 +163,17 @@ def main(argv=None) -> int:
     pr.add_argument("--top-k", type=int, default=10)
     pr.add_argument("--out", default=None, help="write the card as parquet")
     pr.set_defaults(fn=cmd_profile)
+
+    cu = sub.add_parser("curate", help="end-to-end curation: normalize, "
+                                       "filter, near-dup keep-best, "
+                                       "decontaminate, split")
+    cu.add_argument("input", help="documents parquet (doc_id, text, ...)")
+    cu.add_argument("out_dir")
+    cu.add_argument("--eval", default=None,
+                    help="eval-set parquet for decontamination")
+    cu.add_argument("--min-tokens", type=int, default=10)
+    cu.add_argument("--jaccard-tau", type=float, default=0.5)
+    cu.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -76,3 +76,15 @@ def test_curate_full_without_eval_set():
     got = set(survivors.to_pandas()["doc_id"])
     assert funnel["n_clean"] == funnel["n_unique"] == 4
     assert got == {0, 2, 5, 6}
+
+
+def test_cli_curate_subcommand(tmp_path):
+    from fasta_windows_ray.__main__ import main
+    src = tmp_path / "docs.parquet"
+    _corpus().to_pandas().to_parquet(src, index=False)
+    out = tmp_path / "curated"
+    rc = main(["curate", str(src), str(out)])
+    assert rc == 0
+    got = pd.read_parquet(out)
+    assert set(got["doc_id"]) == {0, 2, 5, 6}
+    assert "split" in got.columns
