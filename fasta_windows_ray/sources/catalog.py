@@ -629,6 +629,128 @@ def catalog_vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def catalog_fsck(table_dir: str, deep: bool = False) -> dict:
+    """Table integrity check (the lakehouse `fsck`): verifies the
+    LATEST snapshot without reading data (manifest-only), plus an
+    optional ``deep`` pass that reads every live file.
+
+    Manifest-level checks (free):
+    - ``missing``: referenced data files absent or zero-byte on disk,
+    - ``orphans``: files under ``data/`` referenced by NO retained
+      manifest version (crashed writers; ``catalog_vacuum`` reclaims),
+    - ``stats_invalid``: per-file min > max, or an inline Bloom whose
+      decoded bitmap length disagrees with its declared ``n_bits``,
+    - ``schema_conflicts``: same-named column with differing types
+      across live files (should be impossible post-commit — ADD-only
+      evolution rejects it — so a hit means manual tampering).
+
+    ``deep=True`` additionally opens every live file DISTRIBUTED (one
+    Ray task batch per file): parquet footer row count must equal the
+    manifest's ``rows``, and on bucketed tables every row's key must
+    hash to the file's recorded bucket (``placement_errors``).
+
+    Returns a report dict; ``clean`` is True iff every list is empty.
+    """
+    v = _latest_version(table_dir)
+    if v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    manifest = _load_manifest(table_dir, v)
+    report = {"version": v, "files": len(manifest["files"]),
+              "missing": [], "orphans": [], "stats_invalid": [],
+              "schema_conflicts": [], "rowcount_mismatch": [],
+              "placement_errors": []}
+
+    live_all = set()
+    for vv in _versions(table_dir):
+        for f in _load_manifest(table_dir, vv)["files"]:
+            live_all.add(f["path"])
+    data_dir = os.path.join(table_dir, "data")
+    for name in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) \
+            else []:
+        if not name.startswith(".") and f"data/{name}" not in live_all:
+            report["orphans"].append(f"data/{name}")
+
+    import base64
+    unified: dict = {}
+    for f in manifest["files"]:
+        p = os.path.join(table_dir, f["path"])
+        if not os.path.exists(p) or os.path.getsize(p) == 0:
+            report["missing"].append(f["path"])
+        for c, st in f.get("stats", {}).items():
+            if not isinstance(st, dict):
+                continue
+            try:
+                if (st.get("min") is not None and st.get("max") is not None
+                        and st["min"] > st["max"]):
+                    report["stats_invalid"].append(
+                        {"path": f["path"], "column": c,
+                         "reason": "min > max"})
+            except TypeError:
+                pass
+            bl = st.get("bloom")
+            if isinstance(bl, dict):
+                try:
+                    raw = base64.b64decode(bl["b64"], validate=True)
+                    ok = len(raw) * 8 == bl["n_bits"]
+                except Exception:
+                    ok = False
+                if not ok:
+                    report["stats_invalid"].append(
+                        {"path": f["path"], "column": c,
+                         "reason": "bloom bitmap/n_bits mismatch"})
+        for c, ty in f.get("schema", {}).items():
+            if c in unified and unified[c] != ty:
+                report["schema_conflicts"].append(
+                    {"column": c, "types": sorted({unified[c], ty})})
+            unified.setdefault(c, ty)
+
+    if deep and manifest["files"]:
+        import ray.data as rd
+
+        from ..stages.window_stats import stable_bucket_of
+        spec = manifest.get("bucket_by")
+
+        def check_file(batch) -> pa.Table:
+            import pyarrow.parquet as pq
+            entry = json.loads(str(batch["entry"][0]))
+            p = os.path.join(table_dir, entry["path"])
+            probs = []
+            if not os.path.exists(p):
+                return pa.table({"problem": pa.array([], pa.string())})
+            pf = pq.ParquetFile(p)
+            if pf.metadata.num_rows != entry["rows"]:
+                probs.append(json.dumps(
+                    {"kind": "rowcount", "path": entry["path"],
+                     "manifest": entry["rows"],
+                     "footer": pf.metadata.num_rows}))
+            if spec is not None and entry.get("bucket", -1) >= 0:
+                keys = pq.read_table(p, columns=[spec[0]])[spec[0]]
+                b = stable_bucket_of(
+                    keys.to_numpy(zero_copy_only=False), spec[1])
+                bad = int((b != entry["bucket"]).sum())
+                if bad:
+                    probs.append(json.dumps(
+                        {"kind": "placement", "path": entry["path"],
+                         "misplaced_rows": bad}))
+            return pa.table({"problem": pa.array(probs, pa.string())})
+
+        work = rd.from_items([{"entry": json.dumps(f)}
+                              for f in manifest["files"]])
+        probs = work.map_batches(check_file, batch_size=1,
+                                 batch_format="numpy").to_pandas()
+        for s in probs.get("problem", []):
+            d = json.loads(s)
+            key = ("rowcount_mismatch" if d["kind"] == "rowcount"
+                   else "placement_errors")
+            report[key].append(d)
+
+    report["clean"] = all(
+        not report[k] for k in ("missing", "orphans", "stats_invalid",
+                                "schema_conflicts", "rowcount_mismatch",
+                                "placement_errors"))
+    return report
+
+
 def catalog_diff(table_dir: str, from_version: int,
                  to_version: int | None = None,
                  columns: list[str] | None = None,
