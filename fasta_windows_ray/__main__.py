@@ -121,6 +121,17 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    import json as _json
+
+    from .sources.catalog import catalog_fsck
+    if args.deep:
+        _ensure_ray(args.num_cpus)
+    rep = catalog_fsck(args.table_dir, deep=args.deep)
+    print(_json.dumps(rep, indent=1))
+    return 0 if rep["clean"] else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -174,6 +185,14 @@ def main(argv=None) -> int:
     cu.add_argument("--min-tokens", type=int, default=10)
     cu.add_argument("--jaccard-tau", type=float, default=0.5)
     cu.set_defaults(fn=cmd_curate)
+
+    fs = sub.add_parser("fsck", help="catalog table integrity check; "
+                                     "exit 1 if not clean")
+    fs.add_argument("table_dir")
+    fs.add_argument("--deep", action="store_true",
+                    help="also open every live file (row counts, "
+                         "bucket placement)")
+    fs.set_defaults(fn=cmd_fsck)
 
     args = ap.parse_args(argv)
     return args.fn(args)

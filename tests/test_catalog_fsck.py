@@ -77,3 +77,12 @@ def test_fsck_deep_detects_rowcount_and_placement(tmp_path):
     shallow = catalog_fsck(d)
     assert shallow["rowcount_mismatch"] == [] \
         and shallow["placement_errors"] == []
+
+
+def test_cli_fsck_exit_codes(tmp_path, capsys):
+    from fasta_windows_ray.__main__ import main
+    d = _tbl(tmp_path, bucketed=False)
+    assert main(["fsck", d]) == 0
+    os.remove(os.path.join(d, "data",
+                           sorted(os.listdir(os.path.join(d, "data")))[0]))
+    assert main(["fsck", d]) == 1
