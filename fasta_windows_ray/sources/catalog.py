@@ -629,6 +629,40 @@ def catalog_vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def catalog_restore(table_dir: str, version: int) -> dict:
+    """Roll the table back to snapshot ``version`` as a NEW commit
+    whose file list is the old snapshot's — metadata-only (no data
+    I/O, instant at any table size), history-preserving (the bad
+    versions stay readable via time travel until vacuumed), and safe
+    under the same exclusive-create commit race as any write.
+
+    The restored commit re-records the old snapshot's bucket spec and
+    schema, so downstream bucketed joins / lookups behave exactly as
+    they did at ``version``.  Data files referenced only by the rolled-
+    back versions become vacuum candidates, not deletions.
+    """
+    cur = _latest_version(table_dir)
+    if cur == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if not 1 <= version <= cur:
+        raise ValueError(f"version {version} not in [1, {cur}]")
+    old = _load_manifest(table_dir, version)
+    new_v = cur + 1
+    manifest = {"version": new_v, "parent": cur, "mode": "restore",
+                "restored_from": version,
+                "files": old["files"], "schema": old.get("schema", {}),
+                "total_rows": old["total_rows"]}
+    if old.get("bucket_by") is not None:
+        manifest["bucket_by"] = old["bucket_by"]
+    if old.get("zorder") is not None:
+        manifest["zorder"] = old["zorder"]
+    mdir = os.path.join(table_dir, _MANIFEST)
+    _atomic_json_exclusive(os.path.join(mdir, f"v{new_v:08d}.json"),
+                           manifest)
+    _atomic_json(os.path.join(mdir, _LATEST), new_v)
+    return manifest
+
+
 def catalog_fsck(table_dir: str, deep: bool = False) -> dict:
     """Table integrity check (the lakehouse `fsck`): verifies the
     LATEST snapshot without reading data (manifest-only), plus an

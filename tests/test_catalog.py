@@ -206,3 +206,41 @@ def test_zorder_guards(ray_session, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         catalog_write(ds, str(tmp_path / "t"), zorder=["score"],
                       bucket_by=("doc_id", 4))
+
+
+def test_restore_rolls_back_metadata_only(ray_session, tmp_path):
+    """Undo a bad write: a restore is a NEW commit with the old file
+    list — instant, history-preserving, CDC-coherent."""
+    from fasta_windows_ray.sources.catalog import (catalog_changes,
+                                                   catalog_restore)
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(10)), t)                        # v1
+    catalog_write(_mk(range(10, 25), lang="xx"), t)         # v2 bad write
+    m = catalog_restore(t, 1)                               # v3 == v1
+    assert m["version"] == 3 and m["restored_from"] == 1
+    out = catalog_read(t).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(10))
+    # the bad snapshot stays time-travel readable
+    assert catalog_read(t, version=2).count() == 25
+    # CDC across the restore = exact deletes of the bad rows
+    ch = catalog_changes(t, 2, 3).to_pandas()
+    assert set(ch["_change"]) == {"delete"}
+    assert sorted(ch["doc_id"]) == list(range(10, 25))
+    with pytest.raises(ValueError):
+        catalog_restore(t, 99)
+
+
+def test_restore_preserves_bucket_spec(ray_session, tmp_path):
+    from fasta_windows_ray.sources.catalog import (catalog_lookup,
+                                                   catalog_restore)
+    df = pd.DataFrame({"k": [f"u{i}" for i in range(500)],
+                       "v": np.arange(500)})
+    t = str(tmp_path / "btbl")
+    catalog_write(rd.from_pandas(df).repartition(4), t,
+                  bucket_by=("k", 8))
+    catalog_write(rd.from_pandas(df.assign(k="dup-" + df["k"]))
+                  .repartition(4), t, bucket_by=("k", 8))
+    catalog_restore(t, 1)
+    ds, rep = catalog_lookup(t, ["u7"], return_report=True)
+    assert ds.to_pandas()["v"].tolist() == [7]
+    assert rep["files_scanned"] < rep["files_total"]  # bucket spec kept
