@@ -517,10 +517,25 @@ def _parse_type(s: str) -> pa.DataType:
                      "schema-evolution padding")
 
 
+def _predicate_expr(predicate: list[tuple]):
+    """The predicate conjunction as a pyarrow dataset expression (for
+    row-group/row-level pushdown). Null semantics match SQL: a null
+    never satisfies any term."""
+    import pyarrow.compute as pc
+    expr = None
+    for col, op, val in predicate:
+        f = pc.field(col)
+        term = {"==": f == val, "<=": f <= val, ">=": f >= val,
+                "<": f < val, ">": f > val}[op]
+        expr = term if expr is None else expr & term
+    return expr
+
+
 def catalog_read(table_dir: str, columns: list[str] | None = None,
                  version: int | None = None,
                  predicate: list[tuple] | None = None,
-                 return_report: bool = False):
+                 return_report: bool = False,
+                 pushdown: bool = False):
     """Snapshot scan of a catalog table as a Ray Dataset.
 
     ``version=None`` resolves the latest committed version ONCE (snapshot
@@ -529,11 +544,18 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
     files whose min/max stats window cannot satisfy every term are
     skipped entirely (file pruning; rows inside surviving files still
     need a downstream filter for exact semantics). With
-    ``return_report=True`` returns (dataset, report) where report shows
-    files/rows scanned vs skipped — the pruning evidence.
+    ``pushdown=True`` the predicate is ALSO handed to the Arrow
+    reader as a dataset filter — parquet row-group stats prune inside
+    surviving files and the scan returns EXACTLY the matching rows
+    (SQL null semantics), so no downstream filter is needed; kept
+    opt-in because the default contract is the conservative superset.
+    With ``return_report=True`` returns (dataset, report) where report
+    shows files/rows scanned vs skipped — the pruning evidence.
     """
     import ray.data as rd
 
+    row_filter = (_predicate_expr(predicate)
+                  if pushdown and predicate else None)
     v = version if version is not None else _latest_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -567,8 +589,8 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
     # into the single-group path)
     sigs = {tuple(sorted(f.get("schema", {}))) for f in kept}
     if len(sigs) <= 1 or not manifest.get("schema"):
-        ds = (rd.read_parquet(paths, columns=columns) if paths
-              else rd.from_arrow(pa.table({})))
+        ds = (rd.read_parquet(paths, columns=columns, filter=row_filter)
+              if paths else rd.from_arrow(pa.table({})))
     else:
         unified = manifest["schema"]
         want = [c for c in unified if columns is None or c in columns]
@@ -586,17 +608,24 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
         for f in kept:
             groups.setdefault(tuple(sorted(f.get("schema", {}))),
                               []).append(os.path.join(table_dir, f["path"]))
+        pred_cols = {c for c, _, _ in (predicate or [])}
         parts = []
         for sig, ps in sorted(groups.items()):
+            if row_filter is not None and not pred_cols <= set(sig):
+                continue   # a missing pred column reads as all-null ->
+                # no row can match under SQL semantics: skip the group
             have = [c for c in want if c in sig]
             missing = [c for c in want if c not in sig]
-            sub = rd.read_parquet(ps, columns=have)
+            sub = rd.read_parquet(ps, columns=have, filter=row_filter)
             parts.append(sub.map_batches(pad_to(missing),
                                          batch_format="pyarrow",
                                          zero_copy_batch=True))
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
+        if not parts:
+            ds = rd.from_arrow(pa.table({}))
+        else:
+            ds = parts[0]
+            for p in parts[1:]:
+                ds = ds.union(p)
     if return_report:
         return ds, {"version": v, "files_total": len(manifest["files"]),
                     "files_scanned": len(kept),

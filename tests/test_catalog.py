@@ -244,3 +244,40 @@ def test_restore_preserves_bucket_spec(ray_session, tmp_path):
     ds, rep = catalog_lookup(t, ["u7"], return_report=True)
     assert ds.to_pandas()["v"].tolist() == [7]
     assert rep["files_scanned"] < rep["files_total"]  # bucket spec kept
+
+
+def test_predicate_pushdown_exact_rows(ray_session, tmp_path):
+    """pushdown=True: the scan returns EXACTLY the matching rows
+    (row-group filter inside surviving files, SQL null semantics)."""
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk([1, 50, 99]), t)            # one file, wide range
+    out = catalog_read(t, predicate=[("doc_id", "==", 50)],
+                       pushdown=True).to_pandas()
+    assert out["doc_id"].tolist() == [50]
+    # nulls never match
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "lang": ["en", None, "en", "de"]})
+    t2 = str(tmp_path / "tnull")
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(df)), t2)
+    out2 = catalog_read(t2, predicate=[("lang", "==", "en")],
+                        pushdown=True).to_pandas()
+    assert sorted(out2["doc_id"]) == [0, 2]
+
+
+def test_predicate_pushdown_across_schema_evolution(ray_session, tmp_path):
+    """A predicate on an ADDed column skips pre-evolution file groups
+    entirely under pushdown (their rows read as null -> no match)."""
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)               # no "extra" column
+    ext = pd.DataFrame({"doc_id": np.arange(5, 10, dtype=np.int64),
+                        "lang": ["en"] * 5,
+                        "score": np.arange(5, dtype=np.float64),
+                        "extra": np.arange(5, 10, dtype=np.int64)})
+    catalog_write(rd.from_arrow(pa.Table.from_pandas(ext)), t,
+                  mode="append")
+    out = catalog_read(t, predicate=[("extra", ">=", 7)],
+                       pushdown=True).to_pandas()
+    assert sorted(out["doc_id"]) == [7, 8, 9]
+    # superset default still unions both groups with typed-null pad
+    sup = catalog_read(t, predicate=[("extra", ">=", 7)]).to_pandas()
+    assert len(sup) == 10
