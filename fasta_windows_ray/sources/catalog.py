@@ -1469,7 +1469,11 @@ def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
             t = t.drop_columns(["_bucket"])
         return t
 
-    ds = (rd.read_parquet(kept, columns=want) if kept
+    # isin pushdown: parquet row-group stats prune inside kept files
+    # (the in-task `exact` filter stays — it also drops _bucket and is
+    # the correctness backstop if a reader ignores the filter)
+    ds = (rd.read_parquet(kept, columns=want,
+                          filter=pc.field(key_col).isin(keys)) if kept
           else rd.from_arrow(pa.table({})))
     if kept:
         ds = ds.map_batches(exact, batch_format="pyarrow",
