@@ -118,11 +118,13 @@ def rag_query(index_dir: str, query_texts: list[str], k: int = 5,
     paths = ivf_list_files(index_dir, probed.tolist())
     frames = []
     for p in paths:
+        # id filter pushed into the read: row-group stats prune before
+        # any column bytes move
         t = pq.read_table(p, columns=["vec_id", "doc_id", "chunk_id",
-                                      "chunk"])
-        m = np.isin(t["vec_id"].to_numpy(), list(want))
-        if m.any():
-            frames.append(t.to_pandas()[m])
+                                      "chunk"],
+                          filters=[("vec_id", "in", sorted(want))])
+        if len(t):
+            frames.append(t.to_pandas())
     payload = pd.concat(frames, ignore_index=True)
     out = hits.merge(payload, on="vec_id", how="left")
     return (out[["query_id", "rank", "doc_id", "chunk_id", "chunk",
