@@ -92,7 +92,11 @@ def cmd_profile(args) -> int:
     from .stages.profile import dataset_profile
     _ensure_ray(args.num_cpus)
     cols = args.columns.split(",") if args.columns else None
-    ds = rd.read_parquet(args.input, columns=cols)
+    if args.catalog:
+        from .sources.catalog import catalog_read
+        ds = catalog_read(args.input, columns=cols)
+    else:
+        ds = rd.read_parquet(args.input, columns=cols)
     card = dataset_profile(ds, columns=cols, p=args.hll_p,
                            capacity=args.capacity, top_k=args.top_k)
     import pandas as pd
@@ -173,6 +177,9 @@ def main(argv=None) -> int:
     pr.add_argument("--capacity", type=int, default=4096)
     pr.add_argument("--top-k", type=int, default=10)
     pr.add_argument("--out", default=None, help="write the card as parquet")
+    pr.add_argument("--catalog", action="store_true",
+                    help="input is a catalog table dir (profiles the "
+                         "LATEST snapshot, not raw data files)")
     pr.set_defaults(fn=cmd_profile)
 
     cu = sub.add_parser("curate", help="end-to-end curation: normalize, "

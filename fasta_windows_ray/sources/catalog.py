@@ -225,7 +225,9 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     the multi-dimensional data-skipping trick of the lakehouse
     engines.  Advisory (not a join contract like ``bucket_by``, which
     it is mutually exclusive with): appends may z-order themselves or
-    not; the manifest records the spec per write.
+    not; the manifest records the spec per write.  A single-column
+    ``zorder=[col]`` degenerates to a rank-ordered write — the plain
+    "sort the table by time at rest" layout.
 
     ``bloom_cols=[cols]`` additionally records a per-FILE Bloom bitmap
     of each named int/float/string column in the manifest

@@ -166,3 +166,19 @@ def test_embedding_column_norm_profile():
     # p50 of the norm within t-digest rank error
     s = np.sort(norms)
     assert abs(np.searchsorted(s, row["p50"]) / len(s) - 0.5) < 0.02
+
+
+def test_cli_profile_catalog_table(corpus, tmp_path):
+    """--catalog profiles the LATEST snapshot (overwritten versions'
+    data files on disk are ignored)."""
+    from fasta_windows_ray.__main__ import main
+    from fasta_windows_ray.sources.catalog import catalog_write
+    t = str(tmp_path / "tbl")
+    catalog_write(rd.from_pandas(corpus), t)
+    catalog_write(rd.from_pandas(corpus.iloc[:500]), t, mode="overwrite")
+    out = tmp_path / "card.parquet"
+    rc = main(["profile", t, "--catalog", "--columns", "doc_id",
+               "--out", str(out)])
+    assert rc == 0
+    card = pd.read_parquet(out)
+    assert card.loc[0, "count"] == 500          # snapshot, not all files
