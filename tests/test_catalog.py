@@ -281,3 +281,28 @@ def test_predicate_pushdown_across_schema_evolution(ray_session, tmp_path):
     # superset default still unions both groups with typed-null pad
     sup = catalog_read(t, predicate=[("extra", ">=", 7)]).to_pandas()
     assert len(sup) == 10
+
+
+def test_zorder_kernel_properties():
+    """Morton-value kernel invariants (no Ray): monotone per dimension
+    with the other fixed; distinct codes -> distinct z for 2x16-bit."""
+    import pyarrow as pa
+
+    from fasta_windows_ray.sources.catalog import _z_values
+    bounds = {"x": np.linspace(0, 1, (1 << 8) + 1)[1:-1],
+              "y": np.linspace(0, 1, (1 << 8) + 1)[1:-1]}
+    xs = np.linspace(0.001, 0.999, 50)
+    t = pa.table({"x": xs, "y": np.full(50, 0.5)})
+    z = _z_values(t, bounds, 8)
+    assert (np.diff(z) >= 0).all()            # monotone in x, y fixed
+    t2 = pa.table({"x": np.full(50, 0.5), "y": xs})
+    z2 = _z_values(t2, bounds, 8)
+    assert (np.diff(z2) >= 0).all()           # monotone in y, x fixed
+    # bijective over the full 8-bit code grid
+    gx, gy = np.meshgrid(np.arange(256), np.arange(256))
+    # feed values mapping exactly onto each rank cell midpoint
+    vx = (gx.ravel() + 0.5) / 256.0
+    vy = (gy.ravel() + 0.5) / 256.0
+    zz = _z_values(pa.table({"x": vx, "y": vy}), bounds, 8)
+    assert len(np.unique(zz)) == 256 * 256
+    assert zz.max() < (1 << 16)
