@@ -240,3 +240,26 @@ def test_bloom_membership_no_false_negative_property(keys, nb_exp):
                      np.uint64(1) << (pos.ravel().astype(np.uint64)
                                       & np.uint64(63)))
     assert bloom_contains(bm, s, 4).all()
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_property(h, w, seed):
+    from fasta_windows_ray.stages.multimodal import ppm_decode, ppm_encode
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(ppm_decode(ppm_encode(img)), img)
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_ppm_decode_never_crashes_on_garbage(buf):
+    """Arbitrary bytes either decode to a valid image or raise
+    ValueError — no other exception type escapes the parser."""
+    from fasta_windows_ray.stages.multimodal import ppm_decode
+    try:
+        img = ppm_decode(b"P6" + buf)
+    except ValueError:
+        pass
+    else:
+        assert img.ndim == 3 and img.shape[2] == 3
