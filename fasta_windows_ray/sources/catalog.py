@@ -635,10 +635,16 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
     return ds
 
 
-def catalog_vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def catalog_vacuum(table_dir: str, keep_versions: int = 1,
+                   dry_run: bool = False) -> list[str]:
     """Delete data files not referenced by the newest ``keep_versions``
     manifests (crashed-writer orphans and overwritten snapshots), and
-    drop the older manifests. Returns the deleted paths."""
+    drop the older manifests. Returns the deleted paths.
+
+    ``dry_run=True`` returns the same list WITHOUT deleting anything
+    (and keeps all manifests) — the safe default for operators
+    auditing what a vacuum would reclaim before giving up time travel
+    to the pruned versions."""
     vs = _versions(table_dir)
     if not vs:
         return []
@@ -652,12 +658,15 @@ def catalog_vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     for name in os.listdir(data_dir):
         rel = f"data/{name}"
         if rel not in live and not name.startswith("."):
-            os.remove(os.path.join(data_dir, name))
+            if not dry_run:
+                os.remove(os.path.join(data_dir, name))
             deleted.append(rel)
-    for v in vs:
-        if v not in keep:
-            os.remove(os.path.join(table_dir, _MANIFEST, f"v{v:08d}.json"))
-    return deleted
+    if not dry_run:
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(table_dir, _MANIFEST,
+                                       f"v{v:08d}.json"))
+    return sorted(deleted)
 
 
 def catalog_restore(table_dir: str, version: int) -> dict:

@@ -306,3 +306,18 @@ def test_zorder_kernel_properties():
     zz = _z_values(pa.table({"x": vx, "y": vy}), bounds, 8)
     assert len(np.unique(zz)) == 256 * 256
     assert zz.max() < (1 << 16)
+
+
+def test_vacuum_dry_run_lists_without_deleting(ray_session, tmp_path):
+    import os
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)
+    catalog_write(_mk(range(5, 9)), t, mode="overwrite")
+    would = catalog_vacuum(t, dry_run=True)
+    assert len(would) == 1
+    # nothing deleted, old version still time-travel readable
+    assert os.path.exists(os.path.join(t, would[0]))
+    assert catalog_read(t, version=1).count() == 5
+    # real vacuum reclaims exactly the dry-run list
+    assert catalog_vacuum(t) == would
+    assert not os.path.exists(os.path.join(t, would[0]))
