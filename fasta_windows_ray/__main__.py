@@ -136,6 +136,17 @@ def cmd_fsck(args) -> int:
     return 0 if rep["clean"] else 1
 
 
+def cmd_vacuum(args) -> int:
+    from .sources.catalog import catalog_vacuum
+    paths = catalog_vacuum(args.table_dir, keep_versions=args.keep,
+                           dry_run=not args.force)
+    verb = "deleted" if args.force else "would delete (pass --force)"
+    print(f"[+]\t{verb}: {len(paths)} files")
+    for p in paths:
+        print(f"[+]\t  {p}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -200,6 +211,16 @@ def main(argv=None) -> int:
                     help="also open every live file (row counts, "
                          "bucket placement)")
     fs.set_defaults(fn=cmd_fsck)
+
+    va = sub.add_parser("vacuum", help="reclaim unreferenced catalog "
+                                       "data files (dry-run unless "
+                                       "--force)")
+    va.add_argument("table_dir")
+    va.add_argument("--keep", type=int, default=1,
+                    help="manifest versions to retain (default 1)")
+    va.add_argument("--force", action="store_true",
+                    help="actually delete (default: list only)")
+    va.set_defaults(fn=cmd_vacuum)
 
     args = ap.parse_args(argv)
     return args.fn(args)

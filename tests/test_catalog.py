@@ -321,3 +321,16 @@ def test_vacuum_dry_run_lists_without_deleting(ray_session, tmp_path):
     # real vacuum reclaims exactly the dry-run list
     assert catalog_vacuum(t) == would
     assert not os.path.exists(os.path.join(t, would[0]))
+
+
+def test_cli_vacuum_dry_run_default(ray_session, tmp_path):
+    import os
+
+    from fasta_windows_ray.__main__ import main
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)
+    catalog_write(_mk(range(5, 9)), t, mode="overwrite")
+    assert main(["vacuum", t]) == 0
+    assert len(os.listdir(os.path.join(t, "data"))) == 2  # nothing gone
+    assert main(["vacuum", t, "--force"]) == 0
+    assert len(os.listdir(os.path.join(t, "data"))) == 1
