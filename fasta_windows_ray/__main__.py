@@ -13,6 +13,8 @@ Two surfaces:
    table (stages/profile.py).
 4. ``curate`` — the end-to-end curation funnel over a documents table
    (pipelines/curation.py curate_full).
+5. ``fsck`` / ``vacuum`` — catalog table maintenance: integrity check
+   (exit 1 if not clean) and orphan reclamation (dry-run by default).
 
 Owns its Ray session (guarded init) — the only module besides bench.py
 and tests allowed to.
