@@ -136,6 +136,17 @@ class WindowConfig:
     profile: str = "full"
     custom_aggs: tuple = ()             # functions.registry names
     ctw_text: bool = False              # char-class CTW over window text
+    # emission mode: "final" emits each window ONCE when the watermark
+    # passes its end and drops anything later; "updates" (Flink-style
+    # allowed lateness) RETAINS the emitted window's accumulator for
+    # ``retention_us`` past its end — a late row inside retention is
+    # folded in and the window RE-EMITS immediately with ``revision``
+    # incremented (revision 0 = on-time pane). Downstream the
+    # exactly-once sink keyed by (conv_id, window_start) upserts, so
+    # the latest revision wins (state/runner.latest_revision resolves
+    # replayed output). tumbling/sliding only.
+    emit: str = "final"                 # final | updates
+    retention_us: int = 0               # updates mode: keep state this long
 
     def starts_for(self, ts: int):
         """Covering window starts for an event at ``ts`` — pure int math
@@ -442,6 +453,8 @@ class Metrics:
     windows_emitted: int = 0
     sessions_emitted: int = 0
     kgram_spills: int = 0     # windows emitted with a spilled (approx) histogram
+    late_updates: int = 0     # updates mode: re-emissions caused by late rows
+    windows_expired: int = 0  # updates mode: retained windows GC'd at retention
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -454,6 +467,12 @@ class StreamEngine:
     emitted history (long-running actors stay flat — callers collect)."""
 
     def __init__(self, cfg: WindowConfig, partition_id: int = 0):
+        if cfg.emit not in ("final", "updates"):
+            raise ValueError(f"emit={cfg.emit!r} (final | updates)")
+        if cfg.emit == "updates" and cfg.kind == "session":
+            raise ValueError("updates mode requires tumbling/sliding "
+                             "windows (sessions have no fixed end to "
+                             "retain against)")
         self.cfg = cfg
         self.partition_id = partition_id
         self.watermark = -(1 << 62)
@@ -467,6 +486,9 @@ class StreamEngine:
         self.seen_uids: dict[str, set] = {}   # exact dedup of (conv, turn_uid)
         # per-conv amortized prune trigger for seen_uids (see _prune_seen)
         self._seen_prune_at: dict[str, int] = {}
+        # updates mode: per-window revision counters + retention GC heap
+        self.revisions: dict[tuple, int] = {}
+        self.ret_heap: list[tuple] = []  # (end + retention_us, conv, start)
         self.metrics = Metrics()
         self._drains = 0      # throttles the O(#convs) GC scans in _drain
 
@@ -476,8 +498,12 @@ class StreamEngine:
         watermark can NEVER match again — dropping them is always exact.
         Amortized O(1)/insert: a conv's set is rescanned only once it
         doubles past its post-prune size (a genuinely hot conv with many
-        live uids inside lateness just raises its own threshold)."""
+        live uids inside lateness just raises its own threshold).
+        Updates mode accepts rows up to retention_us BELOW the watermark,
+        so its prune threshold backs off by the same amount."""
         wm = self.watermark
+        if self.cfg.emit == "updates":
+            wm -= self.cfg.retention_us
         kept = {e for e in seen if e[1] >= wm}
         self.seen_uids[conv] = kept
         self._seen_prune_at[conv] = max(1024, 2 * len(kept))
@@ -501,13 +527,26 @@ class StreamEngine:
         else:
             uid_arr = np.arange(len(rows))
         want_stats = cfg.profile != "counts"
+        updates = cfg.emit == "updates"
         out: list[dict] = []
         for i in range(len(rows)):
             ts = int(ts_arr[i])
             self.metrics.rows_in += 1
-            if ts < self.watermark:
-                self.metrics.late_dropped += 1
-                continue
+            late = ts < self.watermark
+            late_starts = None
+            if late:
+                if not updates:
+                    self.metrics.late_dropped += 1
+                    continue
+                # live covering windows only; fully-expired rows drop
+                # BEFORE the dedup insert so seen_uids never grows on
+                # dead rows
+                late_starts = [s for s in cfg.starts_for(ts)
+                               if s + cfg.size_us + cfg.retention_us
+                               > self.watermark]
+                if not late_starts:
+                    self.metrics.late_dropped += 1
+                    continue
             conv = str(get["conv_id"][i])
             uid = uid_arr[i]
             seen = self.seen_uids.setdefault(conv, set())
@@ -539,7 +578,7 @@ class StreamEngine:
             if cfg.kind == "session":
                 self._ingest_session(conv, ts, int(uid), role, text, tool,
                                      out, stats)
-            else:
+            elif not late:
                 for s in cfg.starts_for(ts):
                     key = (conv, s)
                     acc = self.open.get(key)
@@ -549,6 +588,30 @@ class StreamEngine:
                         heapq.heappush(self.heap, hk)
                         self.heaped.add(hk)
                     acc.add(ts, int(uid), role, text, tool, cfg, stats)
+            else:
+                # updates mode, late-but-retained row: fold into every
+                # live covering window; windows already past the
+                # watermark RE-EMIT immediately with revision += 1
+                for s in late_starts:
+                    key = (conv, s)
+                    end = s + cfg.size_us
+                    acc = self.open.get(key)
+                    if acc is None:
+                        acc = self.open[key] = _WindowAcc()
+                        if end > self.watermark:
+                            # covering window not yet due: normal path
+                            hk = (end, conv, s)
+                            heapq.heappush(self.heap, hk)
+                            self.heaped.add(hk)
+                        else:
+                            # opened BY a late row: schedule retention GC
+                            heapq.heappush(
+                                self.ret_heap,
+                                (end + cfg.retention_us, conv, s))
+                    acc.add(ts, int(uid), role, text, tool, cfg, stats)
+                    if end <= self.watermark:
+                        out.append(self._finalize_row(conv, s, end, acc))
+                        self.metrics.late_updates += 1
 
             if ts > self.max_ts:
                 self.max_ts = ts
@@ -580,19 +643,47 @@ class StreamEngine:
         del row["last_ts"]
         return row
 
+    def _finalize_row(self, conv: str, s: int, end: int,
+                      acc: _WindowAcc) -> dict:
+        """Shared emission: finalize (non-destructive) + metrics; in
+        updates mode stamps the per-window ``revision`` (0 = on-time)."""
+        if acc.kg_spill is not None:
+            self.metrics.kgram_spills += 1
+        row = acc.finalize(conv, s, end, self.cfg)
+        self.metrics.windows_emitted += 1
+        if self.cfg.emit == "updates":
+            rev = self.revisions.get((conv, s), -1) + 1
+            if self.cfg.retention_us > 0:      # no re-emission possible
+                self.revisions[(conv, s)] = rev   # at retention 0: don't
+            row["revision"] = rev                 # accumulate dead keys
+        return row
+
     def _drain(self, out: list[dict]):
         cfg = self.cfg
+        retain = cfg.emit == "updates" and cfg.retention_us > 0
         while self.heap and self.heap[0][0] <= self.watermark:
             end, conv, s = heapq.heappop(self.heap)
             key = (conv, s)
             self.heaped.discard((end, conv, s))
-            acc = self.open.pop(key, None)
-            if acc is None:
-                continue
-            if acc.kg_spill is not None:
-                self.metrics.kgram_spills += 1
-            out.append(acc.finalize(conv, s, end, cfg))
-            self.metrics.windows_emitted += 1
+            if retain:
+                # keep the accumulator for late updates; GC at
+                # end + retention_us
+                acc = self.open.get(key)
+                if acc is None:
+                    continue
+                heapq.heappush(self.ret_heap,
+                               (end + cfg.retention_us, conv, s))
+            else:
+                acc = self.open.pop(key, None)
+                if acc is None:
+                    continue
+            out.append(self._finalize_row(conv, s, end, acc))
+        # retention GC: drop accumulators whose late-update horizon passed
+        while self.ret_heap and self.ret_heap[0][0] <= self.watermark:
+            _, conv, s = heapq.heappop(self.ret_heap)
+            if self.open.pop((conv, s), None) is not None:
+                self.metrics.windows_expired += 1
+            self.revisions.pop((conv, s), None)
         # GC scans iterate every conv key, and _drain runs per watermark
         # advance (≈ per row) — unthrottled this was O(rows × convs),
         # 35% of engine wall (round-2 profile). Throttle: correctness is
@@ -615,16 +706,12 @@ class StreamEngine:
     def flush(self) -> list[dict]:
         """Close every remaining window/session (input exhausted)."""
         out: list[dict] = []
-        cfg = self.cfg
         while self.heap:
             end, conv, s = heapq.heappop(self.heap)
             acc = self.open.pop((conv, s), None)
             if acc is None:
                 continue
-            if acc.kg_spill is not None:
-                self.metrics.kgram_spills += 1
-            out.append(acc.finalize(conv, s, end, cfg))
-            self.metrics.windows_emitted += 1
+            out.append(self._finalize_row(conv, s, end, acc))
         for conv in sorted(self.sessions):
             out.append(self._session_row(conv, self.sessions.pop(conv)))
         return out
@@ -638,6 +725,7 @@ class StreamEngine:
             "open": self.open, "heap": self.heap, "heaped": self.heaped,
             "sessions": self.sessions, "seen_uids": self.seen_uids,
             "metrics": self.metrics,
+            "revisions": self.revisions, "ret_heap": self.ret_heap,
         })
 
     @classmethod
@@ -648,6 +736,8 @@ class StreamEngine:
         eng.open, eng.heap, eng.heaped = d["open"], d["heap"], d["heaped"]
         eng.sessions, eng.seen_uids = d["sessions"], d["seen_uids"]
         eng.metrics = d["metrics"]
+        eng.revisions = d.get("revisions", {})
+        eng.ret_heap = d.get("ret_heap", [])
         return eng
 
 

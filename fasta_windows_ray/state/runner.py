@@ -32,6 +32,28 @@ from ..stages.window_stats import add_bucket, add_bucket_slab
 from .engine import StreamEngine, WindowConfig, emitted_to_frame
 
 
+def _extra_cols(cfg: WindowConfig) -> tuple:
+    """Output columns beyond the stats schema: custom aggregates, plus
+    the per-window ``revision`` counter in updates mode."""
+    extra = tuple(cfg.custom_aggs)
+    if cfg.emit == "updates":
+        extra += ("revision",)
+    return extra
+
+
+def latest_revision(df: pd.DataFrame,
+                    keys: tuple = ("conv_id", "window_start")) -> pd.DataFrame:
+    """Resolve an updates-mode output stream to its final state: keep the
+    highest ``revision`` per window key (the upsert a keyed sink applies).
+    Deterministic regardless of row order; no-op columns-wise (the
+    revision column is retained so callers can audit update depth)."""
+    if "revision" not in df.columns or not len(df):
+        return df
+    df = df.sort_values([*keys, "revision"], kind="stable")
+    return df.drop_duplicates(subset=list(keys), keep="last") \
+             .reset_index(drop=True)
+
+
 def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64,
                         slab_windows: int | None = 4096,
                         diag: bool = False):
@@ -63,7 +85,7 @@ def stateful_window_run(ds, cfg: WindowConfig, num_buckets: int = 64,
         eng = StreamEngine(cfg)
         rows = eng.process_rows(df)
         rows.extend(eng.flush())
-        out = emitted_to_frame(rows, cfg.kind, tuple(cfg.custom_aggs))
+        out = emitted_to_frame(rows, cfg.kind, _extra_cols(cfg))
         if slabbed and len(out):
             # sliding duplicates boundary rows into the previous slab;
             # the engine emits every covering window, so keep only the
@@ -133,7 +155,7 @@ class PartitionActor:
 
     def checkpoint(self) -> int:
         rows = emitted_to_frame(self.pending, self.cfg.kind,
-                                tuple(self.cfg.custom_aggs))
+                                _extra_cols(self.cfg))
         self.sink.commit_interval(self.seq, rows, self.engine.snapshot(),
                                   self.consumed,
                                   self.engine.metrics.as_dict())
