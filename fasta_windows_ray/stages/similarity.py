@@ -181,8 +181,71 @@ def sq8_encode(E: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scale
 
 
+def pq_train(X: np.ndarray, m: int, n_codes: int = 256, seed: int = 3,
+             iters: int = 10) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    d dims into ``m`` subspaces and k-means each independently.
+    Returns (m, k, d/m) float64; k = min(n_codes, n_train) ≤ 256 so
+    codes fit uint8. Seeded + fixed iterations — deterministic."""
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n == 0:
+        raise ValueError("pq_train on empty sample")
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 breaks the uint8 code layout")
+    sub_d = d // m
+    k = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, sub_d))
+    for j in range(m):
+        sub = X[:, j * sub_d:(j + 1) * sub_d]
+        C = sub[rng.choice(n, k, replace=False)].copy()
+        for _ in range(iters):
+            # L2 assign via the expanded form (no n×k×d intermediate)
+            a = np.argmin((C * C).sum(1) - 2.0 * (sub @ C.T), axis=1)
+            for ci in range(k):
+                mem = sub[a == ci]
+                if len(mem):
+                    C[ci] = mem.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(E: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Assign each vector's subspaces to nearest codewords → (n, m) uint8."""
+    m, k, sub_d = books.shape
+    codes = np.zeros((len(E), m), np.uint8)
+    for j in range(m):
+        sub = E[:, j * sub_d:(j + 1) * sub_d]
+        C = books[j]
+        codes[:, j] = np.argmin((C * C).sum(1) - 2.0 * (sub @ C.T),
+                                axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct approximate vectors from codes: concat codewords."""
+    m = books.shape[0]
+    return np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def adc_scores(codes: np.ndarray, q: np.ndarray,
+               books: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance dot products: score(x) = q · decode(x),
+    computed as m LUT hits per vector — the per-subspace tables
+    ``books[j] @ q_sub`` are built once per query, then each code row
+    sums m table entries (no decode materialization)."""
+    m, k, sub_d = books.shape
+    lut = np.einsum("mkd,md->mk", books,
+                    q.reshape(m, sub_d))            # (m, k)
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
 def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
-              train_sample: int = 2048, quantize: bool = False) -> np.ndarray:
+              train_sample: int = 2048, quantize: bool = False,
+              pq_m: int = 0) -> np.ndarray:
     """One-time PERSISTED IVF index build (round-3 VERDICT #2).
 
     Trains coarse centroids on a bounded sample, quantizes every vector
@@ -197,34 +260,63 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16, seed: int = 3,
     (``emb_q`` list<int8> + per-vector ``scale``) INSTEAD of the float
     embedding column — probed reads then move ~8x fewer bytes on top of
     the nprobe/n_lists pruning; ``ivf_query`` auto-detects via the
-    recorded index meta. Returns the centroid matrix."""
+    recorded index meta. ``pq_m=M`` (mutually exclusive with
+    ``quantize``) stores M-byte product-quantization codes instead —
+    bytes per vector drop d×8 → M (e.g. 64 for d=64/m=8), query scoring
+    runs as ADC lookup-table sums (FAISS IVFPQ shape); codebooks are
+    trained on the same bounded sample and persist next to the
+    centroids. Returns the centroid matrix."""
     from ..sinks import write_partitioned
 
+    if quantize and pq_m:
+        raise ValueError("quantize (sq8) and pq_m are alternatives")
     cpath = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(cpath) and os.path.exists(
             os.path.join(index_dir, ".index_done")):
         return np.load(cpath)
     os.makedirs(index_dir, exist_ok=True)
     C = _train_coarse_centroids(ds, n_centroids, seed, train_sample)
-    cref = ray.put(C)
+    books = None
+    if pq_m:
+        # codebooks train on RESIDUALS (vector − its coarse centroid),
+        # the IVFPQ formulation — the code budget then resolves the
+        # within-list fine structure instead of re-describing the
+        # centroid every vector shares
+        sample = ds.limit(train_sample).to_pandas()
+        X = _norm_rows(np.stack(sample["embedding"].to_numpy())
+                       .astype(np.float64))
+        resid = X - C[np.argmax(X @ C.T, axis=1)]
+        books = pq_train(resid, pq_m, seed=seed)
+    cref = ray.put((C, books))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        C_ = ray.get(cref)
+        C_, books_ = ray.get(cref)
         E = _norm_rows(np.stack(batch["embedding"].to_numpy())
                        .astype(np.float64))
         batch = batch.copy()
-        batch["list_id"] = np.argmax(E @ C_.T, axis=1).astype(np.int64)
+        lid = np.argmax(E @ C_.T, axis=1)
+        batch["list_id"] = lid.astype(np.int64)
         if quantize:
             q, scale = sq8_encode(E)
             batch = batch.drop(columns=["embedding"])
             batch["emb_q"] = list(q)
             batch["scale"] = scale
+        elif books_ is not None:
+            codes = pq_encode(E - C_[lid], books_)
+            batch = batch.drop(columns=["embedding"])
+            batch["pq_code"] = list(codes)
         return batch
 
     write_partitioned(ds.map_batches(assign, batch_format="pandas"),
                       index_dir, partition_col="list_id",
                       keep_partition_col=True)
+    if books is not None:
+        btmp = os.path.join(index_dir, "pq_codebooks.npy.tmp")
+        with open(btmp, "wb") as f:
+            np.save(f, books)
+        os.replace(btmp, os.path.join(index_dir, "pq_codebooks.npy"))
     _atomic_meta(index_dir, {"quantize": bool(quantize),
+                             "pq_m": int(pq_m),
                              "n_centroids": int(len(C))})
     tmp = cpath + ".tmp"
     with open(tmp, "wb") as f:
@@ -291,20 +383,28 @@ def ivf_append(ds, index_dir: str, batch_id: str) -> pd.DataFrame:
         raise ValueError(f"batch_id {batch_id!r}: use [A-Za-z0-9_-]+ "
                          "(it names files and commit markers)")
     C = np.load(os.path.join(index_dir, "centroids.npy"))
-    quantize = bool(_load_meta(index_dir).get("quantize"))
-    cref = ray.put(C)
+    meta = _load_meta(index_dir)
+    quantize = bool(meta.get("quantize"))
+    books = (np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+             if meta.get("pq_m") else None)
+    cref = ray.put((C, books))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        C_ = ray.get(cref)
+        C_, books_ = ray.get(cref)
         E = _norm_rows(np.stack(batch["embedding"].to_numpy())
                        .astype(np.float64))
         batch = batch.copy()
-        batch["list_id"] = np.argmax(E @ C_.T, axis=1).astype(np.int64)
+        lid = np.argmax(E @ C_.T, axis=1)
+        batch["list_id"] = lid.astype(np.int64)
         if quantize:
             q, scale = sq8_encode(E)
             batch = batch.drop(columns=["embedding"])
             batch["emb_q"] = list(q)
             batch["scale"] = scale
+        elif books_ is not None:
+            # residual encoding per the recorded IVFPQ design
+            batch = batch.drop(columns=["embedding"])
+            batch["pq_code"] = list(pq_encode(E - C_[lid], books_))
         return batch
 
     def write_list(df: pd.DataFrame) -> pd.DataFrame:
@@ -374,12 +474,21 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
     paths = ivf_list_files(index_dir, lists_needed)
     bytes_read = sum(os.path.getsize(p) for p in paths)
     bytes_total = sum(os.path.getsize(p) for p in ivf_list_files(index_dir))
-    qref = ray.put((Q, wanted))
-    quantized = bool(_load_meta(index_dir).get("quantize"))
+    meta = _load_meta(index_dir)
+    quantized = bool(meta.get("quantize"))
+    books = (np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+             if meta.get("pq_m") else None)
+    qref = ray.put((Q, wanted, books, C if books is not None else None))
 
     def probed_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        Qm, wanted_ = ray.get(qref)
-        if quantized:
+        Qm, wanted_, books_, C_ = ray.get(qref)
+        codes = None
+        if books_ is not None:
+            # ADC path: score = q·centroid(list) + LUT sums over the
+            # m-byte RESIDUAL codes — no vector reconstruction
+            codes = np.stack(batch["pq_code"].to_numpy()).astype(np.uint8)
+            E = None
+        elif quantized:
             # dequantize int8 -> ~unit vectors; renorm absorbs the
             # <= 1/254-per-dim quantization drift
             E = _norm_rows(np.stack(batch["emb_q"].to_numpy())
@@ -395,7 +504,9 @@ def ivf_query(index_dir: str, query_vecs: np.ndarray, query_ids: list[int],
             mask = np.isin(lists, list(wanted_[qi]))
             if not mask.any():
                 continue
-            s = E[mask] @ Qm[qi]
+            s = (C_[lists[mask]] @ Qm[qi]
+                 + adc_scores(codes[mask], Qm[qi], books_)
+                 if codes is not None else E[mask] @ Qm[qi])
             sub = ids[mask]
             kk = min(k + 1, len(sub))
             top = np.argpartition(-s, kk - 1)[:kk]
@@ -461,7 +572,7 @@ def mine_hard_negatives(index_dir: str, query_vecs: np.ndarray,
 def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 3,
              train_sample: int = 2048, quantize: bool = False,
-             index_dir: str | None = None) -> pd.DataFrame:
+             pq_m: int = 0, index_dir: str | None = None) -> pd.DataFrame:
     """IVF approximate top-k = ``ivf_build`` (skipped when the persisted
     index already exists) + ``ivf_query`` (pruned read of the nprobe
     probed lists). With ``index_dir=None`` a fresh ephemeral index is
@@ -475,7 +586,7 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
         index_dir = tempfile.mkdtemp(prefix="fw_ray_ivf_")
     try:
         ivf_build(ds, index_dir, n_centroids=n_centroids, seed=seed,
-                  train_sample=train_sample, quantize=quantize)
+                  train_sample=train_sample, quantize=quantize, pq_m=pq_m)
         return ivf_query(index_dir, query_vecs, query_ids, k=k,
                          nprobe=nprobe)
     finally:
