@@ -221,8 +221,114 @@ def ppm_decode(buf: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real PNG (8-bit
+    truecolor, zlib-compressed, filter 0 per scanline, CRC'd chunks) —
+    stdlib ``zlib`` only, no external codec."""
+    import zlib
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("png_encode expects an (h, w, 3) RGB array")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), np.uint8)            # filter byte 0
+    raw[:, 1:] = img.reshape(h, w * 3)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (RGB or RGBA) non-interlaced PNG to an
+    (h, w, channels) uint8 array: chunk walk with CRC verification, IDAT
+    concatenation, zlib inflate, full scanline UNFILTERING (all five
+    filter types 0=None 1=Sub 2=Up 3=Average 4=Paeth). Raises ValueError
+    on palette/interlaced/16-bit images and corrupt streams. Sub/Up are
+    vectorized; Average/Paeth reconstruct left-to-right (inherently
+    sequential) — planted test corpora stay small, and the real-decode
+    contract is correctness, not JPEG-rate throughput."""
+    import zlib
+    if len(buf) < 8 or buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        size, = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + size]
+        if len(data) < size or pos + 12 + size > len(buf):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        crc, = struct.unpack_from(">I", buf, pos + 8 + size)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype_ not in (2, 6) or comp or filt or interlace:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={ctype_},"
+                         f" interlace={interlace})")
+    ch = 3 if ctype_ == 2 else 4
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("inflated size mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.uint16)
+        if ft == 0:
+            rec = row
+        elif ft == 2:                           # Up
+            rec = (row + prev) & 0xFF
+        elif ft == 1:                           # Sub: per-lane cumsum
+            rec = row.reshape(w, ch).cumsum(axis=0).astype(np.uint16) & 0xFF
+            rec = rec.reshape(stride)
+        elif ft in (3, 4):                      # Average / Paeth: seq left
+            rec = np.zeros(stride, np.uint16)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ft == 3:
+                    rec[i] = (int(row[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    rec[i] = (int(row[i]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
 # codec registry for the real decode path: sniff -> (decode, encode)
-_CODECS = {b"BM": (bmp_decode, bmp_encode), b"P6": (ppm_decode, ppm_encode)}
+_CODECS = {b"BM": (bmp_decode, bmp_encode), b"P6": (ppm_decode, ppm_encode),
+           b"\x89P": (png_decode, png_encode)}
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -299,6 +405,8 @@ class ResizeStub:
                     md5s.append(hashlib.md5(p + tag).hexdigest())
                     continue
                 src_h[i], src_w[i] = img.shape[:2]
+                if img.ndim == 3 and img.shape[2] == 4:
+                    img = img[:, :, :3]          # drop alpha (RGBA PNG)
                 out = resize_nearest(img, self.h, self.w)
                 px = out.astype(np.int64)
                 checksum[i] = int((px * np.array([3, 5, 7])).sum())
