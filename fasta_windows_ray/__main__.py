@@ -149,6 +149,58 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    import ray.data as rd
+
+    from .stages.drift import drift_report
+    _ensure_ray(args.num_cpus)
+    ref = rd.read_parquet(args.reference)
+    cur = rd.read_parquet(args.current)
+    rep = drift_report(
+        ref, cur,
+        numeric_cols=args.numeric.split(",") if args.numeric else [],
+        categorical_cols=args.categorical.split(",")
+        if args.categorical else [],
+        bins=args.bins)
+    print(rep.to_string(index=False))
+    if args.out:
+        rep.to_parquet(args.out, index=False)
+    worst = rep["psi"].max()
+    if args.fail_psi is not None and worst > args.fail_psi:
+        print(f"[!]\tmax PSI {worst:.4f} > --fail-psi {args.fail_psi}")
+        return 1
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    import json as _json
+
+    import ray.data as rd
+
+    from .stages.bpe import bpe_tokenize, bpe_train
+    _ensure_ray(args.num_cpus)
+    docs = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.merges and not args.train:
+        with open(args.merges) as f:
+            merges = [tuple(p) for p in _json.load(f)["merges"]]
+    else:
+        model = bpe_train(docs, n_merges=args.n_merges,
+                          text_col=args.text_col, max_words=args.max_words)
+        merges = model["merges"]
+        if args.merges:
+            with open(args.merges, "w") as f:
+                _json.dump({"merges": [list(p) for p in merges],
+                            "n_words_used": model["n_words_used"],
+                            "n_words_total": model["n_words_total"]}, f)
+        print(f"[+]\ttrained {len(merges)} merges over "
+              f"{model['n_words_used']}/{model['n_words_total']} words")
+    out = bpe_tokenize(docs, merges, text_col=args.text_col,
+                       id_col=args.id_col)
+    out.write_parquet(args.out_dir)
+    print(f"[+]\ttoken counts -> {args.out_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -223,6 +275,36 @@ def main(argv=None) -> int:
     va.add_argument("--force", action="store_true",
                     help="actually delete (default: list only)")
     va.set_defaults(fn=cmd_vacuum)
+
+    dr = sub.add_parser("drift", help="per-column PSI / binned-KS drift "
+                                      "between two parquet snapshots")
+    dr.add_argument("reference")
+    dr.add_argument("current")
+    dr.add_argument("--numeric", default=None,
+                    help="comma-separated numeric columns")
+    dr.add_argument("--categorical", default=None,
+                    help="comma-separated categorical columns")
+    dr.add_argument("--bins", type=int, default=10)
+    dr.add_argument("--out", default=None, help="write report parquet")
+    dr.add_argument("--fail-psi", type=float, default=None,
+                    help="exit 1 if any column's PSI exceeds this")
+    dr.set_defaults(fn=cmd_drift)
+
+    tk = sub.add_parser("tokenize", help="train a BPE vocab on the corpus "
+                                         "(or load one) and write per-doc "
+                                         "token counts")
+    tk.add_argument("input", help="documents parquet")
+    tk.add_argument("out_dir")
+    tk.add_argument("--n-merges", type=int, default=200)
+    tk.add_argument("--max-words", type=int, default=65536)
+    tk.add_argument("--merges", default=None,
+                    help="JSON path: save trained merges here (or load "
+                         "with --no-train)")
+    tk.add_argument("--no-train", dest="train", action="store_false",
+                    help="load merges from --merges instead of training")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.add_argument("--text-col", default="text")
+    tk.set_defaults(fn=cmd_tokenize)
 
     args = ap.parse_args(argv)
     return args.fn(args)
