@@ -15,6 +15,10 @@ Two surfaces:
    (pipelines/curation.py curate_full).
 5. ``fsck`` / ``vacuum`` — catalog table maintenance: integrity check
    (exit 1 if not clean) and orphan reclamation (dry-run by default).
+6. ``drift`` — per-column PSI / binned-KS between two parquet
+   snapshots (``--fail-psi`` for CI gating).
+7. ``tokenize`` — train (or load) a BPE vocabulary and write per-doc
+   token counts.
 
 Owns its Ray session (guarded init) — the only module besides bench.py
 and tests allowed to.
