@@ -125,10 +125,11 @@ def _merge_counts(dst: dict, src) -> None:
 
 @dataclass
 class WindowConfig:
-    kind: str = "tumbling"              # tumbling | sliding | session
+    kind: str = "tumbling"              # tumbling | sliding | session | count
     size_us: int = 6 * 3600 * 1_000_000
     step_us: int | None = None          # sliding only; size % step == 0
     gap_us: int = 30 * 60 * 1_000_000   # session only
+    count_turns: int = 0                # count only: turns per window
     offset_us: int = 0
     lateness_us: int = 0                # allowed out-of-orderness
     bigram: str = '"k'
@@ -469,10 +470,12 @@ class StreamEngine:
     def __init__(self, cfg: WindowConfig, partition_id: int = 0):
         if cfg.emit not in ("final", "updates"):
             raise ValueError(f"emit={cfg.emit!r} (final | updates)")
-        if cfg.emit == "updates" and cfg.kind == "session":
+        if cfg.emit == "updates" and cfg.kind in ("session", "count"):
             raise ValueError("updates mode requires tumbling/sliding "
-                             "windows (sessions have no fixed end to "
-                             "retain against)")
+                             "windows (sessions/count windows have no "
+                             "fixed event-time end to retain against)")
+        if cfg.kind == "count" and cfg.count_turns < 1:
+            raise ValueError("count windows need count_turns >= 1")
         self.cfg = cfg
         self.partition_id = partition_id
         self.watermark = -(1 << 62)
@@ -483,6 +486,8 @@ class StreamEngine:
         self.heaped: set[tuple] = set()
         # session state: conv_id -> (first_ts, last_ts, n_turns)
         self.sessions: dict[str, list] = {}
+        # count-window state: conv_id -> [chunks_emitted, acc, rows_in_acc]
+        self.count_bufs: dict[str, list] = {}
         self.seen_uids: dict[str, set] = {}   # exact dedup of (conv, turn_uid)
         # per-conv amortized prune trigger for seen_uids (see _prune_seen)
         self._seen_prune_at: dict[str, int] = {}
@@ -528,11 +533,14 @@ class StreamEngine:
             uid_arr = np.arange(len(rows))
         want_stats = cfg.profile != "counts"
         updates = cfg.emit == "updates"
+        # count windows are arrival-order semantics (Flink countWindow):
+        # event-time lateness does not apply
+        is_count = cfg.kind == "count"
         out: list[dict] = []
         for i in range(len(rows)):
             ts = int(ts_arr[i])
             self.metrics.rows_in += 1
-            late = ts < self.watermark
+            late = ts < self.watermark and not is_count
             late_starts = None
             if late:
                 if not updates:
@@ -578,6 +586,9 @@ class StreamEngine:
             if cfg.kind == "session":
                 self._ingest_session(conv, ts, int(uid), role, text, tool,
                                      out, stats)
+            elif is_count:
+                self._ingest_count(conv, ts, int(uid), role, text, tool,
+                                   out, stats)
             elif not late:
                 for s in cfg.starts_for(ts):
                     key = (conv, s)
@@ -630,6 +641,39 @@ class StreamEngine:
         st[0] = min(st[0], ts)
         st[1] = max(st[1], ts)
         st[2].add(ts, uid, role, text, tool, self.cfg, stats)
+
+    def _ingest_count(self, conv: str, ts: int, uid: int, role: str,
+                      text: str, tool: str, out: list[dict], stats=None):
+        """Count windows (reference analogue: fw.rs:83
+        ``seq.chunks(window_size)`` over turn position; Flink
+        countWindow): every ``count_turns`` arrivals per conv emit one
+        window immediately — no watermark involved. Rows must arrive in
+        the intended order per conv (the Dataset replay path sorts by
+        (ts, turn_uid); see turn_window_counts for the vectorized twin)."""
+        st = self.count_bufs.get(conv)
+        if st is None:
+            st = self.count_bufs[conv] = [0, _WindowAcc(), 0]
+        st[1].add(ts, uid, role, text, tool, self.cfg, stats)
+        st[2] += 1
+        if st[2] >= self.cfg.count_turns:
+            out.append(self._count_row(conv, st))
+            st[0] += 1
+            st[1] = _WindowAcc()
+            st[2] = 0
+
+    def _count_row(self, conv: str, st: list) -> dict:
+        """Positional window bounds: win_end clamps to the true turn
+        count for the trailing partial (the reference's issues #8/#9
+        end-clamp, re-expressed over turn offsets)."""
+        if st[1].kg_spill is not None:
+            self.metrics.kgram_spills += 1
+        row = st[1].finalize(conv, 0, 0, self.cfg)
+        start = st[0] * self.cfg.count_turns
+        row["win_start"] = start
+        row["win_end"] = start + st[2]
+        del row["window_start"], row["window_end"], row["last_ts"]
+        self.metrics.windows_emitted += 1
+        return row
 
     def _session_row(self, conv: str, st: list) -> dict:
         """Full stats over the session's turns; session bounds are the
@@ -714,6 +758,10 @@ class StreamEngine:
             out.append(self._finalize_row(conv, s, end, acc))
         for conv in sorted(self.sessions):
             out.append(self._session_row(conv, self.sessions.pop(conv)))
+        for conv in sorted(self.count_bufs):   # trailing partial chunks
+            st = self.count_bufs.pop(conv)
+            if st[2] > 0:
+                out.append(self._count_row(conv, st))
         return out
 
     # -- checkpoint ---------------------------------------------------------
@@ -726,6 +774,7 @@ class StreamEngine:
             "sessions": self.sessions, "seen_uids": self.seen_uids,
             "metrics": self.metrics,
             "revisions": self.revisions, "ret_heap": self.ret_heap,
+            "count_bufs": self.count_bufs,
         })
 
     @classmethod
@@ -738,6 +787,7 @@ class StreamEngine:
         eng.metrics = d["metrics"]
         eng.revisions = d.get("revisions", {})
         eng.ret_heap = d.get("ret_heap", [])
+        eng.count_bufs = d.get("count_bufs", {})
         return eng
 
 
@@ -758,6 +808,11 @@ def emitted_to_frame(rows: list[dict], kind: str,
                            if c in rows[0] and c not in base] + list(extra_cols)
         else:
             cols = base
+    elif kind == "count":
+        base = ["conv_id", "win_start", "win_end", "n_turns"]
+        cols = base + [c for c in STATS_COLUMNS
+                       if rows and c in rows[0] and c not in base] \
+            + list(extra_cols)
     else:
         cols = STATS_COLUMNS + list(extra_cols)
     if not rows:

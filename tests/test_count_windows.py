@@ -1,0 +1,150 @@
+"""Count-window gates: engine counts == the vectorized turn_window_counts
+twin, full stats == a direct per-chunk recompute, trailing-partial end
+clamp (reference issues #8/#9 over turn offsets), snapshot/restore,
+dedup, config validation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fasta_windows_ray.state.engine import (StreamEngine, WindowConfig,
+                                            _WindowAcc, emitted_to_frame)
+from fasta_windows_ray.state.runner import stateful_window_run
+from fasta_windows_ray.stages.window_stats import turn_window_counts
+from fasta_windows_ray.synth import make_transcripts
+
+pytestmark_none = None
+
+
+def run_engine(cfg, df):
+    eng = StreamEngine(cfg)
+    rows = eng.process_rows(df)
+    rows += eng.flush()
+    return eng, emitted_to_frame(rows, "count")
+
+
+def sorted_df(t):
+    return t.to_pandas().sort_values(["conv_id", "ts", "turn_idx"],
+                                     kind="stable").reset_index(drop=True)
+
+
+def test_counts_match_vectorized_twin(ray_session):
+    t = make_transcripts(n_convs=12, mean_turns=25, seed=21)
+    w = 7
+    cfg = WindowConfig(kind="count", count_turns=w, profile="counts")
+    # engine path: replay each conv's turns in (ts, uid) order
+    import ray.data as rd
+    _, eng_out = run_engine(cfg, sorted_df(t))
+    eng_out = eng_out[["conv_id", "win_start", "win_end", "n_turns",
+                       "n_user", "n_assistant", "n_system", "n_tool",
+                       "n_other"]]
+    vec = turn_window_counts(rd.from_arrow(t), w).to_pandas()
+    key = ["conv_id", "win_start"]
+    a = eng_out.sort_values(key).reset_index(drop=True)
+    b = vec.sort_values(key).reset_index(drop=True).astype(
+        {c: np.int64 for c in a.columns if c not in ("conv_id",)})
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_full_stats_match_direct_chunks(ray_session):
+    t = make_transcripts(n_convs=5, mean_turns=18, seed=22)
+    w = 5
+    cfg = WindowConfig(kind="count", count_turns=w)
+    df = sorted_df(t)
+    _, out = run_engine(cfg, df)
+
+    # direct recompute: _WindowAcc over each conv's sorted chunks
+    expect = []
+    for conv, sub in df.groupby("conv_id", sort=True):
+        sub = sub.reset_index(drop=True)
+        for s in range(0, len(sub), w):
+            chunk = sub.iloc[s:s + w]
+            acc = _WindowAcc()
+            for _, r in chunk.iterrows():
+                ts = int(pd.Timestamp(r["ts"]).value // 1000)
+                acc.add(ts, int(r["turn_idx"]), r["role"], r["text"],
+                        r["tool"], cfg)
+            row = acc.finalize(conv, 0, 0, cfg)
+            row["win_start"], row["win_end"] = s, s + len(chunk)
+            del row["window_start"], row["window_end"], row["last_ts"]
+            expect.append(row)
+    exp = emitted_to_frame(expect, "count")
+    key = ["conv_id", "win_start"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True))
+
+
+def test_trailing_partial_clamped():
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 10,
+        "turn_idx": np.arange(10, dtype=np.int32),
+        "role": ["user"] * 10, "text": ["x"] * 10, "tool": [""] * 10,
+        "ts": pd.to_datetime(np.arange(10) * 1_000_000, unit="us"),
+    })
+    cfg = WindowConfig(kind="count", count_turns=4, profile="counts")
+    _, out = run_engine(cfg, df)
+    out = out.sort_values("win_start").reset_index(drop=True)
+    assert list(out["win_start"]) == [0, 4, 8]
+    assert list(out["win_end"]) == [4, 8, 10]       # clamped partial
+    assert list(out["n_turns"]) == [4, 4, 2]
+    # a conv shorter than one window: end = conv length from the start
+    cfg2 = WindowConfig(kind="count", count_turns=100, profile="counts")
+    _, out2 = run_engine(cfg2, df)
+    assert list(out2["win_end"]) == [10] and list(out2["n_turns"]) == [10]
+
+
+def test_snapshot_restore_mid_chunk():
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 9,
+        "turn_idx": np.arange(9, dtype=np.int32),
+        "role": ["user"] * 9, "text": [f"t{i}" for i in range(9)],
+        "tool": [""] * 9,
+        "ts": pd.to_datetime(np.arange(9) * 1_000_000, unit="us"),
+    })
+    cfg = WindowConfig(kind="count", count_turns=4)
+    eng = StreamEngine(cfg)
+    rows = eng.process_rows(df.iloc[:6])         # mid-second-chunk
+    eng2 = StreamEngine.restore(eng.snapshot())
+    rows += eng2.process_rows(df.iloc[6:])
+    rows += eng2.flush()
+    ref = StreamEngine(cfg)
+    rows_ref = ref.process_rows(df)
+    rows_ref += ref.flush()
+    pd.testing.assert_frame_equal(emitted_to_frame(rows, "count"),
+                                  emitted_to_frame(rows_ref, "count"))
+
+
+def test_duplicates_do_not_advance_chunks():
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 4,
+        "turn_idx": np.array([0, 1, 1, 2], dtype=np.int32),
+        "role": ["user"] * 4, "text": ["x"] * 4, "tool": [""] * 4,
+        "ts": pd.to_datetime([0, 5, 5, 9], unit="us"),
+    })
+    cfg = WindowConfig(kind="count", count_turns=3, profile="counts")
+    eng, out = run_engine(cfg, df)
+    assert eng.metrics.dup_dropped == 1
+    assert list(out["n_turns"]) == [3]
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        StreamEngine(WindowConfig(kind="count"))            # no count_turns
+    with pytest.raises(ValueError):
+        StreamEngine(WindowConfig(kind="count", count_turns=4,
+                                  emit="updates"))
+
+
+def test_dataset_replay_path(ray_session):
+    import ray.data as rd
+    t = make_transcripts(n_convs=8, mean_turns=20, seed=23)
+    cfg = WindowConfig(kind="count", count_turns=6, profile="counts")
+    out = stateful_window_run(rd.from_arrow(t), cfg,
+                              num_buckets=4).to_pandas()
+    _, direct = run_engine(cfg, sorted_df(t))
+    key = ["conv_id", "win_start"]
+    cols = ["conv_id", "win_start", "win_end", "n_turns"]
+    pd.testing.assert_frame_equal(
+        out[cols].sort_values(key).reset_index(drop=True),
+        direct[cols].sort_values(key).reset_index(drop=True))
