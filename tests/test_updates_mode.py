@@ -181,3 +181,41 @@ def test_retention_zero_updates_accepts_open_windows_only():
     assert eng.metrics.late_updates == 0
     w0 = out[out["window_start"] == pd.Timestamp(EPOCH_US, unit="us")]
     assert w0["n_turns"].iloc[0] == 3
+
+
+def test_streaming_job_updates_end_to_end(ray_session, tmp_path):
+    """Full loop: StreamingJob (partition actors + exactly-once sink)
+    in updates mode over an arrival-ordered log containing late rows;
+    the sink's committed output resolves via latest_revision to the
+    batch recomputation over the time-sorted input."""
+    from fasta_windows_ray.state.runner import StreamingJob
+
+    table = mk([1, 5, 15, 7, 31, 24], convs=["a", "a", "a", "a", "a", "a"],
+               idx=range(6))
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S,
+                       emit="updates", retention_us=60 * S)
+    job = StreamingJob(str(tmp_path / "out"), cfg, num_partitions=2)
+    job.run(table, batch_rows=2, checkpoint_every=1)
+    out = job.output()
+    assert "revision" in out.columns
+    assert (out["revision"] > 0).any()            # a late update happened
+    final = canon(latest_revision(out).drop(columns=["revision"]))
+    truth = canon(batch_recompute(table, 10 * S))
+    pd.testing.assert_frame_equal(
+        final.reset_index(drop=True), truth.reset_index(drop=True))
+
+
+def test_retention_state_bounded():
+    """Long stream, small retention: retained-window state stays bounded
+    (windows GC at end+retention; revisions dict tracks only live keys)."""
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, profile="counts",
+                       emit="updates", retention_us=20 * S)
+    eng = StreamEngine(cfg)
+    for chunk in range(50):
+        ts = np.arange(20) + chunk * 20
+        eng.process_rows(mk(ts.tolist(), idx=(ts * 7).tolist()))
+        # live horizon = watermark - (size + retention) => <= ~4 windows
+        assert len(eng.open) <= 5
+        assert len(eng.revisions) <= 5
+        assert len(eng.ret_heap) <= 5
+    assert eng.metrics.windows_expired > 90
