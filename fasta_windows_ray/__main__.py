@@ -153,13 +153,22 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
-def cmd_drift(args) -> int:
+def _drift_side(spec: str, catalog: bool):
     import ray.data as rd
+    if not catalog:
+        return rd.read_parquet(spec)
+    from .sources.catalog import catalog_read
+    if "@" in spec:                       # table_dir@version
+        path, ver = spec.rsplit("@", 1)
+        return catalog_read(path, version=int(ver))
+    return catalog_read(spec)
 
+
+def cmd_drift(args) -> int:
     from .stages.drift import drift_report
     _ensure_ray(args.num_cpus)
-    ref = rd.read_parquet(args.reference)
-    cur = rd.read_parquet(args.current)
+    ref = _drift_side(args.reference, args.catalog)
+    cur = _drift_side(args.current, args.catalog)
     rep = drift_report(
         ref, cur,
         numeric_cols=args.numeric.split(",") if args.numeric else [],
@@ -292,6 +301,10 @@ def main(argv=None) -> int:
     dr.add_argument("--out", default=None, help="write report parquet")
     dr.add_argument("--fail-psi", type=float, default=None,
                     help="exit 1 if any column's PSI exceeds this")
+    dr.add_argument("--catalog", action="store_true",
+                    help="sides are catalog tables, optionally pinned "
+                         "as table_dir@version (drift between snapshots "
+                         "of one table: t@3 t@5)")
     dr.set_defaults(fn=cmd_drift)
 
     tk = sub.add_parser("tokenize", help="train a BPE vocab on the corpus "
