@@ -148,6 +148,12 @@ class WindowConfig:
     # replayed output). tumbling/sliding only.
     emit: str = "final"                 # final | updates
     retention_us: int = 0               # updates mode: keep state this long
+    # early firing (Beam/Flink accumulating trigger): in updates mode,
+    # an OPEN window also emits a speculative pane every N arrivals —
+    # same revision stream as late updates (the watermark pane and any
+    # late panes just keep incrementing), so latest_revision resolves
+    # exactly the same way. 0 = watermark-only emission.
+    early_fire_every: int = 0
 
     def starts_for(self, ts: int):
         """Covering window starts for an event at ``ts`` — pure int math
@@ -456,6 +462,7 @@ class Metrics:
     kgram_spills: int = 0     # windows emitted with a spilled (approx) histogram
     late_updates: int = 0     # updates mode: re-emissions caused by late rows
     windows_expired: int = 0  # updates mode: retained windows GC'd at retention
+    early_panes: int = 0      # speculative panes fired before the watermark
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -476,6 +483,9 @@ class StreamEngine:
                              "fixed event-time end to retain against)")
         if cfg.kind == "count" and cfg.count_turns < 1:
             raise ValueError("count windows need count_turns >= 1")
+        if cfg.early_fire_every and cfg.emit != "updates":
+            raise ValueError("early_fire_every needs emit='updates' "
+                             "(speculative panes are revisions)")
         self.cfg = cfg
         self.partition_id = partition_id
         self.watermark = -(1 << 62)
@@ -494,6 +504,8 @@ class StreamEngine:
         # updates mode: per-window revision counters + retention GC heap
         self.revisions: dict[tuple, int] = {}
         self.ret_heap: list[tuple] = []  # (end + retention_us, conv, start)
+        # early firing: arrivals since the window's last speculative pane
+        self._since_fire: dict[tuple, int] = {}
         self.metrics = Metrics()
         self._drains = 0      # throttles the O(#convs) GC scans in _drain
 
@@ -599,6 +611,15 @@ class StreamEngine:
                         heapq.heappush(self.heap, hk)
                         self.heaped.add(hk)
                     acc.add(ts, int(uid), role, text, tool, cfg, stats)
+                    if cfg.early_fire_every:
+                        n = self._since_fire.get(key, 0) + 1
+                        if n >= cfg.early_fire_every \
+                                and s + cfg.size_us > self.watermark:
+                            # speculative pane for a still-open window
+                            out.append(self._finalize_row(
+                                conv, s, s + cfg.size_us, acc, pane=True))
+                            n = 0
+                        self._since_fire[key] = n
             else:
                 # updates mode, late-but-retained row: fold into every
                 # live covering window; windows already past the
@@ -688,18 +709,26 @@ class StreamEngine:
         return row
 
     def _finalize_row(self, conv: str, s: int, end: int,
-                      acc: _WindowAcc) -> dict:
+                      acc: _WindowAcc, pane: bool = False) -> dict:
         """Shared emission: finalize (non-destructive) + metrics; in
-        updates mode stamps the per-window ``revision`` (0 = on-time)."""
+        updates mode stamps the per-window ``revision`` (0 = first pane).
+        ``pane=True`` marks a speculative early fire (counted separately
+        from windows_emitted)."""
         if acc.kg_spill is not None:
             self.metrics.kgram_spills += 1
         row = acc.finalize(conv, s, end, self.cfg)
-        self.metrics.windows_emitted += 1
+        if pane:
+            self.metrics.early_panes += 1
+        else:
+            self.metrics.windows_emitted += 1
         if self.cfg.emit == "updates":
             rev = self.revisions.get((conv, s), -1) + 1
-            if self.cfg.retention_us > 0:      # no re-emission possible
-                self.revisions[(conv, s)] = rev   # at retention 0: don't
-            row["revision"] = rev                 # accumulate dead keys
+            # track the counter whenever this window can emit again
+            # (retention or early firing); at retention 0 without early
+            # fire, don't accumulate dead keys
+            if self.cfg.retention_us > 0 or self.cfg.early_fire_every:
+                self.revisions[(conv, s)] = rev
+            row["revision"] = rev
         return row
 
     def _drain(self, out: list[dict]):
@@ -722,6 +751,9 @@ class StreamEngine:
                 if acc is None:
                     continue
             out.append(self._finalize_row(conv, s, end, acc))
+            self._since_fire.pop(key, None)
+            if not retain:      # no further emission possible for key
+                self.revisions.pop(key, None)
         # retention GC: drop accumulators whose late-update horizon passed
         while self.ret_heap and self.ret_heap[0][0] <= self.watermark:
             _, conv, s = heapq.heappop(self.ret_heap)
@@ -774,7 +806,7 @@ class StreamEngine:
             "sessions": self.sessions, "seen_uids": self.seen_uids,
             "metrics": self.metrics,
             "revisions": self.revisions, "ret_heap": self.ret_heap,
-            "count_bufs": self.count_bufs,
+            "count_bufs": self.count_bufs, "since_fire": self._since_fire,
         })
 
     @classmethod
@@ -788,6 +820,7 @@ class StreamEngine:
         eng.revisions = d.get("revisions", {})
         eng.ret_heap = d.get("ret_heap", [])
         eng.count_bufs = d.get("count_bufs", {})
+        eng._since_fire = d.get("since_fire", {})
         return eng
 
 

@@ -219,3 +219,45 @@ def test_retention_state_bounded():
         assert len(eng.revisions) <= 5
         assert len(eng.ret_heap) <= 5
     assert eng.metrics.windows_expired > 90
+
+
+def test_early_firing_panes():
+    """Speculative panes: every 2 arrivals an open window re-emits; the
+    watermark pane continues the same revision stream; latest_revision
+    still resolves to the batch recomputation."""
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S,
+                       emit="updates", retention_us=30 * S,
+                       early_fire_every=2)
+    df = mk([1, 2, 3, 4, 5, 15], idx=range(6))
+    eng, rows = run(cfg, df)
+    out = frame(rows)
+    w0 = out[out["window_start"] == pd.Timestamp(EPOCH_US, unit="us")] \
+        .sort_values("revision").reset_index(drop=True)
+    # panes at n=2 and n=4 (revisions 0, 1), watermark pane (revision 2)
+    assert list(w0["revision"]) == [0, 1, 2]
+    assert list(w0["n_turns"]) == [2, 4, 5]          # accumulating panes
+    assert eng.metrics.early_panes == 2
+    assert eng.metrics.windows_emitted == 2          # [0,10) + [10,20)
+    final = canon(latest_revision(out).drop(columns=["revision"]))
+    truth = canon(batch_recompute(df, 10 * S))
+    pd.testing.assert_frame_equal(final, truth)
+
+
+def test_early_fire_then_late_update_same_stream():
+    cfg = WindowConfig(kind="tumbling", size_us=10 * S, profile="counts",
+                       emit="updates", retention_us=60 * S,
+                       early_fire_every=2)
+    df = mk([1, 2, 15, 7], idx=range(4))   # pane, watermark, late update
+    eng, rows = run(cfg, df)
+    out = frame(rows)
+    w0 = out[out["window_start"] == pd.Timestamp(EPOCH_US, unit="us")] \
+        .sort_values("revision").reset_index(drop=True)
+    assert list(w0["revision"]) == [0, 1, 2]
+    assert list(w0["n_turns"]) == [2, 2, 3]
+    assert eng.metrics.early_panes == 1
+    assert eng.metrics.late_updates == 1
+
+
+def test_early_fire_requires_updates_mode():
+    with pytest.raises(ValueError):
+        StreamEngine(WindowConfig(kind="tumbling", early_fire_every=4))
