@@ -51,8 +51,17 @@ def read_materialized_agg(view_dir: str, version: int | None = None):
 
 def refresh_materialized_agg(source_dir: str, view_dir: str,
                              group_cols: list[str],
-                             sum_cols: list[str] | None = None) -> dict:
+                             sum_cols: list[str] | None = None,
+                             window: dict | None = None) -> dict:
     """Sync the rollup view to the source's latest snapshot.
+
+    ``window={"ts_col": "ts", "size_us": N[, "offset_us": 0]}`` makes
+    the view a WINDOWED rollup: a derived ``window_start`` (int64
+    epoch-µs tumbling bucket of the ts column) joins the group key —
+    the incremental windowed-aggregate-over-a-growing-table shape
+    (appends touch only the windows they land in; counts/sums stay
+    delta-maintainable under deletes exactly as before). The window
+    spec is committed with the view and later refreshes must match.
 
     Returns a report: ``{synced_from, synced_to, rows_net_delta,
     full_scan, view_version, noop}``.
@@ -61,13 +70,18 @@ def refresh_materialized_agg(source_dir: str, view_dir: str,
                                    _load_manifest, catalog_changes,
                                    catalog_write)
     sum_cols = list(sum_cols or [])
+    if window is not None:
+        window = {"ts_col": window["ts_col"],
+                  "size_us": int(window["size_us"]),
+                  "offset_us": int(window.get("offset_us", 0))}
     spec = {"source": os.path.abspath(source_dir),
-            "group_cols": list(group_cols), "sum_cols": sum_cols}
+            "group_cols": list(group_cols), "sum_cols": sum_cols,
+            "window": window}
     meta = _load_view_meta(view_dir)
-    if meta is not None and {k: meta[k] for k in spec} != spec:
+    if meta is not None and {k: meta.get(k) for k in spec} != spec:
         raise ValueError(f"view spec mismatch: committed "
-                         f"{ {k: meta[k] for k in spec} } vs requested "
-                         f"{spec}")
+                         f"{ {k: meta.get(k) for k in spec} } vs "
+                         f"requested {spec}")
     last = meta["source_version"] if meta else 0
     src_v = _latest_version(source_dir)
     if src_v == 0:
@@ -94,11 +108,14 @@ def refresh_materialized_agg(source_dir: str, view_dir: str,
             return report
 
     val_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+    eff_group = list(group_cols) + (["window_start"] if window else [])
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         if df.empty:
             out = df.head(0)[group_cols].copy()
+            if window:
+                out["window_start"] = pd.Series(dtype=np.int64)
             out["n_rows"] = pd.Series(dtype=np.int64)
             for c in sum_cols:
                 out[f"sum_{c}"] = pd.Series(dtype=np.float64)
@@ -106,10 +123,15 @@ def refresh_materialized_agg(source_dir: str, view_dir: str,
         sign = (np.where(df["_change"].to_numpy() == "delete", -1, 1)
                 if "_change" in df.columns else np.ones(len(df), np.int64))
         out = df[group_cols].copy()
+        if window:
+            ts = df[window["ts_col"]].astype("datetime64[us]") \
+                .astype("int64").to_numpy()
+            off, size = window["offset_us"], window["size_us"]
+            out["window_start"] = (ts - off) // size * size + off
         out["n_rows"] = sign.astype(np.int64)
         for c in sum_cols:
             out[f"sum_{c}"] = df[c].to_numpy().astype(np.float64) * sign
-        g = (out.groupby(group_cols, dropna=False, sort=False)
+        g = (out.groupby(eff_group, dropna=False, sort=False)
                 .sum().reset_index())
         g["n_rows"] = g["n_rows"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -118,29 +140,30 @@ def refresh_materialized_agg(source_dir: str, view_dir: str,
     # — routing it through the CDC path would pay a needless whole-
     # table multiset exchange); later syncs read only the change feed
     from ..sources.catalog import catalog_read
-    src = (catalog_read(source_dir, version=src_v,
-                        columns=list(group_cols) + sum_cols) if not last
-           else catalog_changes(source_dir, last, src_v))
+    read_cols = list(group_cols) + sum_cols \
+        + ([window["ts_col"]] if window else [])
+    src = (catalog_read(source_dir, version=src_v, columns=read_cols)
+           if not last else catalog_changes(source_dir, last, src_v))
     delta = src.map_batches(partial, batch_format="pyarrow")
     have_prior = meta is not None and \
         _load_manifest(view_dir, meta["view_version"])["total_rows"] > 0
     if have_prior:
         prior = read_materialized_agg(
             view_dir, meta["view_version"]).map_batches(
-            lambda t: t.select(group_cols + val_cols),
+            lambda t: t.select(eff_group + val_cols),
             batch_format="pyarrow", zero_copy_batch=True)
         combined = delta.union(prior)
     else:
         combined = delta
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.iloc[:1][group_cols].copy()
+        g = df.iloc[:1][eff_group].copy()
         for c in val_cols:
             g[c] = df[c].sum()
         g["n_rows"] = g["n_rows"].astype(np.int64)
         return g[g["n_rows"] != 0].reset_index(drop=True)
 
-    result = combined.groupby(group_cols).map_groups(
+    result = combined.groupby(eff_group).map_groups(
         fold, batch_format="pandas")
     m = catalog_write(result, view_dir, mode="overwrite")
     _atomic_json(os.path.join(view_dir, _META),

@@ -95,3 +95,78 @@ def test_matview_count_only_and_multi_group(tmp_path):
            .sort_values(["a", "b"]).reset_index(drop=True))
     assert got["n_rows"].tolist() == [2, 1, 2]
     assert "sum_v" not in got.columns
+
+
+def test_windowed_view_incremental(ray_session, tmp_path):
+    """Windowed rollup view: appends touch only their windows; the view
+    equals a from-scratch windowed groupby after every refresh; deletes
+    retract; spec (incl. window) is pinned."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fasta_windows_ray.sources.catalog import (catalog_delete,
+                                                   catalog_write)
+    from fasta_windows_ray.stages.matview import (read_materialized_agg,
+                                                  refresh_materialized_agg)
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    H = 3600 * 1_000_000
+
+    def mk(lo, hi, role="user"):
+        n = hi - lo
+        return pd.DataFrame({
+            "conv_id": [f"c{i % 3}" for i in range(lo, hi)],
+            "role": [role] * n,
+            "n_chars": np.arange(lo, hi, dtype=np.int64),
+            "ts": pd.to_datetime((np.arange(lo, hi) * 600 + 5) * 1_000_000,
+                                 unit="us"),
+        })
+
+    def truth(pdf):
+        t = pdf.copy()
+        ts = t["ts"].astype("datetime64[us]").astype("int64")
+        t["window_start"] = ts // H * H
+        g = (t.groupby(["role", "window_start"])
+              .agg(n_rows=("role", "size"), sum_n_chars=("n_chars", "sum"))
+              .reset_index())
+        g["sum_n_chars"] = g["sum_n_chars"].astype(float)
+        return g.sort_values(["role", "window_start"]).reset_index(drop=True)
+
+    win = {"ts_col": "ts", "size_us": H}
+    all_rows = mk(0, 40)
+    catalog_write(rd.from_pandas(all_rows), src)
+    r1 = refresh_materialized_agg(src, view, ["role"],
+                                  sum_cols=["n_chars"], window=win)
+    assert r1["full_scan"]
+
+    def view_df():
+        df = read_materialized_agg(view).to_pandas()
+        return df[["role", "window_start", "n_rows", "sum_n_chars"]] \
+            .sort_values(["role", "window_start"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(view_df(), truth(all_rows),
+                                  check_dtype=False)
+
+    more = mk(40, 70, role="assistant")
+    catalog_write(rd.from_pandas(more), src, mode="append")
+    r2 = refresh_materialized_agg(src, view, ["role"],
+                                  sum_cols=["n_chars"], window=win)
+    assert not r2["full_scan"] and not r2["noop"]
+    both = pd.concat([all_rows, more], ignore_index=True)
+    pd.testing.assert_frame_equal(view_df(), truth(both), check_dtype=False)
+
+    # delete retracts from the touched windows only
+    catalog_delete(src, [("n_chars", "<", 10)])
+    refresh_materialized_agg(src, view, ["role"], sum_cols=["n_chars"],
+                             window=win)
+    kept = both[both["n_chars"] >= 10]
+    pd.testing.assert_frame_equal(view_df(), truth(kept), check_dtype=False)
+
+    # window spec is pinned
+    with pytest.raises(ValueError):
+        refresh_materialized_agg(src, view, ["role"], sum_cols=["n_chars"],
+                                 window={"ts_col": "ts", "size_us": 2 * H})
+    with pytest.raises(ValueError):
+        refresh_materialized_agg(src, view, ["role"], sum_cols=["n_chars"])
