@@ -174,3 +174,65 @@ def scan_matches(df: pd.DataFrame, key_col: str, type_col: str,
         "start_event_id": ids[idx].astype(np.int64),
         "end_event_id": ids[idx + m - 1].astype(np.int64),
         "start_ts": ts[idx].astype("datetime64[us]")})
+
+
+def detect_anomalies(ds, key_col: str, order_col: str, value_col: str,
+                     trailing: int = 8, k_sigma: float = 3.0,
+                     num_buckets: int = 64):
+    """Rolling z-score anomaly detection per key — "alert when a
+    conversation's metric departs from its own trailing baseline" (the
+    streaming-monitoring composition of the window-function machinery).
+
+    Per key, ordered by ``order_col``: baseline = mean/stddev_samp of
+    the PREVIOUS ``trailing`` values (the current row is excluded — an
+    outlier must not dilute its own baseline); z = (x − mean) / std;
+    rows with |z| > k_sigma flag ``is_anomaly``. The first row of a key
+    and any frame with fewer than 2 prior values (std undefined) never
+    flag. Same bucket-shuffle + segment-vectorized shape as
+    match_sequence; one exchange, no per-row Python.
+
+    Returns the input rows + (baseline_mean, baseline_std, zscore,
+    is_anomaly)."""
+    ds = ds.map_batches(
+        lambda t: t.append_column("bucket", pa.array(stable_bucket_of(
+            t[key_col].to_numpy(zero_copy_only=False), num_buckets),
+            pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values([key_col, order_col], kind="stable")
+                .reset_index(drop=True).drop(columns=["bucket"]))
+        n = len(df)
+        if n == 0:
+            for c in ("baseline_mean", "baseline_std", "zscore"):
+                df[c] = pd.Series(dtype=np.float64)
+            df["is_anomaly"] = pd.Series(dtype=bool)
+            return df
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        ar = np.arange(n)
+        v = df[value_col].to_numpy().astype(np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(v)))
+        cs2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        # frame = [lower, ar): previous `trailing` rows, current excluded
+        lower = np.maximum(ar - trailing, seg_start)
+        length = (ar - lower).astype(np.float64)
+        sx = cs[ar] - cs[lower]
+        sx2 = cs2[ar] - cs2[lower]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = sx / length
+            var = np.maximum(sx2 - sx * sx / length, 0.0) \
+                / np.maximum(length - 1, 1)
+            std = np.sqrt(var)
+            z = (v - mean) / std
+        ok = (length >= 2) & (std > 0)
+        df["baseline_mean"] = np.where(length >= 1, mean, np.nan)
+        df["baseline_std"] = np.where(length >= 2, std, np.nan)
+        df["zscore"] = np.where(ok, z, np.nan)
+        df["is_anomaly"] = ok & (np.abs(np.where(ok, z, 0.0)) > k_sigma)
+        return df
+
+    return ds.groupby("bucket").map_groups(scan, batch_format="pandas")

@@ -85,6 +85,8 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
       ``("rolling_mean", col, w, out)``  — AVG(col) ROWS w-1 PRECEDING
                                            .. CURRENT ROW (shorter at
                                            the partition head, like SQL)
+      ``("rolling_std", col, w, out)``   — STDDEV_SAMP over the same
+                                           frame (NaN at frame length 1)
 
     Returns a Ray Dataset of the input columns + one column per spec;
     all input rows are preserved (the ``bucket`` shuffle column is
@@ -147,6 +149,22 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
                 below = np.where(lower > 0, cs[lower - 1], 0)
                 length = ar - lower + 1
                 df[out] = np.round((cs - below) / length, 6)
+            elif kind == "rolling_std":
+                # STDDEV_SAMP over ROWS w-1 PRECEDING..CURRENT (null at
+                # frame length 1, like SQL), via cumsums of x and x^2
+                w = int(s[2])
+                v = vals.to_numpy().astype(np.float64)
+                cs = np.cumsum(v)
+                cs2 = np.cumsum(v * v)
+                lower = np.maximum(ar - w + 1, seg_start)
+                below = np.where(lower > 0, cs[lower - 1], 0.0)
+                below2 = np.where(lower > 0, cs2[lower - 1], 0.0)
+                length = (ar - lower + 1).astype(np.float64)
+                sx, sx2 = cs - below, cs2 - below2
+                var = np.maximum(sx2 - sx * sx / length, 0.0) \
+                    / np.maximum(length - 1, 1)
+                std = np.sqrt(var)
+                df[out] = np.round(np.where(length > 1, std, np.nan), 6)
             else:
                 raise ValueError(f"unknown window function {kind!r}")
         return df
