@@ -67,13 +67,18 @@ def cmd_transcripts(args) -> int:
     _ensure_ray(args.num_cpus)
     size = args.window_hours * 3600 * 1_000_000
     step = args.step_hours * 3600 * 1_000_000 if args.step_hours else None
-    if args.stateful or args.kind == "session":
+    if args.stateful or args.kind in ("session", "count"):
         from .state.engine import WindowConfig
         from .state.runner import stateful_window_run
         cfg = WindowConfig(kind=args.kind, size_us=size, step_us=step,
                            gap_us=args.gap_minutes * 60 * 1_000_000,
                            lateness_us=args.lateness_minutes * 60 * 1_000_000,
-                           profile=args.profile)
+                           profile=args.profile,
+                           count_turns=args.count_turns,
+                           emit="updates" if args.updates else "final",
+                           retention_us=args.retention_minutes
+                           * 60 * 1_000_000,
+                           early_fire_every=args.early_fire_every)
         out = stateful_window_run(read_transcripts(args.input_dir), cfg,
                                   num_buckets=args.buckets)
     else:
@@ -214,6 +219,33 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_conv_stats(args) -> int:
+    from .stages.conv_stats import conv_stats, filter_conversations
+    from .transcripts import read_transcripts
+    _ensure_ray(args.num_cpus)
+    ds = read_transcripts(args.input_dir)
+    if args.out_dir:
+        kept, stats = filter_conversations(
+            ds, min_turns=args.min_turns, max_turns=args.max_turns,
+            min_chars_per_turn=args.min_chars_per_turn,
+            max_tool_rate=args.max_tool_rate,
+            require_user_start=args.require_user_start)
+        kept.write_parquet(args.out_dir)
+        n_kept = int(stats["kept"].sum())
+        print(f"[+]\t{n_kept}/{len(stats)} conversations kept -> "
+              f"{args.out_dir}")
+    else:
+        stats = conv_stats(ds)
+        import pandas as pd
+        with pd.option_context("display.width", 200,
+                               "display.max_columns", None):
+            print(stats.head(50).to_string(index=False))
+        print(f"[+]\t{len(stats)} conversations")
+    if args.stats_out:
+        stats.to_parquet(args.stats_out, index=False)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -233,12 +265,23 @@ def main(argv=None) -> int:
     tr = sub.add_parser("transcripts", help="Parquet windowed-stats engine")
     tr.add_argument("input_dir")
     tr.add_argument("out_dir")
-    tr.add_argument("--kind", choices=["tumbling", "sliding", "session"],
+    tr.add_argument("--kind", choices=["tumbling", "sliding", "session",
+                                       "count"],
                     default="tumbling")
     tr.add_argument("--window-hours", type=int, default=6)
     tr.add_argument("--step-hours", type=int, default=None)
     tr.add_argument("--gap-minutes", type=int, default=30)
     tr.add_argument("--lateness-minutes", type=int, default=0)
+    tr.add_argument("--count-turns", type=int, default=0,
+                    help="count windows: turns per window (--kind count)")
+    tr.add_argument("--updates", action="store_true",
+                    help="allowed-lateness re-emission with revisions "
+                         "(tumbling/sliding)")
+    tr.add_argument("--retention-minutes", type=int, default=0,
+                    help="updates mode: late-update horizon past each "
+                         "window end")
+    tr.add_argument("--early-fire-every", type=int, default=0,
+                    help="updates mode: speculative pane every N arrivals")
     tr.add_argument("--profile", choices=["full", "fast", "counts"],
                     default="full")
     tr.add_argument("--buckets", type=int, default=64)
@@ -322,6 +365,21 @@ def main(argv=None) -> int:
     tk.add_argument("--id-col", default="doc_id")
     tk.add_argument("--text-col", default="text")
     tk.set_defaults(fn=cmd_tokenize)
+
+    cs = sub.add_parser("conv-stats", help="per-conversation stats; with "
+                                           "OUT_DIR, filter whole "
+                                           "conversations by thresholds")
+    cs.add_argument("input_dir", help="transcript parquet dir")
+    cs.add_argument("out_dir", nargs="?", default=None,
+                    help="write surviving turns here (enables filtering)")
+    cs.add_argument("--min-turns", type=int, default=2)
+    cs.add_argument("--max-turns", type=int, default=10 ** 9)
+    cs.add_argument("--min-chars-per-turn", type=float, default=0.0)
+    cs.add_argument("--max-tool-rate", type=float, default=1.0)
+    cs.add_argument("--require-user-start", action="store_true")
+    cs.add_argument("--stats-out", default=None,
+                    help="also write the stats table as parquet")
+    cs.set_defaults(fn=cmd_conv_stats)
 
     args = ap.parse_args(argv)
     return args.fn(args)
