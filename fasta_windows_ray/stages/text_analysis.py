@@ -290,3 +290,75 @@ def apply(ds, cls, concurrency=None, batch_size: int = 4096, **kwargs):
                               concurrency=concurrency)
     return ds.map_batches(run, batch_format="pandas",
                           batch_size=batch_size)
+
+
+# Unicode script ranges (BMP + SMP starts; coarse, curation-grade):
+# sorted range starts paired with a script label per range. Anything
+# uncovered is "other"; ASCII digits/punct/space count as "common".
+_SCRIPT_RANGES: list[tuple[int, int, str]] = [
+    (0x0000, 0x0040, "common"), (0x0041, 0x005A, "latin"),
+    (0x005B, 0x0060, "common"), (0x0061, 0x007A, "latin"),
+    (0x007B, 0x00BF, "common"), (0x00C0, 0x024F, "latin"),
+    (0x0370, 0x03FF, "greek"), (0x0400, 0x04FF, "cyrillic"),
+    (0x0530, 0x058F, "armenian"), (0x0590, 0x05FF, "hebrew"),
+    (0x0600, 0x06FF, "arabic"), (0x0750, 0x077F, "arabic"),
+    (0x0900, 0x097F, "devanagari"), (0x0980, 0x09FF, "bengali"),
+    (0x0E00, 0x0E7F, "thai"), (0x10A0, 0x10FF, "georgian"),
+    (0x1100, 0x11FF, "hangul"), (0x1E00, 0x1EFF, "latin"),
+    (0x2000, 0x206F, "common"), (0x3040, 0x309F, "hiragana"),
+    (0x30A0, 0x30FF, "katakana"), (0x3130, 0x318F, "hangul"),
+    (0x3400, 0x4DBF, "han"), (0x4E00, 0x9FFF, "han"),
+    (0xA000, 0xA48F, "yi"), (0xAC00, 0xD7AF, "hangul"),
+    (0xF900, 0xFAFF, "han"), (0x1F300, 0x1FAFF, "emoji"),
+]
+SCRIPTS = tuple(sorted({s for _, _, s in _SCRIPT_RANGES} | {"other"}))
+
+
+def _script_tables():
+    starts = np.array([r[0] for r in _SCRIPT_RANGES], np.uint32)
+    ends = np.array([r[1] for r in _SCRIPT_RANGES], np.uint32)
+    idx = np.array([SCRIPTS.index(r[2]) for r in _SCRIPT_RANGES], np.int64)
+    return starts, ends, idx, SCRIPTS.index("other")
+
+
+def script_profile(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Unicode-script profile: fraction of codepoints per
+    script (coarse block ranges — curation-grade, not UAX#24-exact),
+    ``dominant_script`` (most frequent non-common script; "common" only
+    when nothing else appears), and ``n_codepoints``.
+
+    Fully vectorized: each batch's texts concatenate into ONE utf-32
+    buffer (``np.frombuffer`` — one C-speed pass), scripts resolve by
+    ``searchsorted`` against the sorted range table, per-(doc, script)
+    counts by one ``np.add.at`` scatter. Shuffle-free."""
+    starts, ends, sidx, other_i = _script_tables()
+    k = len(SCRIPTS)
+    common_i = SCRIPTS.index("common")
+
+    def run(t: pa.Table) -> pd.DataFrame:
+        texts = [x if x is not None else ""
+                 for x in t[text_col].to_pylist()]
+        lens = np.array([len(x) for x in texts], np.int64)
+        n = len(texts)
+        out = np.zeros((n, k), np.int64)
+        if lens.sum():
+            cp = np.frombuffer("".join(texts).encode("utf-32-le"),
+                               np.uint32)
+            r = np.searchsorted(starts, cp, side="right") - 1
+            r = np.clip(r, 0, len(starts) - 1)
+            script = np.where(cp <= ends[r], sidx[r], other_i)
+            doc = np.repeat(np.arange(n), lens)
+            np.add.at(out, (doc, script), 1)
+        frac = out / np.maximum(lens, 1)[:, None]
+        scored = out.copy()
+        scored[:, common_i] = 0          # common never wins outright
+        dom = scored.argmax(axis=1)
+        dom = np.where(scored.max(axis=1) > 0, dom, common_i)
+        res = {id_col: t[id_col].to_numpy(zero_copy_only=False),
+               "n_codepoints": lens,
+               "dominant_script": np.asarray(SCRIPTS, object)[dom]}
+        for j, s in enumerate(SCRIPTS):
+            res[f"frac_{s}"] = frac[:, j]
+        return pd.DataFrame(res)
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)

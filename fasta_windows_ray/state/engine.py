@@ -517,7 +517,13 @@ class StreamEngine:
         doubles past its post-prune size (a genuinely hot conv with many
         live uids inside lateness just raises its own threshold).
         Updates mode accepts rows up to retention_us BELOW the watermark,
-        so its prune threshold backs off by the same amount."""
+        so its prune threshold backs off by the same amount. Count
+        windows accept ANY ts (arrival-order semantics), so pruning is
+        never exact there — keep everything; a conv's dedup set is then
+        bounded by its true turn count, not the corpus."""
+        if self.cfg.kind == "count":
+            self._seen_prune_at[conv] = max(1024, 2 * len(seen))
+            return seen
         wm = self.watermark
         if self.cfg.emit == "updates":
             wm -= self.cfg.retention_us

@@ -148,3 +148,25 @@ def test_dataset_replay_path(ray_session):
     pd.testing.assert_frame_equal(
         out[cols].sort_values(key).reset_index(drop=True),
         direct[cols].sort_values(key).reset_index(drop=True))
+
+
+def test_dedup_survives_pruning_threshold():
+    """Count mode accepts any ts, so the dedup set must NOT prune by
+    watermark: a duplicate of turn 0 arriving after 1500 rows (past the
+    amortized prune trigger) is still dropped."""
+    n = 1500
+    df = pd.DataFrame({
+        "conv_id": ["c"] * n,
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": ["user"] * n, "text": ["x"] * n, "tool": [""] * n,
+        "ts": pd.to_datetime(np.arange(n) * 1_000_000, unit="us"),
+    })
+    dup = df.iloc[[0]]
+    cfg = WindowConfig(kind="count", count_turns=100, profile="counts")
+    eng = StreamEngine(cfg)
+    eng.process_rows(df)
+    eng.process_rows(dup)
+    rows = eng.flush()
+    assert eng.metrics.dup_dropped == 1
+    total = sum(r["n_turns"] for r in rows) + eng.metrics.windows_emitted * 0
+    assert eng.metrics.rows_in == n + 1
