@@ -142,3 +142,44 @@ def filter_conversations(ds, min_turns: int = 2, max_turns: int = 10 ** 9,
 
     return ds.map_batches(keep_rows, batch_format="pyarrow",
                           zero_copy_batch=True), stats
+
+
+def conv_documents(ds, num_buckets: int = 64, sep: str = "\n"):
+    """One document per conversation: turns concatenated in (ts,
+    turn_uid) order — the projection that lets every document-level
+    operator (dedup, quality, fingerprinting) run at conversation
+    granularity. One bucket shuffle; groups bounded by n/num_buckets."""
+    from .window_stats import add_bucket
+    ds = add_bucket(ds, num_buckets)
+
+    def concat(df: pd.DataFrame) -> pd.DataFrame:
+        order = ["conv_id", "ts"] + [c for c in ("turn_uid", "turn_idx")
+                                     if c in df.columns]
+        df = df.sort_values(order, kind="stable")
+        g = (df.groupby("conv_id", sort=False)["text"]
+               .agg(lambda s: sep.join(s.fillna("").astype(str))))
+        return pd.DataFrame({"doc_id": g.index.astype(str),
+                             "text": g.to_numpy()})
+
+    return ds.groupby("bucket").map_groups(concat, batch_format="pandas")
+
+
+def conv_near_dups(ds, threshold: float = 0.7, num_perm: int = 128,
+                   bands: int = 16, shingle_k: int = 7,
+                   num_buckets: int = 64):
+    """Near-duplicate CONVERSATIONS (template spam, replayed dialogues):
+    concatenate each conversation's turns, then run the engine's MinHash
+    → LSH-bucket → exact-Jaccard-verify pipeline at conversation
+    granularity. Returns (doc_a, doc_b, jaccard) with conv_id strings as
+    the ids; same bounded shapes as the document pipeline (band-rows-only
+    exchange, capped hot buckets, candidates-only verification)."""
+    from .dedup import (lsh_candidate_pairs, minhash_band_rows,
+                        verify_jaccard_distributed)
+    docs = conv_documents(ds, num_buckets=num_buckets)
+    bands_ds = minhash_band_rows(docs, num_perm=num_perm, bands=bands,
+                                 shingle_k=shingle_k)
+    cand = lsh_candidate_pairs(bands_ds, dedup=False,
+                               num_buckets=num_buckets)
+    return verify_jaccard_distributed(cand, docs, shingle_k=shingle_k,
+                                      threshold=threshold,
+                                      num_buckets=num_buckets)

@@ -7,7 +7,8 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from fasta_windows_ray.stages.conv_stats import (conv_stats,
+from fasta_windows_ray.stages.conv_stats import (conv_documents,
+                                                 conv_stats,
                                                  filter_conversations)
 from fasta_windows_ray.synth import make_transcripts
 
@@ -101,3 +102,45 @@ def test_filter_conversations():
     assert kept == {"good"}
     out = kept_ds.to_pandas()
     assert set(out["conv_id"]) == {"good"} and len(out) == 4
+
+
+def test_conv_documents_order_and_concat():
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "a", "b", "a"],
+        "turn_idx": np.array([2, 0, 0, 1], dtype=np.int32),
+        "role": ["user"] * 4,
+        "text": ["three", "one", "solo", "two"], "tool": [""] * 4,
+        "ts": pd.to_datetime([20, 0, 5, 10], unit="s"),
+    })
+    out = conv_documents(rd.from_pandas(pdf).repartition(3),
+                         num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == ["a", "b"]
+    assert out["text"].iloc[0] == "one\ntwo\nthree"
+    assert out["text"].iloc[1] == "solo"
+
+
+def test_conv_near_dups_planted():
+    from fasta_windows_ray.stages.conv_stats import conv_near_dups
+    base = ["hello there how are you doing today my friend",
+            "i am fine thanks for asking about it",
+            "let us talk about the weather in the city today"]
+    def conv(cid, turns):
+        return pd.DataFrame({
+            "conv_id": [cid] * len(turns),
+            "turn_idx": np.arange(len(turns), dtype=np.int32),
+            "role": ["user"] * len(turns),
+            "text": turns, "tool": [""] * len(turns),
+            "ts": pd.to_datetime(np.arange(len(turns)), unit="s"),
+        })
+    rng = np.random.default_rng(5)
+    uniq = [conv(f"u{i}", ["".join(rng.choice(list("abcdefgh"), 60))
+                           for _ in range(3)]) for i in range(6)]
+    pdf = pd.concat([conv("dupA", base), conv("dupB", base)] + uniq,
+                    ignore_index=True)
+    pairs = conv_near_dups(rd.from_pandas(pdf).repartition(4),
+                           threshold=0.7).to_pandas()
+    got = {tuple(sorted((a, b)))
+           for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert ("dupA", "dupB") in got
+    assert all({"dupA", "dupB"} == set(p) for p in got)  # no false pairs
