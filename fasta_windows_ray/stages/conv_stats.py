@@ -148,7 +148,14 @@ def conv_documents(ds, num_buckets: int = 64, sep: str = "\n"):
     """One document per conversation: turns concatenated in (ts,
     turn_uid) order — the projection that lets every document-level
     operator (dedup, quality, fingerprinting) run at conversation
-    granularity. One bucket shuffle; groups bounded by n/num_buckets."""
+    granularity. One bucket shuffle; groups bounded by n/num_buckets.
+
+    Emits (doc_id int64, conv_id, text): the document pipelines key on
+    int64 ids, so doc_id is a 64-bit md5 fold of conv_id — stable
+    across runs/partitionings; collision odds are ~n²/2⁶⁵ (negligible
+    below ~10⁹ conversations; shard by conv prefix beyond that)."""
+    import hashlib
+
     from .window_stats import add_bucket
     ds = add_bucket(ds, num_buckets)
 
@@ -158,7 +165,12 @@ def conv_documents(ds, num_buckets: int = 64, sep: str = "\n"):
         df = df.sort_values(order, kind="stable")
         g = (df.groupby("conv_id", sort=False)["text"]
                .agg(lambda s: sep.join(s.fillna("").astype(str))))
-        return pd.DataFrame({"doc_id": g.index.astype(str),
+        convs = g.index.astype(str).to_numpy(object)
+        ids = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:8],
+                            "big") >> 1 for c in convs),
+            np.int64, len(convs))
+        return pd.DataFrame({"doc_id": ids, "conv_id": convs,
                              "text": g.to_numpy()})
 
     return ds.groupby("bucket").map_groups(concat, batch_format="pandas")
@@ -170,16 +182,44 @@ def conv_near_dups(ds, threshold: float = 0.7, num_perm: int = 128,
     """Near-duplicate CONVERSATIONS (template spam, replayed dialogues):
     concatenate each conversation's turns, then run the engine's MinHash
     → LSH-bucket → exact-Jaccard-verify pipeline at conversation
-    granularity. Returns (doc_a, doc_b, jaccard) with conv_id strings as
-    the ids; same bounded shapes as the document pipeline (band-rows-only
-    exchange, capped hot buckets, candidates-only verification)."""
+    granularity; same bounded shapes as the document pipeline
+    (band-rows-only exchange, capped hot buckets, candidates-only
+    verification). Returns a pandas frame (conv_a, conv_b, jaccard) —
+    bounded by the verified pair count."""
+    import ray
+    import pyarrow.compute as pc
+
     from .dedup import (lsh_candidate_pairs, minhash_band_rows,
                         verify_jaccard_distributed)
     docs = conv_documents(ds, num_buckets=num_buckets)
-    bands_ds = minhash_band_rows(docs, num_perm=num_perm, bands=bands,
+    dd = docs.map_batches(lambda t: t.select(["doc_id", "text"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    bands_ds = minhash_band_rows(dd, num_perm=num_perm, bands=bands,
                                  shingle_k=shingle_k)
     cand = lsh_candidate_pairs(bands_ds, dedup=False,
                                num_buckets=num_buckets)
-    return verify_jaccard_distributed(cand, docs, shingle_k=shingle_k,
-                                      threshold=threshold,
-                                      num_buckets=num_buckets)
+    pairs = verify_jaccard_distributed(cand, dd, shingle_k=shingle_k,
+                                       threshold=threshold,
+                                       num_buckets=num_buckets).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"conv_a": pd.Series(dtype=object),
+                             "conv_b": pd.Series(dtype=object),
+                             "jaccard": pd.Series(dtype=float)})
+    # map the (bounded) pair ids back to conv_id strings: broadcast-id
+    # filtered scan of the conv documents, never a corpus shuffle
+    ids = np.unique(np.concatenate([pairs["doc_a"].to_numpy(),
+                                    pairs["doc_b"].to_numpy()]))
+    iref = ray.put(ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["doc_id"],
+                        value_set=pa.array(ray.get(iref), pa.int64()))
+        return t.filter(mask).select(["doc_id", "conv_id"])
+
+    mapping = docs.map_batches(pick, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    m = dict(zip(mapping["doc_id"], mapping["conv_id"]))
+    return pd.DataFrame({
+        "conv_a": [m[i] for i in pairs["doc_a"]],
+        "conv_b": [m[i] for i in pairs["doc_b"]],
+        "jaccard": pairs["jaccard"].to_numpy()})

@@ -114,8 +114,10 @@ def test_conv_documents_order_and_concat():
     })
     out = conv_documents(rd.from_pandas(pdf).repartition(3),
                          num_buckets=4).to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
-    assert list(out["doc_id"]) == ["a", "b"]
+        .sort_values("conv_id").reset_index(drop=True)
+    assert list(out["conv_id"]) == ["a", "b"]
+    assert out["doc_id"].dtype == np.int64
+    assert out["doc_id"].nunique() == 2
     assert out["text"].iloc[0] == "one\ntwo\nthree"
     assert out["text"].iloc[1] == "solo"
 
@@ -139,8 +141,8 @@ def test_conv_near_dups_planted():
     pdf = pd.concat([conv("dupA", base), conv("dupB", base)] + uniq,
                     ignore_index=True)
     pairs = conv_near_dups(rd.from_pandas(pdf).repartition(4),
-                           threshold=0.7).to_pandas()
+                           threshold=0.7)
     got = {tuple(sorted((a, b)))
-           for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+           for a, b in zip(pairs["conv_a"], pairs["conv_b"])}
     assert ("dupA", "dupB") in got
     assert all({"dupA", "dupB"} == set(p) for p in got)  # no false pairs
