@@ -130,3 +130,52 @@ def rag_query(index_dir: str, query_texts: list[str], k: int = 5,
     return (out[["query_id", "rank", "doc_id", "chunk_id", "chunk",
                  "cos_sim"]]
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def hybrid_query(index_dir: str, docs_ds, query_texts: list[str],
+                 bm25_stats_: dict | None = None, k: int = 5,
+                 nprobe: int = 4, dim: int = 64, rrf_k: int = 60,
+                 candidate_factor: int = 3) -> pd.DataFrame:
+    """Hybrid retrieval: dense IVF hits + BM25 lexical hits fused by
+    Reciprocal Rank Fusion (Cormack et al., SIGIR 2009: score(d) =
+    Σ_lists 1/(rrf_k + rank_d)) — the standard two-tower + lexical
+    composition; RRF needs no score calibration between the cosine and
+    BM25 scales.
+
+    Each side over-fetches ``candidate_factor × k`` then the fused
+    ranking keeps k. Dense side reads nprobe/n_lists of the index;
+    lexical side is the broadcast scan over ``docs_ds`` (pass
+    ``bm25_stats_`` to reuse precomputed corpus stats). Returns
+    (query_id, rank, doc_id, rrf_score, dense_rank, bm25_rank)."""
+    from ..stages.bm25 import bm25_stats, bm25_topk
+
+    kk = k * candidate_factor
+    dense = rag_query(index_dir, query_texts, k=kk, nprobe=nprobe,
+                      dim=dim)
+    if bm25_stats_ is None:
+        bm25_stats_ = bm25_stats(docs_ds)
+    lex = bm25_topk(docs_ds, dict(enumerate(query_texts)), bm25_stats_,
+                    k=kk)
+    # fuse at DOCUMENT granularity: a doc's dense rank is its best
+    # chunk's rank
+    if len(dense):
+        dense = (dense.sort_values(["query_id", "rank"])
+                      .drop_duplicates(["query_id", "doc_id"]))
+        dense["dense_rank"] = dense.groupby("query_id").cumcount() + 1
+        dense = dense[["query_id", "doc_id", "dense_rank"]]
+    else:
+        dense = pd.DataFrame({"query_id": [], "doc_id": [],
+                              "dense_rank": []})
+    lex = lex.rename(columns={"rank": "bm25_rank"})[
+        ["query_id", "doc_id", "bm25_rank"]]
+    fused = dense.merge(lex, on=["query_id", "doc_id"], how="outer")
+    rrf = (1.0 / (rrf_k + fused["dense_rank"])).fillna(0.0) \
+        + (1.0 / (rrf_k + fused["bm25_rank"])).fillna(0.0)
+    fused["rrf_score"] = rrf
+    fused = fused.sort_values(["query_id", "rrf_score", "doc_id"],
+                              ascending=[True, False, True], kind="stable")
+    fused = fused.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    fused["rank"] = fused.groupby("query_id").cumcount() + 1
+    return fused[["query_id", "rank", "doc_id", "rrf_score",
+                  "dense_rank", "bm25_rank"]]

@@ -92,3 +92,44 @@ def test_rebuild_reuses_index_and_is_deterministic(ray_session, tmp_path):
     h2 = rag_query(idx, [NEEDLE], k=2, nprobe=2)
     np.testing.assert_array_equal(c1, c2)
     pd.testing.assert_frame_equal(h1, h2)
+
+
+def test_hybrid_query_rrf(ray_session, tmp_path):
+    """Hybrid retrieval: a doc strong on EXACT terms (BM25) and a doc
+    strong on shared phrasing (dense) both surface; RRF math checks out
+    against the per-list ranks it reports."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from fasta_windows_ray.pipelines.rag import hybrid_query, rag_build
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the solar panel array generates renewable electricity",
+            "solar panels on the roof make power from sunlight",
+            "cats and dogs are common household pets in the city",
+            "the stock market closed higher on tuesday afternoon",
+            "recipe for chocolate cake with dark cocoa and butter",
+            "electricity generation from renewable solar energy arrays",
+        ]})
+    ds = rd.from_pandas(docs).repartition(2)
+    idx = str(tmp_path / "hyb")
+    rag_build(ds, idx, size=32, stride=24, n_centroids=2)
+    out = hybrid_query(idx, ds, ["solar panel electricity"], k=4,
+                       nprobe=2)
+    assert len(out) > 0
+    top_docs = set(out["doc_id"].astype(int))
+    assert top_docs & {0, 1, 5}          # on-topic docs surface
+    assert 4 not in set(out.head(2)["doc_id"].astype(int))
+    # RRF score equals the reported component ranks
+    for _, r in out.iterrows():
+        want = 0.0
+        if not pd.isna(r["dense_rank"]):
+            want += 1 / (60 + r["dense_rank"])
+        if not pd.isna(r["bm25_rank"]):
+            want += 1 / (60 + r["bm25_rank"])
+        assert r["rrf_score"] == pytest.approx(want)
+    # ranks are dense 1..n per query
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
