@@ -109,6 +109,70 @@ def read_output(root: str) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def compact_partition(root: str, pid: int) -> dict:
+    """Fold a partition's committed checkpoint intervals into ONE file.
+
+    Long-running streams accumulate a part/state file pair per
+    checkpoint; compaction merges all committed rows into a single
+    interval at a FRESH sequence number (last+1) so the commit point
+    stays the manifest rewrite: crash before it leaves the new files
+    unreferenced (ignored + overwritable); crash after it leaves stale
+    old files that no reader consults and a later compact/cleanup
+    removes. The last state snapshot is carried to the new seq, so
+    ``resume_point`` (and therefore kill-and-resume) is unaffected.
+
+    Returns {"pid", "intervals_before", "n_rows", "removed", "noop"}.
+    """
+    sink = ExactlyOnceSink(root, pid)
+    m = sink.load_manifest()
+    ivs = sorted(m["intervals"], key=lambda iv: iv["seq"])
+    if len(ivs) < 2:
+        return {"pid": pid, "intervals_before": len(ivs),
+                "n_rows": sum(iv["n_rows"] for iv in ivs),
+                "removed": 0, "noop": True}
+    tables = sink.committed_tables()
+    merged = pa.concat_tables([t for t in tables if t.num_rows]) \
+        if any(t.num_rows for t in tables) else tables[0].slice(0, 0)
+    last = ivs[-1]
+    new_seq = last["seq"] + 1
+    part = os.path.join(root, f"part-{pid:05d}-ck{new_seq:06d}.parquet")
+    state_old = os.path.join(root, f"state-{pid:05d}-ck{last['seq']:06d}.pkl")
+    state_new = os.path.join(root, f"state-{pid:05d}-ck{new_seq:06d}.pkl")
+    sink._atomic_write(part, lambda p: pq.write_table(merged, p))
+    with open(state_old, "rb") as f:
+        snap = f.read()
+    sink._atomic_write(state_new, lambda p: open(p, "wb").write(snap))
+    m["intervals"] = [{"seq": new_seq,
+                       "rows_consumed": last["rows_consumed"],
+                       "n_rows": merged.num_rows,
+                       "metrics": last.get("metrics", {}),
+                       "compacted_from": ivs[0]["seq"]}]
+    sink._atomic_write(sink.manifest_path,
+                       lambda p: open(p, "w").write(json.dumps(m)))
+    # post-commit cleanup (best-effort: orphans are unreferenced)
+    removed = 0
+    for iv in ivs:
+        for tmpl in ("part-{:05d}-ck{:06d}.parquet",
+                     "state-{:05d}-ck{:06d}.pkl"):
+            p = os.path.join(root, tmpl.format(pid, iv["seq"]))
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+    return {"pid": pid, "intervals_before": len(ivs),
+            "n_rows": merged.num_rows, "removed": removed, "noop": False}
+
+
+def compact_output(root: str) -> list[dict]:
+    """Compact every partition's checkpoint intervals (see
+    :func:`compact_partition`)."""
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("manifest-"):
+            pid = int(name.split("-")[1].split(".")[0])
+            out.append(compact_partition(root, pid))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Resumable partitioned batch sink (one directory per key-range partition)
 # ---------------------------------------------------------------------------
