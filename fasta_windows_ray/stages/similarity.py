@@ -592,3 +592,77 @@ def ivf_topk(ds, query_vecs: np.ndarray, query_ids: list[int], k: int = 10,
     finally:
         if ephemeral:
             shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def pca_fit(ds, n_components: int, emb_col: str = "embedding",
+            center: bool = True) -> dict:
+    """Distributed PCA over an embedding column — the dimensionality-
+    reduction / whitening step before ANN or clustering.
+
+    Exact, one pass, bounded exchange: each batch emits its (d×d)
+    Gram-matrix partial, the column sum and the row count (d=768 →
+    ~4.7 MB per partial); the driver folds the tiny partials, forms the
+    covariance (X'X − n·μμ')/(n−1) and eigendecomposes LOCALLY (d×d —
+    independent of corpus size). Deterministic: eigh is deterministic
+    and each component's sign is fixed so its max-|loading| coordinate
+    is positive. Returns {"components" (k, d), "mean" (d,),
+    "explained_variance" (k,), "explained_ratio" (k,)}."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "gram": [ (E.T @ E).ravel() ],
+            "colsum": [E.sum(axis=0)],
+            "n": [len(E)]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        raise ValueError("pca_fit on an empty dataset")
+    gram = np.sum(np.stack(parts["gram"].to_numpy()), axis=0)
+    colsum = np.sum(np.stack(parts["colsum"].to_numpy()), axis=0)
+    n = int(parts["n"].sum())
+    d = len(colsum)
+    G = gram.reshape(d, d)
+    mean = colsum / n
+    if center:
+        cov = (G - n * np.outer(mean, mean)) / max(n - 1, 1)
+    else:
+        cov = G / max(n - 1, 1)
+        mean = np.zeros(d)
+    w, v = np.linalg.eigh(cov)              # ascending
+    order = np.argsort(-w)[:n_components]
+    comps = v[:, order].T                   # (k, d)
+    # deterministic sign: max-|loading| coordinate positive per component
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ev = np.maximum(w[order], 0.0)
+    tot = np.maximum(w.sum(), 1e-300)
+    return {"components": comps, "mean": mean,
+            "explained_variance": ev, "explained_ratio": ev / tot}
+
+
+def pca_transform(ds, model: dict, emb_col: str = "embedding",
+                  out_col: str = "embedding", whiten: bool = False):
+    """Project embeddings onto the fitted components (optionally
+    whitened: unit variance per component). Model broadcast once;
+    shuffle-free one-matmul map per batch."""
+    import ray
+    scale = (1.0 / np.sqrt(np.maximum(model["explained_variance"], 1e-12))
+             if whiten else None)
+    mref = ray.put((model["components"], model["mean"], scale))
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        comps, mean, sc = ray.get(mref)
+        E = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        Y = (E - mean) @ comps.T
+        if sc is not None:
+            Y = Y * sc
+        out = batch.copy()
+        if out_col in out.columns and out_col != emb_col:
+            out = out.drop(columns=[out_col])
+        out[out_col] = list(Y.astype(np.float32))
+        return out
+
+    return ds.map_batches(proj, batch_format="pandas")
