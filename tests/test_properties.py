@@ -263,3 +263,83 @@ def test_ppm_decode_never_crashes_on_garbage(buf):
         pass
     else:
         assert img.ndim == 3 and img.shape[2] == 3
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, seed):
+    from fasta_windows_ray.stages.multimodal import png_decode, png_encode
+    img = np.random.RandomState(seed).randint(
+        0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+@given(st.binary(min_size=0, max_size=96))
+@settings(max_examples=60, deadline=None)
+def test_png_decode_never_crashes_on_garbage(buf):
+    """Arbitrary bytes after the PNG signature either decode or raise
+    ValueError — zlib/struct errors never escape raw."""
+    from fasta_windows_ray.stages.multimodal import _PNG_SIG, png_decode
+    try:
+        png_decode(_PNG_SIG + buf)
+    except ValueError:
+        pass
+
+
+@given(st.integers(1, 4000), st.integers(1, 2), st.integers(0, 2**32 - 1),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, seed, sr):
+    from fasta_windows_ray.stages.audio import wav_decode, wav_encode
+    pcm = np.random.RandomState(seed).randint(
+        -32768, 32768, (n, ch)).astype(np.int16)
+    out, sr2 = wav_decode(wav_encode(pcm, sr))
+    assert sr2 == sr and np.array_equal(out, pcm)
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_wav_decode_never_crashes_on_garbage(buf):
+    from fasta_windows_ray.stages.audio import wav_decode
+    try:
+        wav_decode(b"RIFF" + buf)
+    except ValueError:
+        pass
+
+
+@given(st.lists(st.integers(0, 1000), min_size=2, max_size=8),
+       st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_psi_properties(counts, scale):
+    """PSI is symmetric, zero for proportional distributions, positive
+    otherwise."""
+    from fasta_windows_ray.stages.drift import psi
+    p = np.asarray(counts, float)
+    if p.sum() == 0:
+        return
+    assert psi(p, p * scale) == pytest.approx(0, abs=1e-9)
+    q = p[::-1].copy()
+    assert psi(p, q) == pytest.approx(psi(q, p))
+    assert psi(p, q) >= -1e-12
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=105),
+               min_size=0, max_size=12),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_reconstructs_word(word, seed):
+    """Any merge ranking: the tokens always concatenate back to the
+    EOW-marked word (BPE apply never loses or duplicates characters)."""
+    from fasta_windows_ray.stages.bpe import EOW, apply_merges
+    rng = np.random.RandomState(seed)
+    # random plausible merge table over this alphabet
+    syms = [chr(c) for c in range(97, 106)]
+    pool = syms + [a + b for a in syms for b in syms[:3]] \
+        + [s + EOW for s in syms]
+    ranks = {}
+    for i in range(rng.randint(0, 20)):
+        a, b = pool[rng.randint(len(pool))], pool[rng.randint(len(pool))]
+        ranks.setdefault((a, b), len(ranks))
+    toks = apply_merges(word, ranks)
+    want = word + EOW if word else ""
+    assert "".join(toks) == want
