@@ -206,3 +206,29 @@ def test_empty_and_validation():
         JoinConfig(lower_us=5, upper_us=1)
     with pytest.raises(ValueError):
         JoinConfig(lower_us=0, upper_us=1, how="full")
+
+
+def test_streaming_join_job_crash_resume_equals_fresh(tmp_path):
+    left, right = sides_from_synth(seed=21, n_convs=15)
+    log = merged_log(left, right)
+    cfg = JoinConfig(lower_us=0, upper_us=4 * S, how="left")
+
+    from fasta_windows_ray.state.join import StreamingJoinJob
+    fresh_dir = str(tmp_path / "fresh")
+    job = StreamingJoinJob(fresh_dir, cfg, num_partitions=3)
+    job.run(log, batch_rows=29, checkpoint_every=2)
+    fresh = canon(job.output())
+
+    crash_dir = str(tmp_path / "crash")
+    job1 = StreamingJoinJob(crash_dir, cfg, num_partitions=3)
+    r = job1.run(log, batch_rows=29, checkpoint_every=2,
+                 crash_after_batches=5)
+    assert r is None
+    job2 = StreamingJoinJob(crash_dir, cfg, num_partitions=3, resume=True)
+    job2.run(log, batch_rows=29, checkpoint_every=2)
+    pd.testing.assert_frame_equal(fresh, canon(job2.output()))
+
+    # both executions agree with the local single-machine replay
+    _, local = run_joiner(cfg, log)
+    pd.testing.assert_frame_equal(fresh[local.columns.tolist()],
+                                  canon(local))
