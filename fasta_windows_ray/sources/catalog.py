@@ -193,8 +193,16 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                   bucket_by: tuple[str, int] | None = None,
                   zorder: list[str] | None = None,
                   bloom_cols: list[str] | None = None,
-                  bloom_bits: int = 1 << 17) -> dict:
+                  bloom_bits: int = 1 << 17,
+                  commit_ts: int | None = None) -> dict:
     """Commit a Dataset to the catalog table as one new version.
+
+    ``commit_ts`` (optional, int64 epoch-µs) stamps the manifest with
+    an event-time for this version — the hook ``scd2_history`` /
+    ``temporal_join`` (stages/temporal.py) use to place snapshot
+    boundaries on the stream's event-time axis.  Caller-supplied (not
+    wall clock) so replays/backfills stay deterministic; must be
+    monotonically non-decreasing across versions (enforced at commit).
 
     ``mode``: "append" adds this write's files to the current snapshot;
     "overwrite" starts a snapshot containing only this write's files
@@ -306,7 +314,7 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
         report = ds.map_batches(write_block, batch_format="pyarrow",
                                 zero_copy_batch=True).to_pandas()
     return _commit_files(table_dir, report, mode, bucket_by,
-                         zorder=zorder)
+                         zorder=zorder, commit_ts=commit_ts)
 
 
 def _file_bloom(col: pa.ChunkedArray, n_bits: int) -> dict | None:
@@ -439,7 +447,8 @@ def _write_data_file(t: pa.Table, data_dir: str,
 def _commit_files(table_dir: str, report, mode: str,
                   bucket_by: tuple[str, int] | None,
                   base_files: list | None = None,
-                  zorder: list[str] | None = None) -> dict:
+                  zorder: list[str] | None = None,
+                  commit_ts: int | None = None) -> dict:
     """Assemble the file list from distributed write reports and commit
     one new manifest version (the atomic commit point).
 
@@ -483,6 +492,14 @@ def _commit_files(table_dir: str, report, mode: str,
                 "total_rows": int(sum(f["rows"] for f in files))}
     if zorder is not None:
         manifest["zorder"] = list(zorder)
+    if commit_ts is not None:
+        prev_ts = (_load_manifest(table_dir, parent).get("commit_ts")
+                   if parent else None)
+        if prev_ts is not None and int(commit_ts) < int(prev_ts):
+            raise ValueError(
+                f"commit_ts {commit_ts} < parent version's {prev_ts}: "
+                "version event-times must be non-decreasing")
+        manifest["commit_ts"] = int(commit_ts)
     if bucket_by is not None:
         manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
     elif mode == "append" and parent:

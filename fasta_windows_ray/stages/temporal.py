@@ -1,0 +1,228 @@
+"""Event-time temporal (versioned-dimension) join over catalog tables.
+
+The Flink "temporal table join" / Delta SCD-2 enrichment shape: each
+stream event is joined to the dimension row that was CURRENT at the
+event's event-time, not the latest one.  Two pieces:
+
+- ``scd2_history(table_dir, ...)`` derives a slowly-changing-dimension
+  type-2 frame — one row per (dimension row, validity interval)
+  ``[valid_from, valid_to)`` — purely from the catalog's committed
+  snapshots: ``catalog_changes`` (manifest-driven CDC, I/O O(changed
+  files) per version step) yields each version's insert/delete
+  multiset; the version's event-time comes from the manifest's
+  ``commit_ts`` (stamped by ``catalog_write(..., commit_ts=...)``) or
+  a caller-supplied ``version_ts`` map.  Interval assembly is one hash
+  exchange on the dimension key, then vectorized FIFO pairing of each
+  row-content's inserts with its later deletes (cumcount + merge) —
+  a re-inserted row gets a second, disjoint interval.
+
+- ``temporal_join(events, history, ...)`` probes events against the
+  history per key-hash bucket: one ``pd.merge_asof`` on
+  ``valid_from`` (backward, by key), then rows whose matched interval
+  already CLOSED at the event's ts (``valid_to <= ts``) get their
+  dimension columns nulled — i.e. the key was deleted, SQL LEFT-JOIN
+  semantics.  An update commit (delete + insert at the same
+  ``commit_ts``) hands over atomically: the asof picks the newer
+  ``valid_from`` at ties.
+
+Scale: the history is proportional to the dimension's CHANGE volume,
+not the fact stream; events are never materialized — one bucket
+exchange co-partitions both sides and each task holds one bucket.
+The primary-key contract (at most one live row per key at any
+version — maintain the table via ``catalog_merge`` /
+``catalog_delete_keys``) is asserted per bucket at probe time.
+
+SQL twin (the pytest oracle)::
+
+    SELECT e.*, h.<value_cols>
+    FROM events e
+    LEFT JOIN history h
+      ON e.<key> = h.<key>
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .joins import _as_dataset, _restore_ints, _union_tagged
+from .window_stats import stable_bucket_of
+
+_NO_TS = object()
+
+
+def _key_bucket(ds, key: str, num_buckets: int, out_col: str = "bucket"):
+    """``add_bucket`` generalized to an arbitrary key column (string or
+    numeric), same ``stable_bucket_of`` hash as every other exchange."""
+    def _bucket(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        else:
+            vals = col.fill_null("").to_numpy(zero_copy_only=False)
+        b = stable_bucket_of(vals, num_buckets)
+        return t.append_column(out_col, pa.array(b, pa.int64()))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def scd2_history(table_dir: str, key_col: str,
+                 version_ts: dict[int, int] | None = None,
+                 to_version: int | None = None,
+                 num_buckets: int = 32):
+    """SCD-2 validity intervals for every row the table ever held.
+
+    Returns a Dataset with the table's columns plus int64 epoch-µs
+    ``valid_from`` / ``valid_to`` (``valid_to`` null = still live in
+    ``to_version``).  Version event-times come from each manifest's
+    ``commit_ts`` unless ``version_ts`` overrides ({version: µs};
+    every version 1..to_version must be covered by one or the other).
+    """
+    import ray.data as rd
+
+    from ..sources.catalog import _latest_version, _load_manifest
+
+    to_v = to_version if to_version is not None \
+        else _latest_version(table_dir)
+    if to_v == 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+
+    from ..sources.catalog import catalog_changes
+
+    feeds = []
+    for v in range(1, to_v + 1):
+        ts = (version_ts or {}).get(
+            v, _load_manifest(table_dir, v).get("commit_ts", _NO_TS))
+        if ts is _NO_TS:
+            raise ValueError(
+                f"version {v} has no commit_ts in its manifest and no "
+                "version_ts entry — temporal joins need an event-time "
+                "per version")
+        delta = catalog_changes(table_dir, v - 1, v,
+                                num_buckets=num_buckets)
+        vts = int(ts)
+
+        def stamp(t: pa.Table, vts=vts) -> pa.Table:
+            return t.append_column(
+                "_vts", pa.array(np.full(len(t), vts), pa.int64()))
+
+        feeds.append(delta.map_batches(stamp, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+
+    changes = feeds[0]
+    for f in feeds[1:]:
+        changes = changes.union(f)
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        content = [c for c in df.columns
+                   if c not in ("_change", "_vts", "_kb")]
+        ins = df[df["_change"] == "insert"].sort_values(
+            "_vts", kind="stable").copy()
+        dels = df[df["_change"] == "delete"].sort_values(
+            "_vts", kind="stable").copy()
+        # FIFO multiset pairing: the j-th insert of a given row content
+        # closes at the j-th delete of the same content (if any)
+        ins["_j"] = ins.groupby(content, dropna=False, sort=False).cumcount()
+        dels["_j"] = dels.groupby(content, dropna=False,
+                                  sort=False).cumcount()
+        out = ins.merge(
+            dels[content + ["_j", "_vts"]].rename(
+                columns={"_vts": "valid_to"}),
+            on=content + ["_j"], how="left")
+        out = out.rename(columns={"_vts": "valid_from"})
+        return out[content + ["valid_from", "valid_to"]]
+
+    return (_key_bucket(changes, key_col, num_buckets, out_col="_kb")
+            .groupby("_kb")
+            .map_groups(assemble, batch_format="pandas"))
+
+
+def temporal_join(events, history, key: str, value_cols: list[str],
+                  ts_col: str = "ts", num_buckets: int = 32,
+                  schemas=None):
+    """Enrich each event with the dimension row valid at its event-time.
+
+    ``history`` is an SCD-2 Dataset/frame (``scd2_history`` output or
+    any frame with ``valid_from``/``valid_to`` int64-µs columns); its
+    intervals must be non-overlapping per ``key`` (primary-key
+    dimension — asserted per bucket).  Output: events' columns +
+    ``value_cols`` (null where no version was valid).  LEFT-join
+    semantics; null event keys never match.
+    """
+    right = _as_dataset(history)
+    hist_cols = [key, "valid_from", "valid_to"] + list(value_cols)
+    if schemas is not None:
+        sch_l, sch_r = dict(schemas[0]), dict(schemas[1])
+    else:
+        ev = _as_dataset(events)
+        sch_l = {f.name: f.type for f in ev.schema().base_schema}
+        sch_r = {f.name: f.type for f in right.schema().base_schema}
+        events = ev
+    int_names = ({n for n, t in sch_l.items()
+                  if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+                 | {n for n, t in sch_r.items() if n in value_cols
+                    and isinstance(t, pa.DataType)
+                    and pa.types.is_integer(t)})
+    ev_cols = list(sch_l)
+    bkt = {"bucket": pa.int64()}
+    both = _union_tagged(
+        _key_bucket(_as_dataset(events), key, num_buckets),
+        _key_bucket(right.map_batches(
+            lambda t: t.select(hist_cols), batch_format="pyarrow"),
+            key, num_buckets),
+        schemas=({**sch_l, **bkt},
+                 {**{c: sch_r[c] for c in hist_cols}, **bkt}))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["_side"] == "L", ev_cols].copy()
+        r = df.loc[df["_side"] == "R", hist_cols].copy()
+        if len(l) == 0:
+            out = l
+            for c in value_cols:
+                out[c] = np.nan
+            return _restore_ints(out, int_names)
+        l = l[l[key].notna()]
+        ts = l[ts_col]
+        ts_us = (ts.astype("datetime64[us]").astype("int64")
+                 if str(ts.dtype).startswith("datetime")
+                 else ts.astype("int64"))
+        l["_ts_us"] = ts_us
+        if len(r) == 0:
+            out = l.drop(columns=["_ts_us"])
+            for c in value_cols:
+                out[c] = np.nan
+            return _restore_ints(out, int_names)
+        # the union null-pad upcasts the history's int64 bounds to
+        # float64 on the event rows; real R rows always carry them
+        r["valid_from"] = r["valid_from"].astype("int64")
+        # primary-key contract: per key, intervals must not overlap —
+        # sorted by valid_from, each interval must close (or be last)
+        # before the next opens
+        r = r.sort_values([key, "valid_from"], kind="stable")
+        same_key = r[key].to_numpy()[1:] == r[key].to_numpy()[:-1]
+        vt = r["valid_to"].to_numpy(dtype="float64", na_value=np.inf)
+        nxt_vf = r["valid_from"].to_numpy()[1:]
+        if np.any(same_key & (nxt_vf < vt[:-1])):
+            raise ValueError(
+                f"temporal_join: overlapping validity intervals for a "
+                f"{key!r} — dimension is not primary-keyed")
+        l = l.sort_values("_ts_us", kind="stable")
+        r2 = r.sort_values("valid_from", kind="stable")
+        out = pd.merge_asof(l, r2, left_on="_ts_us", right_on="valid_from",
+                            by=key, direction="backward",
+                            suffixes=("", "_h"))
+        closed = out["valid_to"].notna() & \
+            (out["valid_to"] <= out["_ts_us"])
+        for c in value_cols:
+            out.loc[closed, c] = np.nan if c in int_names or \
+                pd.api.types.is_numeric_dtype(out[c]) else None
+        out = out.drop(columns=["_ts_us", "valid_from", "valid_to"])
+        return _restore_ints(out, int_names)
+
+    return both.groupby("bucket").map_groups(probe, batch_format="pandas")
