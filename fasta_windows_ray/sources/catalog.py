@@ -686,7 +686,8 @@ def catalog_vacuum(table_dir: str, keep_versions: int = 1,
     return sorted(deleted)
 
 
-def catalog_restore(table_dir: str, version: int) -> dict:
+def catalog_restore(table_dir: str, version: int,
+                    commit_ts: int | None = None) -> dict:
     """Roll the table back to snapshot ``version`` as a NEW commit
     whose file list is the old snapshot's — metadata-only (no data
     I/O, instant at any table size), history-preserving (the bad
@@ -709,6 +710,13 @@ def catalog_restore(table_dir: str, version: int) -> dict:
                 "restored_from": version,
                 "files": old["files"], "schema": old.get("schema", {}),
                 "total_rows": old["total_rows"]}
+    if commit_ts is not None:
+        prev_ts = _load_manifest(table_dir, cur).get("commit_ts")
+        if prev_ts is not None and int(commit_ts) < int(prev_ts):
+            raise ValueError(
+                f"commit_ts {commit_ts} < parent version's {prev_ts}: "
+                "version event-times must be non-decreasing")
+        manifest["commit_ts"] = int(commit_ts)
     if old.get("bucket_by") is not None:
         manifest["bucket_by"] = old["bucket_by"]
     if old.get("zorder") is not None:
@@ -1009,7 +1017,8 @@ def _untouched_report_row(entry: dict) -> pa.Table:
                          entry.get("schema", {}))])})
 
 
-def catalog_delete(table_dir: str, predicate: list[tuple]) -> dict:
+def catalog_delete(table_dir: str, predicate: list[tuple],
+                   commit_ts: int | None = None) -> dict:
     """Delete all rows matching EVERY ``(col, op, value)`` term, as one
     new copy-on-write commit (time travel keeps the pre-delete
     snapshot; ``catalog_vacuum`` reclaims replaced files).
@@ -1071,7 +1080,7 @@ def catalog_delete(table_dir: str, predicate: list[tuple]) -> dict:
     spec = manifest.get("bucket_by")
     new_man = _commit_files(table_dir, report, "delete",
                             tuple(spec) if spec else None,
-                            base_files=untouched)
+                            base_files=untouched, commit_ts=commit_ts)
     rows_after = new_man["total_rows"] - sum(f["rows"] for f in untouched)
     # an all-empty report Dataset loses column names through to_pandas()
     _p = report.get("path", None)
@@ -1086,7 +1095,8 @@ def catalog_delete(table_dir: str, predicate: list[tuple]) -> dict:
             "files_dropped": len(cands) - retained - rewritten}
 
 
-def catalog_merge(ds, table_dir: str, on: str) -> dict:
+def catalog_merge(ds, table_dir: str, on: str,
+                  commit_ts: int | None = None) -> dict:
     """Upsert (MERGE): target rows whose ``on`` key appears in ``ds``
     are replaced by the source row; unseen keys are inserted.  One
     copy-on-write commit; source keys must be unique (validated).
@@ -1171,7 +1181,8 @@ def catalog_merge(ds, table_dir: str, on: str) -> dict:
         base = [f for f in manifest["files"]
                 if f.get("bucket", -1) not in touched]
         new_man = _commit_files(table_dir, report, "merge",
-                                (bcol, n_buckets), base_files=base)
+                                (bcol, n_buckets), base_files=base,
+                                commit_ts=commit_ts)
         n_updated = int(sum(report.get("updated", [])))
         return {"version": new_man["version"],
                 "rows_updated": n_updated,
@@ -1236,7 +1247,7 @@ def catalog_merge(ds, table_dir: str, on: str) -> dict:
     report = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
         else parts[0]
     new_man = _commit_files(table_dir, report, "merge", None,
-                            base_files=untouched)
+                            base_files=untouched, commit_ts=commit_ts)
     n_updated = int(report["updated"].sum())
     return {"version": new_man["version"],
             "rows_updated": n_updated,
@@ -1513,7 +1524,8 @@ def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
     return ds
 
 
-def catalog_delete_keys(table_dir: str, key_col: str, keys) -> dict:
+def catalog_delete_keys(table_dir: str, key_col: str, keys,
+                        commit_ts: int | None = None) -> dict:
     """Delete every row whose ``key_col`` is in ``keys`` (the
     right-to-be-forgotten shape: "remove these ids"), as one
     copy-on-write commit.
@@ -1598,7 +1610,7 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys) -> dict:
                   "schema": []}
     new_man = _commit_files(table_dir, report, "delete",
                             tuple(spec) if spec else None,
-                            base_files=untouched)
+                            base_files=untouched, commit_ts=commit_ts)
     rows_after = new_man["total_rows"] - sum(f["rows"] for f in untouched)
     _p = report.get("path", None)
     kept_paths = set(_p) if _p is not None else set()

@@ -290,6 +290,113 @@ def temporal_to_frame(rows: list[dict], cfg: TemporalConfig) -> pd.DataFrame:
     return df[list(cols)]
 
 
+def _temporal_actor_cls():
+    """TemporalPartitionActor is defined lazily so importing this module
+    never touches ray.remote (driver-contract: no Ray at import)."""
+    import ray
+
+    from ..sinks import ExactlyOnceSink
+
+    @ray.remote
+    class TemporalPartitionActor:
+        """One partition's TemporalJoiner + exactly-once sink — the
+        temporal twin of join.JoinPartitionActor (same checkpoint
+        protocol: (rows, snapshot, offset) commit atomically; resume
+        restores the last committed state and skips the consumed
+        prefix)."""
+
+        def __init__(self, out_dir: str, cfg: TemporalConfig, pid: int,
+                     resume: bool):
+            self.sink = ExactlyOnceSink(out_dir, pid)
+            self.cfg = cfg
+            self.seq, self.consumed, snap = (self.sink.resume_point()
+                                             if resume else (0, 0, None))
+            self.joiner = (TemporalJoiner.restore(snap) if snap
+                           else TemporalJoiner(cfg, pid))
+            self.pending: list[dict] = []
+
+        def consumed_rows(self) -> int:
+            return self.consumed
+
+        def process(self, df: pd.DataFrame, n_input_rows: int) -> int:
+            self.pending.extend(self.joiner.process_rows(df))
+            self.consumed += n_input_rows
+            return len(self.pending)
+
+        def checkpoint(self) -> int:
+            rows = temporal_to_frame(self.pending, self.cfg)
+            self.sink.commit_interval(self.seq, rows,
+                                      self.joiner.snapshot(),
+                                      self.consumed,
+                                      self.joiner.metrics.as_dict())
+            self.pending = []
+            self.seq += 1
+            return self.seq
+
+        def finish(self) -> dict:
+            self.pending.extend(self.joiner.flush())
+            self.checkpoint()
+            self.sink.mark_done()
+            return self.joiner.metrics.as_dict()
+
+    return TemporalPartitionActor
+
+
+class StreamingTemporalJob:
+    """Streaming temporal join over a replayable merged log (rows
+    carry ``side``); P partition actors route by key hash — the
+    checkpointed/exactly-once execution of TemporalJoiner
+    (``stateful_temporal_run`` is the batch-replay execution of the
+    same machine)."""
+
+    def __init__(self, out_dir: str, cfg: TemporalConfig,
+                 num_partitions: int = 4, resume: bool = False):
+        import ray
+        actor_cls = _temporal_actor_cls()
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.P = num_partitions
+        self.actors = [actor_cls.remote(out_dir, cfg, p, resume)
+                       for p in range(self.P)]
+        self.start_offsets = ray.get(
+            [a.consumed_rows.remote() for a in self.actors])
+
+    def run(self, log: pd.DataFrame, batch_rows: int = 4096,
+            checkpoint_every: int = 4,
+            crash_after_batches: int | None = None):
+        import zlib
+
+        import ray
+        keys = log[self.cfg.key_col].astype(str).to_numpy()
+        part = np.asarray([zlib.crc32(k.encode()) % self.P for k in keys])
+        n = len(log)
+        consumed = [0] * self.P
+        batches_fed = 0
+        for lo in range(0, n, batch_rows):
+            hi = min(lo + batch_rows, n)
+            chunk = log.iloc[lo:hi]
+            cpart = part[lo:hi]
+            futs = []
+            for p in range(self.P):
+                sub = chunk[cpart == p]
+                consumed[p] += hi - lo
+                if consumed[p] <= self.start_offsets[p]:
+                    continue
+                futs.append(self.actors[p].process.remote(sub, hi - lo))
+            ray.get(futs)
+            batches_fed += 1
+            if crash_after_batches is not None and \
+                    batches_fed >= crash_after_batches:
+                return None
+            if batches_fed % checkpoint_every == 0:
+                ray.get([a.checkpoint.remote() for a in self.actors])
+        return ray.get([a.finish.remote() for a in self.actors])
+
+    def output(self) -> pd.DataFrame:
+        from ..sinks import read_output
+        return read_output(self.out_dir)
+
+
 def stateful_temporal_run(events, cdc, cfg: TemporalConfig,
                           num_buckets: int = 64,
                           value_types: dict | None = None):

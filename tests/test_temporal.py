@@ -143,6 +143,39 @@ def test_temporal_join_rejects_overlap():
                        num_buckets=2).to_pandas())
 
 
+def test_commit_ts_via_dml(tmp_path):
+    """merge/delete stamp their own commit_ts — no version_ts needed."""
+    d = str(tmp_path / "dml")
+    base = pd.DataFrame({"item_id": np.arange(8, dtype=np.int64),
+                         "price": np.arange(8, dtype=np.float64) * 10.0})
+    catalog_write(rd.from_pandas(base), d, mode="overwrite", commit_ts=T1)
+    upd = pd.DataFrame({"item_id": np.array([0, 1, 2, 3, 8], np.int64),
+                        "price": np.array([100., 101., 102., 103., 88.])})
+    catalog_merge(rd.from_pandas(upd), d, on="item_id", commit_ts=T2)
+    catalog_delete(d, [("item_id", ">=", 6), ("item_id", "<=", 7)],
+                   commit_ts=T3)
+    got = scd2_history(d, "item_id").to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(_expected_history()))
+
+
+def test_scd2_reconstruction_equals_time_travel(tmp_path):
+    """Rows valid at version v's commit_ts (from the history) == the
+    committed snapshot at v — the SCD-2/time-travel coherence law."""
+    from fasta_windows_ray.sources.catalog import catalog_read
+    d = _mk_dim_table(tmp_path)
+    hist = scd2_history(d, "item_id",
+                        version_ts={2: T2, 3: T3}).to_pandas()
+    for v, ts in [(1, T1), (2, T2), (3, T3)]:
+        live = hist[(hist["valid_from"] <= ts)
+                    & (hist["valid_to"].isna() | (hist["valid_to"] > ts))]
+        snap = catalog_read(d, version=v).to_pandas()
+        a = (live[["item_id", "price"]].sort_values("item_id")
+             .reset_index(drop=True).astype("float64"))
+        b = (snap[["item_id", "price"]].sort_values("item_id")
+             .reset_index(drop=True).astype("float64"))
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_reinserted_key_gets_disjoint_intervals(tmp_path):
     d = str(tmp_path / "re")
     row = pd.DataFrame({"k": np.array([1], np.int64), "v": [7.0]})

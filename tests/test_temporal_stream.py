@@ -195,6 +195,28 @@ def test_snapshot_restore_equals_fresh():
     pd.testing.assert_frame_equal(_norm(resumed), _norm(fresh))
 
 
+def test_streaming_job_crash_resume_equals_fresh(tmp_path):
+    from fasta_windows_ray.state.temporal import StreamingTemporalJob
+    hist, cdc = _dim_script(seed=13)
+    ev = _events(250, seed=14)
+    log = _merged(ev, cdc)
+
+    fresh_dir = str(tmp_path / "fresh")
+    job = StreamingTemporalJob(fresh_dir, CFG, num_partitions=3)
+    job.run(log, batch_rows=23, checkpoint_every=2)
+    fresh = _norm(job.output())
+    pd.testing.assert_frame_equal(fresh, _norm(_oracle(ev, hist)))
+
+    crash_dir = str(tmp_path / "crash")
+    job1 = StreamingTemporalJob(crash_dir, CFG, num_partitions=3)
+    assert job1.run(log, batch_rows=23, checkpoint_every=2,
+                    crash_after_batches=5) is None
+    job2 = StreamingTemporalJob(crash_dir, CFG, num_partitions=3,
+                                resume=True)
+    job2.run(log, batch_rows=23, checkpoint_every=2)
+    pd.testing.assert_frame_equal(fresh, _norm(job2.output()))
+
+
 def test_dataset_replay_matches_batch_twin():
     from fasta_windows_ray.stages.temporal import temporal_join
     hist, cdc = _dim_script(n_keys=10, versions=5, seed=3)
