@@ -19,6 +19,11 @@ Two surfaces:
    snapshots (``--fail-psi`` for CI gating).
 7. ``tokenize`` — train (or load) a BPE vocabulary and write per-doc
    token counts.
+8. ``conv-stats`` — per-conversation stats / whole-conversation
+   filtering.
+9. ``temporal-join`` — event-time enrichment of an event table against
+   the catalog dimension version valid at each event's ts (SCD-2
+   history derived from the catalog's CDC).
 
 Owns its Ray session (guarded init) — the only module besides bench.py
 and tests allowed to.
@@ -246,6 +251,28 @@ def cmd_conv_stats(args) -> int:
     return 0
 
 
+def cmd_temporal_join(args) -> int:
+    """Event-time enrich a parquet event table against a catalog
+    dimension: derive the SCD-2 history from the catalog's CDC, probe
+    per event ts, write the enriched rows."""
+    import ray.data as rd
+
+    from .stages.temporal import scd2_history, temporal_join
+    _ensure_ray(args.num_cpus)
+    hist = scd2_history(args.dim_table, args.key)
+    if args.history_out:
+        hist.write_parquet(args.history_out)
+        print(f"[+]\tSCD-2 history -> {args.history_out}")
+    events = rd.read_parquet(args.events)
+    out = temporal_join(events, hist, key=args.key,
+                        value_cols=args.values.split(","),
+                        ts_col=args.ts_col,
+                        num_buckets=args.num_buckets)
+    out.write_parquet(args.out_dir)
+    print(f"[+]\t{out.count()} enriched rows -> {args.out_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -380,6 +407,23 @@ def main(argv=None) -> int:
     cs.add_argument("--stats-out", default=None,
                     help="also write the stats table as parquet")
     cs.set_defaults(fn=cmd_conv_stats)
+
+    tj = sub.add_parser("temporal-join",
+                        help="event-time enrich events against the "
+                             "catalog dimension version valid at each "
+                             "event's ts (SCD-2 from catalog CDC)")
+    tj.add_argument("events", help="event parquet dir/file")
+    tj.add_argument("dim_table", help="catalog table dir (commit_ts-"
+                                      "stamped versions)")
+    tj.add_argument("out_dir", help="enriched parquet output dir")
+    tj.add_argument("--key", required=True, help="join key column")
+    tj.add_argument("--values", required=True,
+                    help="comma-separated dimension value columns")
+    tj.add_argument("--ts-col", default="ts")
+    tj.add_argument("--num-buckets", type=int, default=32)
+    tj.add_argument("--history-out", default=None,
+                    help="also write the derived SCD-2 history")
+    tj.set_defaults(fn=cmd_temporal_join)
 
     args = ap.parse_args(argv)
     return args.fn(args)
