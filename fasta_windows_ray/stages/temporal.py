@@ -143,6 +143,86 @@ def scd2_history(table_dir: str, key_col: str,
             .map_groups(assemble, batch_format="pandas"))
 
 
+def temporal_repair(events, dim_dir: str, key: str,
+                    value_cols: list[str], from_version: int,
+                    to_version: int | None = None, ts_col: str = "ts",
+                    num_buckets: int = 32,
+                    version_ts: dict[int, int] | None = None):
+    """Incrementally refresh a temporal enrichment after the dimension
+    advanced from ``from_version`` to ``to_version``.
+
+    Because version event-times are monotonic, advancing the dimension
+    can only change the enrichment of events whose
+
+    - key appears in the dim's CDC delta between the two versions, AND
+    - ts >= the earliest new version's event-time (older events keep
+      probing the same closed intervals).
+
+    So the repair slice is (changed keys x open tail) — I/O and compute
+    proportional to the dimension's CHANGE volume, never the fact
+    corpus.  Returns ``(repaired, report)``: ``repaired`` is the
+    re-enriched Dataset for exactly that slice (same columns as
+    ``temporal_join``; upsert it into the enriched store keyed on the
+    event id), ``report`` carries the affected key count and the ts
+    cutoff.  The affected key set is collected and broadcast — bounded
+    by the delta; for a delta comparable to the dimension itself,
+    re-enrich in full instead.
+
+    Gate (pytest): untouched-slice rows of the ``from_version``
+    enrichment + ``repaired`` == the full ``to_version`` enrichment.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ..sources.catalog import (_latest_version, _load_manifest,
+                                   catalog_changes)
+
+    to_v = to_version if to_version is not None \
+        else _latest_version(dim_dir)
+    if to_v <= from_version:
+        raise ValueError(f"to_version {to_v} <= from_version "
+                         f"{from_version}: nothing to repair")
+    cutoffs = []
+    for v in range(from_version + 1, to_v + 1):
+        ts = (version_ts or {}).get(
+            v, _load_manifest(dim_dir, v).get("commit_ts", _NO_TS))
+        if ts is _NO_TS:
+            raise ValueError(
+                f"version {v} has no commit_ts and no version_ts entry")
+        cutoffs.append(int(ts))
+    cutoff = min(cutoffs)
+
+    delta = catalog_changes(dim_dir, from_version, to_v,
+                            num_buckets=num_buckets)
+    key_list = sorted(delta.unique(key))           # bounded by the delta
+    report = {"affected_keys": len(key_list), "ts_cutoff_us": cutoff,
+              "from_version": from_version, "to_version": to_v}
+    hist = scd2_history(dim_dir, key, version_ts=version_ts,
+                        to_version=to_v, num_buckets=num_buckets)
+
+    kref = ray.put(pa.array(key_list))
+
+    def slice_events(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        m = pc.and_(pc.greater_equal(ts, pa.scalar(cutoff, pa.int64())),
+                    pc.is_in(t[key], value_set=ray.get(kref)))
+        return t.filter(m)
+
+    def slice_hist(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key], value_set=ray.get(kref)))
+
+    sub = events.map_batches(slice_events, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    hsub = hist.map_batches(slice_hist, batch_format="pyarrow")
+    repaired = temporal_join(sub, hsub, key=key, value_cols=value_cols,
+                             ts_col=ts_col, num_buckets=num_buckets)
+    return repaired, report
+
+
 def temporal_join(events, history, key: str, value_cols: list[str],
                   ts_col: str = "ts", num_buckets: int = 32,
                   schemas=None):

@@ -176,6 +176,45 @@ def test_scd2_reconstruction_equals_time_travel(tmp_path):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_temporal_repair_equals_full_reenrich(tmp_path):
+    """Untouched slice of the v1 enrichment + the repair slice == the
+    full v3 enrichment; the repair only touches changed keys past the
+    delta's event-time cutoff."""
+    from fasta_windows_ray.stages.temporal import temporal_repair
+    d = _mk_dim_table(tmp_path)           # v1 @T1, merge @v2, delete @v3
+    ev = _events(n=600, seed=17)
+    ev_ds = rd.from_pandas(ev)
+
+    hist_v1 = scd2_history(d, "item_id", version_ts={2: T2, 3: T3},
+                           to_version=1)
+    old = (temporal_join(ev_ds, hist_v1, key="item_id",
+                         value_cols=["price"], num_buckets=8)
+           .to_pandas())
+
+    repaired, report = temporal_repair(
+        ev_ds, d, key="item_id", value_cols=["price"], from_version=1,
+        version_ts={2: T2, 3: T3})
+    rep = repaired.to_pandas()
+    # only changed keys (0-3 repriced, 6/7 deleted, 8 inserted) past T2
+    assert report["ts_cutoff_us"] == T2
+    assert set(rep["item_id"]) <= {0, 1, 2, 3, 6, 7, 8}
+    assert (rep["ts"] >= T2).all()
+    assert report["affected_keys"] == 7
+
+    merged = pd.concat(
+        [old[~old["event_id"].isin(rep["event_id"])], rep],
+        ignore_index=True).sort_values("event_id").reset_index(drop=True)
+    hist_v3 = scd2_history(d, "item_id", version_ts={2: T2, 3: T3})
+    full = (temporal_join(ev_ds, hist_v3, key="item_id",
+                          value_cols=["price"], num_buckets=8)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        merged[["event_id", "item_id", "ts", "price"]]
+        .astype({"price": "float64"}),
+        full[["event_id", "item_id", "ts", "price"]]
+        .astype({"price": "float64"}))
+
+
 def test_reinserted_key_gets_disjoint_intervals(tmp_path):
     d = str(tmp_path / "re")
     row = pd.DataFrame({"k": np.array([1], np.int64), "v": [7.0]})
