@@ -42,7 +42,8 @@ import pyarrow as pa
 
 from .window_stats import stable_bucket_of
 
-_UNARY = {"row_number"}          # specs with no value column
+_UNARY = {"row_number", "rank", "dense_rank"}  # no value column (ties
+                                               # come from order_by)
 
 
 def _segments(df: pd.DataFrame, partition_by: list[str]):
@@ -76,6 +77,11 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
     """Append window-function columns to every input row.
 
     ``specs`` entries (out = new column name):
+      ``("rank", out)``                  — 1-based with gaps; ties =
+        equal ``order_by`` keys (RANK() OVER)
+      ``("dense_rank", out)``            — 1-based, no gaps
+      ``("ntile", b, out)``              — NTILE(b): first len%b tiles
+        take the extra row
       ``("row_number", out)``            — 1-based, ties impossible when
                                            order_by is a unique key
       ``("lag",  col, k, out)``          — value k rows back in-partition
@@ -96,7 +102,8 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
     bit-stable.
     """
     for s in specs:
-        want = 2 if s[0] in _UNARY else (3 if s[0] == "cumsum" else 4)
+        want = 2 if s[0] in _UNARY else \
+            (3 if s[0] in ("cumsum", "ntile") else 4)
         if len(s) != want:
             raise ValueError(f"bad spec {s!r}: expected {want} fields")
 
@@ -118,10 +125,48 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
             return df
         pos, seg_start, seg_end = _segments(df, partition_by)
         ar = np.arange(n)
+        order_new = None     # order-key change marks, lazily computed
+
+        def _order_new() -> np.ndarray:
+            nonlocal order_new
+            if order_new is None:
+                chg = np.zeros(n, dtype=bool)
+                chg[0] = True
+                for c in order_by:
+                    codes, _ = pd.factorize(df[c], use_na_sentinel=False)
+                    chg[1:] |= codes[1:] != codes[:-1]
+                chg |= pos == 0              # every segment start is new
+                order_new = chg
+            return order_new
+
         for s in specs:
             kind, out = s[0], s[-1]
             if kind == "row_number":
                 df[out] = (pos + 1).astype(np.int64)
+                continue
+            if kind == "rank":
+                # 1-based with gaps: ties (equal order_by keys) share
+                # the rank of the tie group's first row
+                last_new = np.maximum.accumulate(
+                    np.where(_order_new(), ar, -1))
+                df[out] = (last_new - seg_start + 1).astype(np.int64)
+                continue
+            if kind == "dense_rank":
+                cs_new = np.cumsum(_order_new())
+                df[out] = (cs_new - cs_new[seg_start] + 1).astype(np.int64)
+                continue
+            if kind == "ntile":
+                # SQL NTILE(b): the first (len % b) tiles get one extra
+                # row; tiles never differ in size by more than 1
+                b = int(s[1])
+                seg_len = seg_end - seg_start
+                q, r = seg_len // b, seg_len % b
+                fat = (q + 1) * r                # rows in the fat tiles
+                in_fat = pos < fat
+                safe_q = np.maximum(q, 1)        # len < b: q=0, all fat
+                df[out] = np.where(
+                    in_fat, pos // np.maximum(q + 1, 1),
+                    r + (pos - fat) // safe_q).astype(np.int64) + 1
                 continue
             col = s[1]
             vals = df[col]

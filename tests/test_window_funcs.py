@@ -104,3 +104,46 @@ def test_bad_spec_raises(ray_session):
     with pytest.raises(ValueError):
         window_functions(_ds(_frame(50)), ["conv_id"], ["ts"],
                          [("median", "score", "out")])
+
+def test_rank_dense_rank_ntile_match_duckdb(ray_session):
+    """rank/dense_rank ordered by a LOW-cardinality key (real ties);
+    ntile by a unique key (SQL leaves tie order unspecified)."""
+    from fasta_windows_ray.stages.window_funcs import window_functions
+    df = _frame(n=3000, n_keys=23)
+
+    ranked = (window_functions(
+        _ds(df), ["conv_id"], ["score"],
+        [("rank", "rk"), ("dense_rank", "drk")], num_buckets=8)
+        .to_pandas().sort_values("uid").reset_index(drop=True))
+    tiled = _run(df, [("ntile", 7, "t7"), ("ntile", 4, "t4"),
+                      ("row_number", "rn")])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT uid,
+          rank() OVER (PARTITION BY conv_id ORDER BY score) AS rk,
+          dense_rank() OVER (PARTITION BY conv_id ORDER BY score) AS drk,
+          ntile(7) OVER w AS t7,
+          ntile(4) OVER w AS t4
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, uid)
+        ORDER BY uid
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        ranked[["uid", "rk", "drk"]], want[["uid", "rk", "drk"]],
+        check_dtype=False)
+    pd.testing.assert_frame_equal(
+        tiled[["uid", "t7", "t4"]], want[["uid", "t7", "t4"]],
+        check_dtype=False)
+
+
+def test_ntile_tiny_partitions(ray_session):
+    """Partitions shorter than b: every row its own tile, 1-based."""
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "uid": np.arange(3, dtype=np.int64),
+        "score": np.int64([5, 6, 7]),
+        "fval": [0.0, 0.0, 0.0]})
+    out = _run(df, [("ntile", 5, "t5")])
+    assert list(out["t5"]) == [1, 2, 1]
