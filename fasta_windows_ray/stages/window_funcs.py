@@ -42,8 +42,9 @@ import pyarrow as pa
 
 from .window_stats import stable_bucket_of
 
-_UNARY = {"row_number", "rank", "dense_rank"}  # no value column (ties
-                                               # come from order_by)
+_UNARY = {"row_number", "rank", "dense_rank", "percent_rank",
+          "cume_dist"}           # no value column (ties from order_by)
+_KIND_COL_OUT = {"cumsum", "ntile", "first_value", "last_value"}
 
 
 def _segments(df: pd.DataFrame, partition_by: list[str]):
@@ -82,6 +83,10 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
       ``("dense_rank", out)``            — 1-based, no gaps
       ``("ntile", b, out)``              — NTILE(b): first len%b tiles
         take the extra row
+      ``("percent_rank", out)``          — (rank-1)/(len-1), 0.0 at len 1
+      ``("cume_dist", out)``             — rows with key <= current / len
+      ``("first_value", col, out)``      — over the FULL partition frame
+      ``("last_value", col, out)``       — (UNBOUNDED..UNBOUNDED)
       ``("row_number", out)``            — 1-based, ties impossible when
                                            order_by is a unique key
       ``("lag",  col, k, out)``          — value k rows back in-partition
@@ -103,7 +108,7 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
     """
     for s in specs:
         want = 2 if s[0] in _UNARY else \
-            (3 if s[0] in ("cumsum", "ntile") else 4)
+            (3 if s[0] in _KIND_COL_OUT else 4)
         if len(s) != want:
             raise ValueError(f"bad spec {s!r}: expected {want} fields")
 
@@ -151,6 +156,29 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
                     np.where(_order_new(), ar, -1))
                 df[out] = (last_new - seg_start + 1).astype(np.int64)
                 continue
+            if kind == "percent_rank":
+                # (rank - 1) / (len - 1); 0.0 for length-1 partitions
+                last_new = np.maximum.accumulate(
+                    np.where(_order_new(), ar, -1))
+                rk = (last_new - seg_start).astype(np.float64)
+                seg_len = (seg_end - seg_start).astype(np.float64)
+                df[out] = np.round(
+                    np.where(seg_len > 1, rk / np.maximum(seg_len - 1, 1),
+                             0.0), 6)
+                continue
+            if kind == "cume_dist":
+                # (# rows with order key <= current) / len = the tie
+                # group's end (exclusive) rebased to the segment
+                chg = _order_new()
+                grp_start = np.maximum.accumulate(np.where(chg, ar, -1))
+                # first change STRICTLY after i, capped at seg_end
+                nxt_at_or_after = np.minimum.accumulate(
+                    np.where(chg, ar, n)[::-1])[::-1]
+                nxt_strict = np.append(nxt_at_or_after[1:], n)
+                grp_end = np.minimum(nxt_strict[grp_start], seg_end)
+                seg_len = (seg_end - seg_start).astype(np.float64)
+                df[out] = np.round((grp_end - seg_start) / seg_len, 6)
+                continue
             if kind == "dense_rank":
                 cs_new = np.cumsum(_order_new())
                 df[out] = (cs_new - cs_new[seg_start] + 1).astype(np.int64)
@@ -170,7 +198,13 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
                 continue
             col = s[1]
             vals = df[col]
-            if kind == "lag":
+            if kind == "first_value":
+                # over the FULL partition frame (ROWS BETWEEN UNBOUNDED
+                # PRECEDING AND UNBOUNDED FOLLOWING)
+                df[out] = vals.take(seg_start).reset_index(drop=True)
+            elif kind == "last_value":
+                df[out] = vals.take(seg_end - 1).reset_index(drop=True)
+            elif kind == "lag":
                 k = int(s[2])
                 df[out] = _shift_take(vals, ar - k, pos >= k)
             elif kind == "lead":

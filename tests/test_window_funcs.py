@@ -147,3 +147,38 @@ def test_ntile_tiny_partitions(ray_session):
         "fval": [0.0, 0.0, 0.0]})
     out = _run(df, [("ntile", 5, "t5")])
     assert list(out["t5"]) == [1, 2, 1]
+
+def test_percent_rank_cume_dist_first_last_match_duckdb(ray_session):
+    """pr/cd on a low-cardinality order key (real ties, deterministic);
+    fv/lv on the unique (ts, uid) key (SQL leaves tie order free)."""
+    from fasta_windows_ray.stages.window_funcs import window_functions
+    df = _frame(n=2500, n_keys=19)
+    got = (window_functions(
+        _ds(df), ["conv_id"], ["score"],
+        [("percent_rank", "pr"), ("cume_dist", "cd")], num_buckets=8)
+        .to_pandas().sort_values("uid").reset_index(drop=True))
+    flv = _run(df, [("first_value", "fval", "fv"),
+                    ("last_value", "fval", "lv")])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT uid,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd,
+          first_value(fval) OVER (u ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS fv,
+          last_value(fval) OVER (u ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING) AS lv
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY score),
+                      u AS (PARTITION BY conv_id ORDER BY ts, uid)
+        ORDER BY uid
+    """).df()
+    con.close()
+    # pr/cd: np.round vs DuckDB round() disagree on exact .5 ULPs at
+    # the 6th decimal (banker's rounding) — compare at 1e-6 instead
+    for c in ("pr", "cd"):
+        assert np.allclose(got[c].to_numpy(), want[c].to_numpy(),
+                           atol=1.1e-6, rtol=0), c
+    pd.testing.assert_frame_equal(
+        flv[["uid", "fv", "lv"]], want[["uid", "fv", "lv"]],
+        check_dtype=False)
