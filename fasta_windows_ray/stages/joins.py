@@ -195,13 +195,18 @@ def semi_join(ds, keys, col: str = "conv_id", anti: bool = False):
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
 
 
-def hash_join(left, right, on: str, num_buckets: int = 64,
+def hash_join(left, right, on: str | list[str], num_buckets: int = 64,
               how: str = "inner", right_suffix: str = "_r",
               left_schema=None, right_schema=None):
     """Big-big shuffle equi-join: both sides hash-bucketed on ``on``
     and merged per bucket — the join shape for two LARGE tables, where
     neither side fits a broadcast (``semi_join``) and there is no
     interval/order structure for ``asof_join``/``range_join``.
+
+    ``on`` may be one column or a composite-key list: buckets then
+    hash the \\x1f-joined canonical tuple (numerics via float64 so
+    int-vs-float merge equality and bucket placement agree), and a row
+    with a null in ANY key column never matches (SQL AND semantics).
 
     Built on the engine's own co-partition machinery (union-tag +
     md5-bucket + per-group pandas merge) rather than Ray Data's native
@@ -223,11 +228,15 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
     guard like q_cep_sequence does with a schema helper."""
     from .window_stats import stable_bucket_of
 
+    on_cols = [on] if isinstance(on, str) else list(on)
     left = _as_dataset(left)
     right = _as_dataset(right)
 
     def drop_null_keys(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t[on]))
+        m = pc.is_valid(t[on_cols[0]])
+        for c in on_cols[1:]:
+            m = pc.and_(m, pc.is_valid(t[c]))
+        return t.filter(m)
 
     right = right.map_batches(drop_null_keys, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -256,24 +265,33 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
     # (round-3 ADVICE)
     int_names = set(int_names) | {
         f"{n}{right_suffix}" for n, t in sch_r.items()
-        if n != on and n in sch_l and isinstance(t, pa.DataType)
+        if n not in on_cols and n in sch_l and isinstance(t, pa.DataType)
         and pa.types.is_integer(t)}
     left_cols = list(sch_l)
     right_cols = list(sch_r)
 
-    def bucketer(t: pa.Table) -> pa.Table:
-        col = t[on]
+    def _canon(t: pa.Table, c: str) -> np.ndarray:
+        col = t[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        # bucket on a representation CONSISTENT WITH MERGE EQUALITY:
-        # numerics cast to float64 (pandas merge upcasts int-vs-float to
-        # float equality; str(2) != str(2.0) would split merge-equal
-        # keys across buckets), nulls filled (np.unique over None
-        # raises; collisions are safe — the per-group merge decides)
+        # a representation CONSISTENT WITH MERGE EQUALITY: numerics
+        # cast to float64 (pandas merge upcasts int-vs-float to float
+        # equality; str(2) != str(2.0) would split merge-equal keys
+        # across buckets), nulls filled (np.unique over None raises;
+        # collisions are safe — the per-group merge decides)
         if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
-            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        else:
-            vals = col.fill_null("").to_numpy(zero_copy_only=False)
+            return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return col.fill_null("").to_numpy(zero_copy_only=False)
+
+    def bucketer(t: pa.Table) -> pa.Table:
+        vals = _canon(t, on_cols[0])
+        if len(on_cols) > 1:      # composite: \x1f-joined canonical tuple
+            parts = [np.asarray(vals, dtype=str)]
+            for c in on_cols[1:]:
+                parts.append(np.asarray(_canon(t, c), dtype=str))
+            vals = parts[0]
+            for p in parts[1:]:
+                vals = np.char.add(np.char.add(vals, "\x1f"), p)
         b = stable_bucket_of(vals, num_buckets)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
@@ -287,7 +305,7 @@ def hash_join(left, right, on: str, num_buckets: int = 64,
     def merge(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["_side"] == "L", left_cols]
         r = df.loc[df["_side"] == "R", right_cols]
-        out = l.merge(r, on=on, how=how, suffixes=("", right_suffix))
+        out = l.merge(r, on=on_cols, how=how, suffixes=("", right_suffix))
         # Arrow out so a zero-match group stays a TYPED empty block
         # (all-empty pandas blocks lose column names through to_pandas)
         return pa.Table.from_pandas(_restore_ints(out, int_names),

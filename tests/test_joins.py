@@ -97,3 +97,46 @@ def test_hash_join_edge_cases(ray_session):
     # Ray drops schema for ALL-empty datasets (documented caveat in the
     # hash_join docstring); the contract here is empty, not an error
     assert len(z) == 0
+
+
+def test_hash_join_composite_key_matches_duckdb(ray_session):
+    """Composite on=[k1, k2]: bucket on the joined canonical tuple;
+    nulls in ANY key column never match (SQL AND semantics)."""
+    import duckdb
+    import ray.data as rd
+    from fasta_windows_ray.stages.joins import hash_join
+    rng = np.random.default_rng(31)
+    n = 1500
+    left = pd.DataFrame({
+        "k1": rng.integers(0, 12, n).astype(np.int64),
+        "k2": np.asarray(["g%d" % i for i in rng.integers(0, 5, n)],
+                         object),
+        "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k1": rng.integers(0, 14, 400).astype(np.int64),
+        "k2": np.asarray(["g%d" % i for i in rng.integers(0, 6, 400)],
+                         object),
+        "rv": rng.random(400)})
+    # plant nulls in both key columns on both sides
+    left.loc[left.index % 97 == 0, "k1"] = None
+    right.loc[right.index % 53 == 0, "k2"] = None
+    for how in ("inner", "left"):
+        out = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on=["k1", "k2"], how=how, num_buckets=16)
+               .to_pandas())
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(f"""
+            SELECT l.k1, l.k2, l.lv, r.rv
+            FROM l {'LEFT' if how == 'left' else ''} JOIN r
+              ON l.k1 = r.k1 AND l.k2 = r.k2
+        """).df()
+        con.close()
+        key = ["lv", "rv"]
+        a = (out[["k1", "k2", "lv", "rv"]].sort_values(key)
+             .reset_index(drop=True).astype({"rv": "float64",
+                                             "k1": "float64"}))
+        b = (want.sort_values(key).reset_index(drop=True)
+             .astype({"rv": "float64", "k1": "float64"}))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
