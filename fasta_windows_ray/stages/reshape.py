@@ -56,27 +56,70 @@ def pivot(ds, index: list[str], pivot_col: str, value_col: str,
     out_cols = [f"{pivot_col}_{v}" for v in values]
     mergeable = "sum" if agg in ("sum", "count") else agg
 
+    _UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+    _INIT = {"sum": 0.0, "min": np.inf, "max": -np.inf}
+
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.select(index + [pivot_col, value_col]).to_pandas()
-        df = df[df[pivot_col].isin(values)]
         if df.empty:
             empty = {c: pd.Series(dtype=np.float64) for c in out_cols}
             for c in index:
                 empty[c] = pd.Series(dtype=object)
             return pd.DataFrame(empty)[index + out_cols]
-        pt = pd.pivot_table(df, index=index, columns=pivot_col,
-                            values=value_col, aggfunc=agg,
-                            dropna=False)
-        pt = pt.reindex(columns=values)
-        pt.columns = [f"{pivot_col}_{v}" for v in pt.columns]
-        return pt.reset_index()[index + out_cols]
+        # vectorized scatter-fold (pd.pivot_table was ~10x slower at
+        # high group counts): factorize the composite group key, map
+        # pivot values to fixed column slots, one ufunc.at per batch
+        if len(index) == 1:
+            kcodes, kuniq = pd.factorize(df[index[0]],
+                                         use_na_sentinel=False)
+            key_frame = {index[0]: kuniq}
+        else:
+            mi = pd.MultiIndex.from_frame(df[index])
+            kcodes, kuniq = pd.factorize(mi, use_na_sentinel=False)
+            key_frame = {c: [u[i] for u in kuniq]
+                         for i, c in enumerate(index)}
+        vcat = pd.Categorical(df[pivot_col], categories=values)
+        vcodes = vcat.codes
+        vals = df[value_col].to_numpy()
+        ok = vcodes >= 0
+        if agg == "count":
+            ok &= pd.notna(vals)
+        else:
+            fv = pd.to_numeric(df[value_col], errors="coerce").to_numpy(
+                np.float64, na_value=np.nan)
+            ok &= ~np.isnan(fv)
+        G, K = len(kuniq), len(values)
+        cnt = np.zeros((G, K), dtype=np.int64)
+        np.add.at(cnt, (kcodes[ok], vcodes[ok]), 1)
+        if agg == "count":
+            mat = cnt.astype(np.float64)
+        else:
+            mat = np.full((G, K), _INIT[agg], dtype=np.float64)
+            _UFUNC[agg].at(mat, (kcodes[ok], vcodes[ok]), fv[ok])
+            if agg != "sum":
+                mat[cnt == 0] = np.nan      # empty min/max cell = null
+        out = pd.DataFrame(key_frame)
+        for j, c in enumerate(out_cols):
+            out[c] = mat[:, j]
+        return out[index + out_cols]
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
 
+    # merge per HASH BUCKET of the first index column, not per group —
+    # map_groups calls its fn once per group, which at high group
+    # cardinality (24k groups) costs 10x the whole scatter-fold
+    from .window_stats import stable_bucket_of
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket_of(
+            t[index[0]].to_numpy(zero_copy_only=False), 256)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"])
         g = df.groupby(index, dropna=False, sort=False)[out_cols]
-        out = getattr(g, mergeable)(min_count=1).reset_index() \
+        out = g.sum(min_count=1).reset_index() \
             if mergeable == "sum" else g.agg(mergeable).reset_index()
         if agg in ("sum", "count"):
             out[out_cols] = out[out_cols].fillna(0)
@@ -84,8 +127,10 @@ def pivot(ds, index: list[str], pivot_col: str, value_col: str,
                 out[out_cols] = out[out_cols].astype(np.int64)
         return out
 
-    return parts.groupby(index[0]).map_groups(finish,
-                                              batch_format="pandas")
+    return (parts.map_batches(bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("bucket")
+                 .map_groups(finish, batch_format="pandas"))
 
 
 def unpivot(ds, id_cols: list[str], value_cols: list[str],

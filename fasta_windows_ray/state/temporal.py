@@ -422,6 +422,14 @@ def stateful_temporal_run(events, cdc, cfg: TemporalConfig,
         def _t(t: pa.Table) -> pa.Table:
             keep = [key, uid, "ts", "_change", *cfg.value_cols]
             t = t.select([c for c in keep if c in t.column_names])
+            if "ts" in t.column_names:        # unify the two streams'
+                ts = t["ts"]                  # ts types (events are
+                if isinstance(ts, pa.ChunkedArray):   # often timestamp,
+                    ts = ts.combine_chunks()          # CDC int64 µs)
+                if pa.types.is_timestamp(ts.type):
+                    ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+                    t = t.set_column(t.column_names.index("ts"),
+                                     "ts", ts)
             for c in keep:
                 if c not in t.column_names:
                     typ = pa.int64() if c == uid else \
