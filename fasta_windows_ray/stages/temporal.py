@@ -72,6 +72,99 @@ def _key_bucket(ds, key: str, num_buckets: int, out_col: str = "bucket"):
                           zero_copy_batch=True)
 
 
+def effective_history(dim, key_col: str,
+                      effective_col: str = "effective_from",
+                      num_buckets: int = 32):
+    """BUSINESS-time (bitemporal) validity intervals: the dimension's
+    rows carry an explicit ``effective_col`` (when the fact became true
+    in the world), independent of when it was COMMITTED.  Per key, the
+    sorted effective dates partition the business-time axis —
+    ``valid_to`` = the key's next effective date (exclusive), null for
+    the last.  Unlike ``scd2_history`` (system-time: validity derived
+    from commit order, append-only past), a retroactive correction —
+    a row with an OLD effective date committed at a LATER version —
+    rewrites past intervals, which is exactly the bitemporal use case:
+    pin system time by reading the dim at a catalog version, derive
+    business-time intervals from that snapshot, probe with
+    ``temporal_join`` on the events' business timestamps.
+
+    One key-bucket exchange; per-bucket vectorized sort + shift.
+    Two rows of one key sharing an effective date violate the
+    primary-key-per-effective-date contract and raise.
+    """
+    dim = _as_dataset(dim)
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_kb"])
+        eff = df[effective_col]
+        eff_us = (eff.astype("datetime64[us]").astype("int64")
+                  if str(eff.dtype).startswith("datetime")
+                  else eff.astype("int64"))
+        df = df.assign(valid_from=eff_us).drop(columns=[effective_col])
+        df = df.sort_values([key_col, "valid_from"],
+                            kind="stable").reset_index(drop=True)
+        same = df[key_col].to_numpy()[1:] == df[key_col].to_numpy()[:-1]
+        vf = df["valid_from"].to_numpy()
+        if np.any(same & (vf[1:] == vf[:-1])):
+            raise ValueError(
+                f"effective_history: duplicate {effective_col} for a "
+                f"{key_col} — not primary-keyed per effective date")
+        nxt = np.append(vf[1:], -1).astype("float64")
+        nxt[:-1][~same] = np.nan
+        nxt[-1] = np.nan
+        df["valid_to"] = nxt
+        return df
+
+    return (_key_bucket(dim, key_col, num_buckets, out_col="_kb")
+            .groupby("_kb")
+            .map_groups(assemble, batch_format="pandas"))
+
+
+def effective_repair(events, dim_dir: str, key: str,
+                     value_cols: list[str], from_version: int,
+                     to_version: int | None = None,
+                     effective_col: str = "effective_from",
+                     ts_col: str = "ts", num_buckets: int = 32):
+    """Bitemporal repair: after retroactive corrections land
+    (``from_version`` -> ``to_version``), re-enrich ALL events of the
+    CDC-delta keys against the new business-time history.  Unlike
+    ``temporal_repair`` there is no ts cutoff — a correction with an
+    old effective date changes the past — but the key filter still
+    bounds the slice by the dimension's change volume.
+    Returns ``(repaired, report)``.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ..sources.catalog import (_latest_version, catalog_changes,
+                                   catalog_read)
+
+    to_v = to_version if to_version is not None \
+        else _latest_version(dim_dir)
+    if to_v <= from_version:
+        raise ValueError(f"to_version {to_v} <= from_version "
+                         f"{from_version}: nothing to repair")
+    delta = catalog_changes(dim_dir, from_version, to_v,
+                            num_buckets=num_buckets)
+    key_list = sorted(delta.unique(key))
+    report = {"affected_keys": len(key_list),
+              "from_version": from_version, "to_version": to_v}
+    hist = effective_history(
+        catalog_read(dim_dir, version=to_v),
+        key, effective_col=effective_col, num_buckets=num_buckets)
+    kref = ray.put(pa.array(key_list))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key], value_set=ray.get(kref)))
+
+    sub = events.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    hsub = hist.map_batches(keep, batch_format="pyarrow")
+    repaired = temporal_join(sub, hsub, key=key, value_cols=value_cols,
+                             ts_col=ts_col, num_buckets=num_buckets)
+    return repaired, report
+
+
 def scd2_history(table_dir: str, key_col: str,
                  version_ts: dict[int, int] | None = None,
                  to_version: int | None = None,
