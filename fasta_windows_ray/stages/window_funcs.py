@@ -96,6 +96,13 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
       ``("rolling_mean", col, w, out)``  — AVG(col) ROWS w-1 PRECEDING
                                            .. CURRENT ROW (shorter at
                                            the partition head, like SQL)
+      ``("range_sum",  col, r_us, out)`` — SUM(col) RANGE r_us µs
+        PRECEDING..CURRENT over the FIRST order_by column (event-time
+        trailing window, e.g. 7-day spend); ties at one ts share the
+        frame (SQL RANGE semantics)
+      ``("range_mean", col, r_us, out)`` — AVG over the same frame
+      ``("range_count", col, r_us, out)`` — COUNT(col) over the same
+        frame (non-null rows)
       ``("rolling_std", col, w, out)``   — STDDEV_SAMP over the same
                                            frame (NaN at frame length 1)
 
@@ -228,6 +235,40 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
                 below = np.where(lower > 0, cs[lower - 1], 0)
                 length = ar - lower + 1
                 df[out] = np.round((cs - below) / length, 6)
+            elif kind in ("range_sum", "range_mean", "range_count"):
+                r_us = int(s[2])
+                tcol = df[order_by[0]]
+                ts = (tcol.astype("datetime64[us]").astype("int64")
+                      if str(tcol.dtype).startswith("datetime")
+                      else tcol.astype("int64")).to_numpy()
+                # frame per row = rows of the SAME segment with
+                # ts in [row.ts - r_us, row.ts]; segments are
+                # contiguous and ts-sorted, so one composite
+                # searchsorted finds every lower bound at once
+                base = int(ts.min())
+                span = int(ts.max()) - base + 2
+                seg_id = (seg_start // 1)            # unique per segment
+                comp = seg_id.astype(np.int64) * span + (ts - base)
+                lower = np.searchsorted(
+                    comp, seg_id.astype(np.int64) * span
+                    + np.maximum(ts - r_us - base, 0), side="left")
+                # RANGE includes ALL ties at the current ts: the frame's
+                # upper bound is the last row with this (segment, ts)
+                upper = np.searchsorted(comp, comp, side="right") - 1
+                notna = vals.notna().to_numpy()
+                v = vals.fillna(0).to_numpy().astype(np.float64)
+                cs = np.concatenate([[0.0], np.cumsum(v)])
+                cn = np.concatenate([[0], np.cumsum(notna)])
+                sx = cs[upper + 1] - cs[lower]
+                cnt = cn[upper + 1] - cn[lower]
+                if kind == "range_sum":
+                    df[out] = np.where(cnt > 0, sx, np.nan)
+                elif kind == "range_count":
+                    df[out] = cnt.astype(np.int64)
+                else:
+                    df[out] = np.round(
+                        np.where(cnt > 0, sx / np.maximum(cnt, 1),
+                                 np.nan), 6)
             elif kind == "rolling_std":
                 # STDDEV_SAMP over ROWS w-1 PRECEDING..CURRENT (null at
                 # frame length 1, like SQL), via cumsums of x and x^2

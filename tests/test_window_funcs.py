@@ -182,3 +182,43 @@ def test_percent_rank_cume_dist_first_last_match_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         flv[["uid", "fv", "lv"]], want[["uid", "fv", "lv"]],
         check_dtype=False)
+
+
+def test_range_frames_match_duckdb(ray_session):
+    """Event-time RANGE frames (trailing r-µs window incl. ts ties) vs
+    DuckDB RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW."""
+    from fasta_windows_ray.stages.window_funcs import window_functions
+    rng = np.random.default_rng(17)
+    n = 3000
+    df = pd.DataFrame({
+        "conv_id": np.asarray(["c%02d" % i
+                               for i in rng.integers(0, 25, n)], object),
+        # coarse ts so ties happen (RANGE peer semantics exercised)
+        "ts": pd.to_datetime(
+            rng.integers(0, 2000, n) * 1_000_000, unit="us"),
+        "uid": np.arange(n, dtype=np.int64),
+        "score": rng.integers(-50, 50, n).astype(np.int64),
+        "fval": np.round(rng.normal(0, 4, n), 3)})
+    df.loc[df.index % 41 == 0, "fval"] = np.nan
+    R = 300 * 1_000_000          # 5-minute trailing window
+    got = (window_functions(
+        _ds(df), ["conv_id"], ["ts"],
+        [("range_sum", "score", R, "rs"),
+         ("range_mean", "score", R, "rm"),
+         ("range_count", "fval", R, "rc")], num_buckets=8)
+        .to_pandas().sort_values("uid").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT uid,
+          CAST(sum(score) OVER w AS DOUBLE) AS rs,
+          round(avg(score) OVER w, 6) AS rm,
+          CAST(count(fval) OVER w AS BIGINT) AS rc
+        FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+          RANGE BETWEEN INTERVAL '300 seconds' PRECEDING
+                AND CURRENT ROW)
+        ORDER BY uid
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got[["uid", "rs", "rm", "rc"]], want, check_dtype=False)
