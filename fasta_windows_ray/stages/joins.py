@@ -215,12 +215,14 @@ def hash_join(left, right, on: str | list[str], num_buckets: int = 64,
     nondeterministic ArrowInvalid "no match for key field on right
     side" at small inputs). One all-to-all; ``num_buckets`` must scale
     with input size, many keys per bucket keep groups bounded.
-    ``how``: "inner" or "left".
+    ``how``: "inner", "left", "right", or "full".
 
     Null-key semantics = SQL (round-3 ADVICE): rows whose ``on`` value
-    is null never match — right-side null keys are always dropped, and
-    left-side null keys are dropped for "inner" (kept as unmatched rows
-    for "left", where they emit null-padded output like SQL LEFT JOIN).
+    is null never match. A side whose unmatched rows are dropped by the
+    join kind also drops its null-key rows at the scan; sides kept
+    outer emit their null-key rows null-padded (for "full", the
+    per-bucket merge splits null keys out first — pandas would match
+    NaN == NaN).
 
     Caveat (Ray behavior, not fixable in-operator): a join with ZERO
     total matches yields an all-empty Dataset whose ``to_pandas()``
@@ -238,9 +240,15 @@ def hash_join(left, right, on: str | list[str], num_buckets: int = 64,
             m = pc.and_(m, pc.is_valid(t[c]))
         return t.filter(m)
 
-    right = right.map_batches(drop_null_keys, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    if how == "inner":
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how={how!r} (inner | left | right | full)")
+    # null keys never MATCH; sides whose unmatched rows are not kept
+    # can drop them at the scan (inner: both; left: right side only;
+    # right: left side only; full: keep both — the merge splits them)
+    if how in ("inner", "left"):
+        right = right.map_batches(drop_null_keys, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    if how in ("inner", "right"):
         left = left.map_batches(drop_null_keys, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
@@ -305,7 +313,29 @@ def hash_join(left, right, on: str | list[str], num_buckets: int = 64,
     def merge(df: pd.DataFrame) -> pa.Table:
         l = df.loc[df["_side"] == "L", left_cols]
         r = df.loc[df["_side"] == "R", right_cols]
-        out = l.merge(r, on=on_cols, how=how, suffixes=("", right_suffix))
+        pd_how = "outer" if how == "full" else how
+        if how == "full":
+            # pandas merge matches NaN == NaN; SQL null keys never do.
+            # Split the null-key rows out and null-pad them unmatched.
+            l_nn_mask = l[on_cols].notna().all(axis=1)
+            r_nn_mask = r[on_cols].notna().all(axis=1)
+            out = l[l_nn_mask].merge(r[r_nn_mask], on=on_cols,
+                                     how="outer",
+                                     suffixes=("", right_suffix))
+            pads = []
+            if (~l_nn_mask).any():
+                pads.append(l[~l_nn_mask].merge(
+                    r.head(0), on=on_cols, how="left",
+                    suffixes=("", right_suffix)))
+            if (~r_nn_mask).any():
+                pads.append(l.head(0).merge(
+                    r[~r_nn_mask], on=on_cols, how="right",
+                    suffixes=("", right_suffix)))
+            if pads:
+                out = pd.concat([out, *pads], ignore_index=True)
+        else:
+            out = l.merge(r, on=on_cols, how=pd_how,
+                          suffixes=("", right_suffix))
         # Arrow out so a zero-match group stays a TYPED empty block
         # (all-empty pandas blocks lose column names through to_pandas)
         return pa.Table.from_pandas(_restore_ints(out, int_names),

@@ -140,3 +140,39 @@ def test_hash_join_composite_key_matches_duckdb(ray_session):
         b = (want.sort_values(key).reset_index(drop=True)
              .astype({"rv": "float64", "k1": "float64"}))
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hash_join_right_and_full_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from fasta_windows_ray.stages.joins import hash_join
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, 600).astype(np.int64),
+        "lv": np.arange(600, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": rng.integers(10, 30, 300).astype(np.int64),
+        "rv": np.arange(300, dtype=np.int64) * 10})
+    left.loc[left.index % 37 == 0, "k"] = None
+    right.loc[right.index % 23 == 0, "k"] = None
+    for how, sql in (("right", "RIGHT"), ("full", "FULL")):
+        out = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", how=how, num_buckets=8).to_pandas())
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(f"""
+            SELECT coalesce(l.k, r.k) AS k, l.lv, r.rv
+            FROM l {sql} JOIN r ON l.k = r.k
+        """).df()
+        con.close()
+        key = ["lv", "rv", "k"]
+        a = (out[["k", "lv", "rv"]].astype("float64")
+             .sort_values(key).reset_index(drop=True))
+        b = (want.astype("float64").sort_values(key)
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # unmatched counts: null-key rows must survive outer sides
+        if how == "full":
+            assert out["lv"].isna().sum() >= right["k"].isna().sum()
+            assert out["rv"].isna().sum() >= left["k"].isna().sum()
