@@ -279,3 +279,91 @@ def dataset_profile(ds, columns: list[str] | None = None, p: int = 12,
             "top_values_err_bound": r["delta"],
         })
     return pd.DataFrame(out_rows)
+
+
+def skew_report(ds, key: str, num_buckets: int = 256, topn: int = 20):
+    """Partitioning-skew diagnostic for a prospective shuffle key: how
+    unevenly would a ``num_buckets``-way hash exchange on ``key`` load
+    its tasks, and which keys are hot?
+
+    One pass: per-batch ``value_counts`` partials (distinct keys per
+    batch, never rows), one hash exchange of those partials, per-bucket
+    exact key totals -> (bucket load, local top-``topn``); the driver
+    folds ``num_buckets`` summary rows.  Returns a dict:
+
+    - ``top_keys``: frame of the ``topn`` heaviest keys + global share;
+    - ``bucket_loads``: max / mean / p99 rows per bucket,
+      ``imbalance`` = max/mean (1.0 = perfectly even);
+    - ``salt_factor``: ceil(heaviest key / mean bucket load) — the
+      per-key split factor that levels the hottest key onto average
+      tasks, i.e. the number to hand ``stages/salted``.
+
+    The engine's own exchanges use the same ``stable_bucket_of``, so
+    the report measures exactly what a groupby on this key would do.
+    """
+    import math
+
+    from .window_stats import stable_bucket_of
+
+    def pre(t: pa.Table) -> pd.DataFrame:
+        vc = t[key].value_counts()
+        f = vc.flatten()
+        return pd.DataFrame({
+            "v": f[0].to_pandas().astype(str),
+            "c": f[1].to_pandas().astype(np.int64)})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = stable_bucket_of(df["v"].to_numpy(object),
+                                    num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", sort=False)["c"].sum()
+        top = g.nlargest(topn)
+        return pd.DataFrame({
+            "bucket": df["_b"].iloc[0],
+            "load": int(g.sum()),
+            "n_keys": int(len(g)),
+            "top_v": [",".join(top.index)],
+            "top_c": [",".join(str(int(x)) for x in top.to_numpy())]})
+
+    parts = (ds.map_batches(pre, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .map_batches(bucket, batch_format="pandas")
+               .groupby("_b")
+               .map_groups(per_bucket, batch_format="pandas")
+               .to_pandas())
+    if parts.empty:
+        return {"top_keys": pd.DataFrame({"key": [], "count": [],
+                                          "share": []}),
+                "bucket_loads": {"max": 0, "mean": 0.0, "p99": 0.0,
+                                 "imbalance": 1.0,
+                                 "num_buckets": num_buckets},
+                "salt_factor": 1, "n_rows": 0, "n_keys": 0}
+    total = int(parts["load"].sum())
+    cand = []
+    for tv, tc in zip(parts["top_v"], parts["top_c"]):
+        if tv:
+            cand += list(zip(tv.split(","),
+                             (int(x) for x in tc.split(","))))
+    top = (pd.DataFrame(cand, columns=["key", "count"])
+           .nlargest(topn, "count").reset_index(drop=True))
+    top["share"] = top["count"] / max(total, 1)
+    loads = np.zeros(num_buckets, dtype=np.int64)
+    loads[parts["bucket"].to_numpy()] = parts["load"].to_numpy()
+    mean = total / num_buckets
+    report = {
+        "top_keys": top,
+        "bucket_loads": {
+            "max": int(loads.max()), "mean": round(mean, 1),
+            "p99": float(np.percentile(loads, 99)),
+            "imbalance": round(float(loads.max()) / max(mean, 1e-9), 2),
+            "num_buckets": num_buckets},
+        "salt_factor": max(1, math.ceil(
+            int(top["count"].iloc[0]) / max(mean, 1e-9))) if len(top)
+        else 1,
+        "n_rows": total,
+        "n_keys": int(parts["n_keys"].sum()),
+    }
+    return report

@@ -182,3 +182,40 @@ def test_cli_profile_catalog_table(corpus, tmp_path):
     assert rc == 0
     card = pd.read_parquet(out)
     assert card.loc[0, "count"] == 500          # snapshot, not all files
+
+
+def test_skew_report_flags_hot_key(ray_session):
+    import ray.data as rd
+    from fasta_windows_ray.stages.profile import skew_report
+    rng = np.random.default_rng(5)
+    n = 30_000
+    keys = np.asarray([f"u{i}" for i in rng.integers(0, 500, n)], object)
+    keys[: n // 3] = "HOT"                      # one key = 1/3 of rows
+    df = pd.DataFrame({"k": keys, "x": np.arange(n)})
+    rep = skew_report(
+        rd.from_pandas([d for d in np.array_split(df, 8)]), "k",
+        num_buckets=64, topn=5)
+    assert rep["n_rows"] == n
+    assert rep["top_keys"]["key"].iloc[0] == "HOT"
+    assert abs(rep["top_keys"]["share"].iloc[0] - 1 / 3) < 0.01
+    # the hot key concentrates one bucket: imbalance >> 1, salt >= 20
+    assert rep["bucket_loads"]["imbalance"] > 10
+    assert rep["salt_factor"] >= 20
+    # exact top counts vs pandas
+    want = df["k"].value_counts().iloc[:5]
+    got = rep["top_keys"].set_index("key")["count"]
+    assert all(got[k] == want[k] for k in want.index)
+
+
+def test_skew_report_uniform_and_empty(ray_session):
+    import ray.data as rd
+    from fasta_windows_ray.stages.profile import skew_report
+    df = pd.DataFrame({"k": [f"u{i}" for i in range(4096)],
+                       "x": np.arange(4096)})
+    rep = skew_report(rd.from_pandas(df), "k", num_buckets=16)
+    assert rep["bucket_loads"]["imbalance"] < 1.5
+    assert rep["salt_factor"] == 1
+    assert rep["n_keys"] == 4096
+    empty = rd.from_pandas(df.head(0))
+    rep0 = skew_report(empty, "k", num_buckets=8)
+    assert rep0["n_rows"] == 0 and rep0["salt_factor"] == 1
