@@ -24,6 +24,8 @@ Two surfaces:
 9. ``temporal-join`` — event-time enrichment of an event table against
    the catalog dimension version valid at each event's ts (SCD-2
    history derived from the catalog's CDC).
+10. ``validate`` — data-contract expectations over a parquet table
+    (exit 1 on any failed rule, CI-gateable).
 
 Owns its Ray session (guarded init) — the only module besides bench.py
 and tests allowed to.
@@ -273,6 +275,28 @@ def cmd_temporal_join(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Data-contract check over a parquet table; rules from a JSON
+    list of [check, col, params...] arrays. Exit 1 on any failure."""
+    import json
+
+    import ray.data as rd
+
+    from .stages.validate import validate
+    _ensure_ray(args.num_cpus)
+    with open(args.rules) as f:
+        rules = [tuple(r) for r in json.load(f)]
+    ds = rd.read_parquet(args.input)
+    rep = validate(ds, rules, id_col=args.id_col)
+    import pandas as pd
+    with pd.option_context("display.width", 200,
+                           "display.max_columns", None):
+        print(rep.to_string(index=False))
+    if args.report_out:
+        rep.to_parquet(args.report_out, index=False)
+    return 0 if bool(rep["ok"].all()) else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="fasta_windows_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -424,6 +448,17 @@ def main(argv=None) -> int:
     tj.add_argument("--history-out", default=None,
                     help="also write the derived SCD-2 history")
     tj.set_defaults(fn=cmd_temporal_join)
+
+    vd = sub.add_parser("validate", help="data-contract expectations "
+                                         "over a parquet table; exit 1 "
+                                         "on any failed rule")
+    vd.add_argument("input", help="parquet dir/file")
+    vd.add_argument("rules", help="JSON file: [[check, col, ...], ...]")
+    vd.add_argument("--id-col", default=None,
+                    help="column sampled for offender ids")
+    vd.add_argument("--report-out", default=None,
+                    help="write the report as parquet")
+    vd.set_defaults(fn=cmd_validate)
 
     args = ap.parse_args(argv)
     return args.fn(args)
