@@ -343,3 +343,81 @@ def test_bpe_apply_reconstructs_word(word, seed):
     toks = apply_merges(word, ranks)
     want = word + EOW if word else ""
     assert "".join(toks) == want
+
+
+# ---- temporal join laws (state/temporal.py vs stages/temporal.py) ----
+
+_key_st = st.integers(0, 3)
+_ts_st = st.integers(0, 50)
+
+
+@st.composite
+def _cdc_script(draw):
+    """Random per-key version script: alternating insert/delete at
+    strictly increasing ts per key -> (history rows, CDC rows)."""
+    hist, cdc = [], []
+    for k in range(draw(st.integers(1, 4))):
+        times = sorted(draw(st.sets(st.integers(1, 60),
+                                    min_size=1, max_size=5)))
+        for i, t in enumerate(times):
+            val = float(k * 100 + i)
+            nxt = times[i + 1] if i + 1 < len(times) else None
+            # each version either updates (delete+insert at nxt) or
+            # the key dies at nxt, drawn per step
+            die = draw(st.booleans()) if nxt is not None else False
+            end = nxt if nxt is not None else None
+            hist.append((f"k{k}", val, t * 1_000_000,
+                         None if end is None else end * 1_000_000))
+            cdc.append((f"k{k}", t * 1_000_000, "insert", val))
+            if end is not None:
+                cdc.append((f"k{k}", end * 1_000_000, "delete", val))
+            if die:
+                break
+    return hist, cdc
+
+
+@given(_cdc_script(),
+       st.lists(st.tuples(st.integers(0, 5), _ts_st),
+                min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_temporal_joiner_equals_interval_semantics(script, ev_spec):
+    """TemporalJoiner (watermark state machine, in-order replay) ==
+    the declarative interval semantics on random CDC scripts."""
+    import pandas as pd
+    from fasta_windows_ray.state.temporal import (TemporalConfig,
+                                                  TemporalJoiner,
+                                                  temporal_to_frame)
+    hist, cdc = script
+    hist_df = pd.DataFrame(hist, columns=["k", "v", "f", "t"])
+    ev = pd.DataFrame({
+        "k": [f"k{k}" for k, _ in ev_spec],
+        "uid": np.arange(len(ev_spec), dtype=np.int64),
+        "ts": np.asarray([t * 1_000_000 for _, t in ev_spec],
+                         np.int64)})
+    log = pd.concat([
+        ev.rename(columns={"uid": "turn_uid"}).assign(
+            side=0, _change=None, v=np.nan),
+        pd.DataFrame(cdc, columns=["k", "ts", "_change", "v"]).assign(
+            side=1, turn_uid=-1)],
+        ignore_index=True).sort_values(
+            ["ts", "side", "turn_uid"], kind="stable")
+    cfg = TemporalConfig(value_cols=("v",), key_col="k",
+                         uid_col="turn_uid")
+    j = TemporalJoiner(cfg)
+    rows = j.process_rows(log.reset_index(drop=True))
+    rows.extend(j.flush())
+    got = (temporal_to_frame(rows, cfg)
+           .sort_values("turn_uid").reset_index(drop=True))
+    got["ts"] = got["ts"].astype("datetime64[us]").astype("int64")
+
+    # declarative truth: value where valid_from <= ts < valid_to
+    want = []
+    for _, e in ev.iterrows():
+        m = hist_df[(hist_df["k"] == e["k"])
+                    & (hist_df["f"] <= e["ts"])
+                    & (hist_df["t"].isna() | (hist_df["t"] > e["ts"]))]
+        assert len(m) <= 1          # intervals disjoint by construction
+        want.append(float(m["v"].iloc[0]) if len(m) else np.nan)
+    assert np.allclose(got["v"].to_numpy(np.float64, na_value=np.nan),
+                       np.asarray(want), equal_nan=True)
+    assert j.buffered() == 0
