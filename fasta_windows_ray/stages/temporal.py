@@ -360,17 +360,30 @@ def temporal_join(events, history, key: str, value_cols: list[str],
             for c in value_cols:
                 out[c] = np.nan
             return _restore_ints(out, int_names)
+        # SQL LEFT JOIN: null-key events never MATCH but are KEPT,
+        # null-padded (they all hash to one bucket via the "" fill)
+        null_l = l[l[key].isna()]
         l = l[l[key].notna()]
+        if len(null_l):
+            null_l = null_l.copy()
+            for c in value_cols:
+                null_l[c] = np.nan
         ts = l[ts_col]
         ts_us = (ts.astype("datetime64[us]").astype("int64")
                  if str(ts.dtype).startswith("datetime")
                  else ts.astype("int64"))
         l["_ts_us"] = ts_us
-        if len(r) == 0:
+
+        def with_nulls(out: pd.DataFrame) -> pd.DataFrame:
+            if len(null_l):
+                out = pd.concat([out, null_l], ignore_index=True)
+            return out
+
+        if len(r) == 0 or len(l) == 0:
             out = l.drop(columns=["_ts_us"])
             for c in value_cols:
                 out[c] = np.nan
-            return _restore_ints(out, int_names)
+            return _restore_ints(with_nulls(out), int_names)
         # the union null-pad upcasts the history's int64 bounds to
         # float64 on the event rows; real R rows always carry them
         r["valid_from"] = r["valid_from"].astype("int64")
@@ -396,6 +409,6 @@ def temporal_join(events, history, key: str, value_cols: list[str],
             out.loc[closed, c] = np.nan if c in int_names or \
                 pd.api.types.is_numeric_dtype(out[c]) else None
         out = out.drop(columns=["_ts_us", "valid_from", "valid_to"])
-        return _restore_ints(out, int_names)
+        return _restore_ints(with_nulls(out), int_names)
 
     return both.groupby("bucket").map_groups(probe, batch_format="pandas")

@@ -130,6 +130,26 @@ def test_temporal_join_timestamp_events(tmp_path):
                        equal_nan=True)
 
 
+def test_temporal_join_keeps_null_key_events(tmp_path):
+    """SQL LEFT JOIN: null-key events never match but are kept,
+    null-padded — and the DuckDB oracle agrees."""
+    d = _mk_dim_table(tmp_path)
+    hist = scd2_history(d, "item_id", version_ts={2: T2, 3: T3})
+    ev = _events(n=90, seed=21).astype({"item_id": "float64"})
+    ev.loc[ev.index % 9 == 0, "item_id"] = None
+    got = (temporal_join(rd.from_pandas(ev), hist, key="item_id",
+                         value_cols=["price"], num_buckets=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(ev)
+    nul = got[got["item_id"].isna()]
+    assert len(nul) == (ev["item_id"].isna()).sum()
+    assert nul["price"].isna().all()
+    want = _oracle(ev, hist.to_pandas())
+    assert np.allclose(got["price"].to_numpy(dtype=float),
+                       want["price"].to_numpy(dtype=float),
+                       equal_nan=True)
+
+
 def test_temporal_join_rejects_overlap():
     hist = pd.DataFrame({"item_id": [1, 1],
                          "price": [1.0, 2.0],
