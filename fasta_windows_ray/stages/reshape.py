@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _AGGS = {"sum", "count", "min", "max"}
 
@@ -157,4 +158,31 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(blocks)
 
     return ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def explode(ds, list_col: str, pos_col: str | None = None):
+    """One output row per list element (SQL UNNEST): values via
+    ``list_flatten``, the other columns repeated by element count —
+    a pure per-batch Arrow transform, zero shuffles, no per-row
+    Python.  Null and empty lists produce no rows (SQL UNNEST);
+    ``pos_col`` adds the 0-based element index."""
+
+    def flat(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        others = t.drop_columns([list_col]).take(pa.array(idx))
+        vals = pc.list_flatten(col)
+        out = others.append_column(list_col, vals)
+        if pos_col is not None:
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            pos = np.arange(int(lens.sum()), dtype=np.int64) - starts
+            out = out.append_column(pos_col, pa.array(pos, pa.int64()))
+        return out
+
+    return ds.map_batches(flat, batch_format="pyarrow",
                           zero_copy_batch=True)

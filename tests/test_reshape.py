@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from fasta_windows_ray.stages.reshape import pivot, unpivot
+from fasta_windows_ray.stages.reshape import (explode, pivot,
+                                              unpivot)
 
 pytestmark = pytest.mark.usefixtures("ray_session")
 
@@ -91,3 +92,28 @@ def test_pivot_unpivot_roundtrip():
     truth = df.groupby(["conv_id", "role"])["n_chars"].sum()
     merged = truth.to_frame("want").join(back.to_frame("got"), how="left")
     assert np.allclose(merged["want"], merged["got"])
+
+
+def test_explode_matches_duckdb():
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "toks": [["a", "b"], [], None, ["c"], ["d", "e", "f"], ["g"]]})
+    got = (explode(rd.from_pandas(df), "toks", pos_col="pos")
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT doc_id, u.tok AS toks,
+               u.p - 1 AS pos
+        FROM t, LATERAL (SELECT unnest(toks) AS tok,
+                                generate_subscripts(toks, 1) AS p) u
+        ORDER BY doc_id, pos
+    """).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.astype({"pos": "int64"}),
+        want.astype({"pos": "int64", "doc_id": "int64"}),
+        check_dtype=False)
+    # null + empty lists vanish (SQL UNNEST)
+    assert set(got["doc_id"]) == {0, 3, 4, 5}
