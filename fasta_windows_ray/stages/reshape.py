@@ -172,6 +172,14 @@ def explode(ds, list_col: str, pos_col: str | None = None):
         col = t[list_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):      # all-null block: no rows,
+            out = t.drop_columns([list_col]).slice(0, 0)  # typed empty
+            out = out.append_column(list_col,
+                                    pa.array([], pa.string()))
+            if pos_col is not None:
+                out = out.append_column(pos_col,
+                                        pa.array([], pa.int64()))
+            return out
         lens = pc.list_value_length(col).fill_null(0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)

@@ -334,8 +334,13 @@ def temporal_join(events, history, key: str, value_cols: list[str],
         sch_l, sch_r = dict(schemas[0]), dict(schemas[1])
     else:
         ev = _as_dataset(events)
-        sch_l = {f.name: f.type for f in ev.schema().base_schema}
-        sch_r = {f.name: f.type for f in right.schema().base_schema}
+        s_l, s_r = ev.schema(), right.schema()
+        if s_l is None or s_r is None:
+            raise ValueError(
+                "temporal_join: cannot infer a side's schema (empty "
+                "dataset) — pass schemas=(events_schema, hist_schema)")
+        sch_l = {f.name: f.type for f in s_l.base_schema}
+        sch_r = {f.name: f.type for f in s_r.base_schema}
         events = ev
     int_names = ({n for n, t in sch_l.items()
                   if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
