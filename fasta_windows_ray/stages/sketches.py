@@ -299,3 +299,55 @@ def tdigest_quantiles(ds, col: str, qs: list[float],
         return pd.DataFrame({"q": np.asarray(qs, np.float64),
                              "value": [float("nan")] * len(qs)})
     return finish(pdf)
+
+
+def windowed_quantiles(ds, ts_col: str, col: str, size_us: int,
+                       qs: list[float], delta: int = 200,
+                       offset_us: int = 0) -> pd.DataFrame:
+    """Per-tumbling-window approximate quantiles (the "p95 latency per
+    hour" shape): per-batch (window, t-digest) partials — at most
+    windows x ~delta/2 centroid rows leave a task, constant in row
+    count — then one ``groupby(window_start)`` merge+query.  Same rank
+    error bound as ``tdigest_quantiles`` (pytest-gated per window
+    against exact quantiles).  Returns one row per (window, q).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..windows import tumbling_start
+        df = t.select([ts_col, col]).to_pandas()
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        df["window_start"] = tumbling_start(ts, size_us, offset_us)
+        frames = []
+        for w, sub in df.groupby("window_start", sort=False):
+            vals = sub[col].to_numpy(np.float64)
+            vals = vals[~np.isnan(vals)]
+            if not len(vals):
+                continue
+            m, wts = tdigest_compress(vals, np.ones(len(vals)), delta)
+            frames.append(pd.DataFrame({"window_start": np.int64(w),
+                                        "_mean": m, "_weight": wts}))
+        if not frames:
+            return pa.table({"window_start": pa.array([], pa.int64()),
+                             "_mean": pa.array([], pa.float64()),
+                             "_weight": pa.array([], pa.float64())})
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m, w = _merge_digests(df, delta)
+        return pd.DataFrame({
+            "window_start": np.int64(df["window_start"].iloc[0]),
+            "q": np.asarray(qs, np.float64),
+            "value": tdigest_quantile(m, w, qs)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("window_start")
+             .map_groups(finish, batch_format="pandas").to_pandas())
+    if out.empty:
+        return pd.DataFrame({"window_start": pd.Series(dtype=np.int64),
+                             "q": pd.Series(dtype=float),
+                             "value": pd.Series(dtype=float)})
+    return (out.sort_values(["window_start", "q"])
+               .reset_index(drop=True)
+               .astype({"window_start": np.int64}))

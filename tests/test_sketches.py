@@ -187,3 +187,40 @@ def test_tdigest_empty_and_single(ray_session):
     one = tdigest_quantiles(
         rd.from_arrow(pa.table({"x": [7.0]})), "x", [0.0, 0.5, 1.0])
     assert (one["value"] == 7.0).all()
+
+
+def test_windowed_quantiles_error_bound(ray_session):
+    import ray.data as rd
+    from fasta_windows_ray.stages.sketches import windowed_quantiles
+    rng = np.random.default_rng(12)
+    n = 40_000
+    US = 1_000_000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(rng.integers(0, 6 * 3600, n) * US, unit="us"),
+        "lat": rng.lognormal(3.0, 1.0, n)})
+    got = windowed_quantiles(
+        rd.from_pandas([d for d in np.array_split(df, 9)]),
+        "ts", "lat", size_us=3600 * US, qs=[0.5, 0.95, 0.99])
+    ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+    df2 = df.assign(w=(ts_us // (3600 * US)) * 3600 * US)
+    assert set(got["window_start"]) == set(df2["w"])
+    for w, sub in df2.groupby("w"):
+        vals = np.sort(sub["lat"].to_numpy())
+        for q in (0.5, 0.95, 0.99):
+            approx = float(got[(got["window_start"] == w)
+                               & (got["q"] == q)]["value"].iloc[0])
+            # rank error: position of approx within the exact sorted
+            # values must be within ~1.5% of q (k1 bound at delta=200)
+            rank = np.searchsorted(vals, approx) / len(vals)
+            assert abs(rank - q) < 0.02, (w, q, rank)
+
+
+def test_windowed_quantiles_empty(ray_session):
+    import ray.data as rd
+    from fasta_windows_ray.stages.sketches import windowed_quantiles
+    empty = rd.from_pandas(pd.DataFrame({
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "lat": pd.Series(dtype=float)}))
+    out = windowed_quantiles(empty, "ts", "lat", 1000, [0.5])
+    assert out.empty and list(out.columns) == ["window_start", "q",
+                                               "value"]
