@@ -392,11 +392,19 @@ FROM t
 
 def q_asof_join_sessions(sf_dir: str):
     """As-of join: each turn gets the most recent session (by start ts)
-    of its conversation — pd.merge_asof per conv_id hash bucket."""
+    of its conversation — pd.merge_asof per conv_id hash bucket.
+
+    TWO implementations under one driver row (see _parity): backward
+    ``asof_join``, and ``temporal_join`` over the effective-dated
+    history of the same session stream (each session valid
+    [start, next start) per conv) — the lemma that a versioned-
+    dimension probe with next-event validity IS the backward as-of.
+    """
     import pyarrow as pa
 
     from ..stages.joins import asof_join
     from ..stages.sessions import session_stats
+    from ..stages.temporal import effective_history, temporal_join
     sess = session_stats(read_transcripts(sf_dir, columns=["conv_id", "ts"]),
                          SESSION_GAP_US)
 
@@ -415,8 +423,25 @@ def q_asof_join_sessions(sf_dir: str):
                  {"conv_id": pa.string(), "ts": pa.timestamp("us"),
                   "session_start": pa.timestamp("us"),
                   "s_n_turns": pa.int64()}))
-    return out.select_columns(["conv_id", "turn_uid", "session_start",
-                               "s_n_turns"])
+    a = (out.select_columns(["conv_id", "turn_uid", "session_start",
+                             "s_n_turns"]).to_pandas())
+
+    hist = effective_history(sess, "conv_id", effective_col="ts",
+                             num_buckets=32)
+    tw = temporal_join(
+        turns, hist, key="conv_id",
+        value_cols=["session_start", "s_n_turns"],
+        num_buckets=32,
+        schemas=({"conv_id": pa.string(), "turn_uid": pa.int64(),
+                  "ts": pa.timestamp("us")},
+                 {"conv_id": pa.string(),
+                  "session_start": pa.timestamp("us"),
+                  "s_n_turns": pa.int64(),
+                  "valid_from": pa.int64(), "valid_to": pa.float64()}))
+    b = (tw.to_pandas()
+         [["conv_id", "turn_uid", "session_start", "s_n_turns"]])
+    return _parity(a, b, "asof_join_sessions: merge_asof vs temporal_join"
+                         " over next-start-dated history")
 
 
 SQL_ASOF_JOIN_SESSIONS = f"""
