@@ -85,11 +85,24 @@ def _full_stats_pdf(sf_dir: str, profile: str = "full") -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_tumbling_role_counts(sf_dir: str):
-    from ..stages.window_stats import window_stats
+    """TWO implementations under one driver row (see _parity): the
+    engine's windowed role histogram, and a ``reshape.pivot`` of role
+    over (conv, window) — the conditional-aggregate identity."""
+    from ..stages.reshape import pivot
+    from ..stages.window_stats import assign_tumbling, window_stats
     ds = read_transcripts(sf_dir, columns=["conv_id", "role", "ts"])
     out = window_stats(ds, SIZE_US, profile="counts")
-    return out.select_columns(["conv_id", "window_start", "n_turns", "n_user",
-                               "n_assistant", "n_system", "n_tool", "n_other"])
+    a = out.select_columns(
+        ["conv_id", "window_start", "n_turns", "n_user", "n_assistant",
+         "n_system", "n_tool", "n_other"]).to_pandas()
+
+    roles = ["user", "assistant", "system", "tool", "other"]
+    wide = pivot(assign_tumbling(ds, SIZE_US),
+                 ["conv_id", "window_start"], "role", "role",
+                 agg="count", values=roles).to_pandas()
+    b = wide.rename(columns={f"role_{r}": f"n_{r}" for r in roles})
+    b["n_turns"] = sum(b[f"n_{r}"] for r in roles)
+    return _parity(a, b, "tumbling_role_counts: window_stats vs pivot")
 
 
 SQL_TUMBLING_ROLE_COUNTS = f"""

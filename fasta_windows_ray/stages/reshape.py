@@ -61,7 +61,9 @@ def pivot(ds, index: list[str], pivot_col: str, value_col: str,
     _INIT = {"sum": 0.0, "min": np.inf, "max": -np.inf}
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        df = t.select(index + [pivot_col, value_col]).to_pandas()
+        # dict.fromkeys dedupes value_col == pivot_col (count-of-self)
+        df = t.select(list(dict.fromkeys(
+            index + [pivot_col, value_col]))).to_pandas()
         if df.empty:
             empty = {c: pd.Series(dtype=np.float64) for c in out_cols}
             for c in index:
