@@ -1833,11 +1833,41 @@ def q_window_topk_convs(sf_dir: str):
     from ..stages.analytics import grouped_topk
     from ..stages.window_stats import assign_tumbling
     ds = read_transcripts(sf_dir, columns=["conv_id", "ts"])
-    out = grouped_topk(assign_tumbling(ds, SIZE_US), "window_start",
-                       "conv_id", k=3)
+    win = assign_tumbling(ds, SIZE_US)
+    out = grouped_topk(win, "window_start", "conv_id", k=3)
     out["window_start"] = out["window_start"].astype("datetime64[us]")
-    return (out.sort_values(["window_start", "rank"])
-               .reset_index(drop=True))
+    a = (out.sort_values(["window_start", "rank"])
+            .reset_index(drop=True))
+
+    # _parity twin: pivot count-of-self -> row_number() rank -> filter,
+    # exercising reshape.pivot (composite index) and the rank family
+    # under the driver gate
+    import pyarrow as pa
+
+    from ..stages.reshape import pivot
+    from ..stages.window_funcs import window_functions
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(["x"] * len(t)))
+
+    cnt = pivot(win.map_batches(tag, batch_format="pyarrow"),
+                ["window_start", "conv_id"], "one", "one",
+                agg="count", values=["x"])
+
+    def neg(df):
+        df = df.rename(columns={"one_x": "n_rows"})
+        df["neg_n"] = -df["n_rows"]
+        return df
+
+    ranked = window_functions(
+        cnt.map_batches(neg, batch_format="pandas"),
+        ["window_start"], ["neg_n", "conv_id"],
+        [("row_number", "rank")], num_buckets=16).to_pandas()
+    b = ranked[ranked["rank"] <= 3].copy()
+    b["window_start"] = b["window_start"].astype("datetime64[us]")
+    b = b[["window_start", "conv_id", "n_rows", "rank"]]
+    return _parity(a, b, "window_topk_convs: grouped_topk vs "
+                         "pivot+row_number")
 
 
 SQL_WINDOW_TOPK_CONVS = f"""
