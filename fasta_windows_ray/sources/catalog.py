@@ -550,12 +550,41 @@ def _predicate_expr(predicate: list[tuple]):
     return expr
 
 
+def version_as_of(table_dir: str, as_of_us: int) -> int:
+    """Latest committed version whose ``commit_ts`` <= ``as_of_us`` —
+    time travel on the EVENT-TIME axis the temporal joins use.
+    Unstamped versions inherit the nearest earlier stamp's position
+    (they are <= the next stamped version's event-time by the
+    monotonicity rule); raises if no version is old enough."""
+    best = 0
+    for v in sorted(_versions(table_dir)):
+        ts = _load_manifest(table_dir, v).get("commit_ts")
+        if ts is None:
+            if best == v - 1 and best > 0:
+                best = v          # rides its stamped predecessor
+            continue
+        if int(ts) <= int(as_of_us):
+            best = v
+        else:
+            break
+    if best == 0:
+        raise ValueError(
+            f"no version of {table_dir} has commit_ts <= {as_of_us}")
+    return best
+
+
 def catalog_read(table_dir: str, columns: list[str] | None = None,
                  version: int | None = None,
                  predicate: list[tuple] | None = None,
                  return_report: bool = False,
-                 pushdown: bool = False):
+                 pushdown: bool = False,
+                 as_of_us: int | None = None):
     """Snapshot scan of a catalog table as a Ray Dataset.
+
+    ``as_of_us`` (int64 epoch-µs, mutually exclusive with ``version``)
+    time-travels on the event-time axis: the scan pins the latest
+    version whose manifest ``commit_ts`` <= the given instant
+    (``version_as_of``).
 
     ``version=None`` resolves the latest committed version ONCE (snapshot
     isolation — later appends don't affect this scan). ``predicate`` is
@@ -575,6 +604,10 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
 
     row_filter = (_predicate_expr(predicate)
                   if pushdown and predicate else None)
+    if as_of_us is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_us, not both")
+        version = version_as_of(table_dir, as_of_us)
     v = version if version is not None else _latest_version(table_dir)
     if v == 0:
         raise FileNotFoundError(f"no committed version in {table_dir}")

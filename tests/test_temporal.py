@@ -246,3 +246,23 @@ def test_reinserted_key_gets_disjoint_intervals(tmp_path):
                          "valid_from": [T1, T3],
                          "valid_to": [float(T2), np.nan]})
     pd.testing.assert_frame_equal(_norm(hist), _norm(want))
+
+
+def test_catalog_read_as_of_event_time(tmp_path):
+    """Event-time time travel: as_of_us pins the latest version with
+    commit_ts <= the instant."""
+    from fasta_windows_ray.sources.catalog import (catalog_read,
+                                                   version_as_of)
+    d = str(tmp_path / "t")
+    for i, ts in enumerate([T1, T2, T3]):
+        catalog_write(rd.from_pandas(pd.DataFrame({"v": [i]})), d,
+                      mode="overwrite", commit_ts=ts)
+    assert version_as_of(d, T2) == 2
+    assert version_as_of(d, T2 + 1) == 2
+    assert version_as_of(d, T3 + 99) == 3
+    assert catalog_read(d, as_of_us=T1).to_pandas()["v"].iloc[0] == 0
+    assert catalog_read(d, as_of_us=T3).to_pandas()["v"].iloc[0] == 2
+    with pytest.raises(ValueError, match="commit_ts"):
+        version_as_of(d, T1 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        catalog_read(d, version=1, as_of_us=T1)
