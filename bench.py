@@ -247,6 +247,51 @@ def bench_queries() -> dict:
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
         return len(dataset_profile(docs))
 
+    def temporal_join_users():
+        # versioned-dimension enrichment at replicated scale: every
+        # event probes the per-user tier version valid at its ts
+        # (synthesized 2-version history, broadcast-free key-bucket
+        # exchange + per-bucket merge_asof)
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from fasta_windows_ray.stages.temporal import temporal_join
+        US = 1_000_000
+        T0, T_MID = 1_704_067_200 * US, 1_704_067_200 * US + 15 * 86400 * US
+        ev = read_transcripts_replicated(SF_DIR, REPLICATE)
+        n_users = 1 << 16
+        uids = np.arange(n_users, dtype=np.int64)
+        h = pd.concat([
+            pd.DataFrame({"uk": uids, "tier": uids % 7 * 1.0,
+                          "valid_from": np.int64(T0),
+                          "valid_to": np.where(uids % 2 == 0,
+                                               float(T_MID), np.nan)}),
+            pd.DataFrame({"uk": uids[::2], "tier": uids[::2] % 7 + 100.0,
+                          "valid_from": np.int64(T_MID),
+                          "valid_to": np.nan})], ignore_index=True)
+
+        def key_of(t: pa.Table) -> pa.Table:
+            from fasta_windows_ray.stages.window_stats import \
+                stable_bucket_of
+            uk = stable_bucket_of(
+                t["conv_id"].to_numpy(zero_copy_only=False), n_users)
+            return pa.table({"uk": pa.array(uk, pa.int64()),
+                             "turn_uid": t["turn_uid"], "ts": t["ts"]})
+
+        keyed = ev.map_batches(key_of, batch_format="pyarrow")
+        out = temporal_join(
+            keyed, rd.from_pandas(h), key="uk", value_cols=["tier"],
+            num_buckets=2 * NUM_CPUS,
+            schemas=({"uk": pa.int64(), "turn_uid": pa.int64(),
+                      "ts": pa.timestamp("us")},
+                     {"uk": pa.int64(), "tier": pa.float64(),
+                      "valid_from": pa.int64(),
+                      "valid_to": pa.float64()}))
+        return _consume(out)
+
     return {
         "sliding_window_stats": sliding_full,
         "tumbling_window_stats": tumbling_full,
@@ -263,6 +308,7 @@ def bench_queries() -> dict:
         "hash_join_enrich": hash_join_enrich,
         "interval_join": interval_join_pairs,
         "dataset_profile": profile_documents,
+        "temporal_join": temporal_join_users,
     }
 
 
