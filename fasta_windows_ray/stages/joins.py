@@ -228,7 +228,8 @@ def hash_join(left, right, on: str | list[str], num_buckets: int = 64,
     total matches yields an all-empty Dataset whose ``to_pandas()``
     loses column names — callers needing a typed empty frame should
     guard like q_cep_sequence does with a schema helper."""
-    from .window_stats import stable_bucket_of
+    from .window_stats import (fast_numeric_bucket_of,
+                                stable_bucket_of)
 
     on_cols = [on] if isinstance(on, str) else list(on)
     left = _as_dataset(left)
@@ -300,6 +301,11 @@ def hash_join(left, right, on: str | list[str], num_buckets: int = 64,
             vals = parts[0]
             for p in parts[1:]:
                 vals = np.char.add(np.char.add(vals, "\x1f"), p)
+        elif vals.dtype == np.float64:
+            # hot numeric single-key path: vectorized splitmix64
+            # (bucketing-invariant to values; md5 kept for strings)
+            b = fast_numeric_bucket_of(vals, num_buckets)
+            return t.append_column("bucket", pa.array(b, pa.int64()))
         b = stable_bucket_of(vals, num_buckets)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
@@ -380,7 +386,8 @@ def interval_join(left, right, on: str, ts_col: str = "ts",
     Output: left's columns + right's non-key columns suffixed with
     ``right_suffix``.  Null keys never match (SQL semantics).
     """
-    from .window_stats import stable_bucket_of
+    from .window_stats import (fast_numeric_bucket_of,
+                                stable_bucket_of)
 
     if lower_us > upper_us:
         raise ValueError("interval_join: lower_us > upper_us")
@@ -413,9 +420,10 @@ def interval_join(left, right, on: str, ts_col: str = "ts",
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
-            vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        else:
-            vals = col.fill_null("").to_numpy(zero_copy_only=False)
+            vals = col.cast(pa.float64()).fill_null(0.0) \
+                .to_numpy(zero_copy_only=False)
+            return fast_numeric_bucket_of(vals, num_buckets)
+        vals = col.fill_null("").to_numpy(zero_copy_only=False)
         return stable_bucket_of(vals, num_buckets)
 
     def _ts_us(col) -> np.ndarray:

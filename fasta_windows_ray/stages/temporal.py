@@ -49,18 +49,9 @@ import pandas as pd
 import pyarrow as pa
 
 from .joins import _as_dataset, _restore_ints, _union_tagged
-from .window_stats import stable_bucket_of
+from .window_stats import fast_numeric_bucket_of, stable_bucket_of
 
 _NO_TS = object()
-
-
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over uint64 (wrapping ops)."""
-    with np.errstate(over="ignore"):
-        z = x + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
 
 
 def _key_bucket(ds, key: str, num_buckets: int, out_col: str = "bucket"):
@@ -75,11 +66,9 @@ def _key_bucket(ds, key: str, num_buckets: int, out_col: str = "bucket"):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
-            # canonical float64 bit pattern so an int64 side and a
-            # float64 side of one logical key co-bucket (7 == 7.0)
             v = col.cast(pa.float64()).fill_null(0.0) \
-                .to_numpy(zero_copy_only=False).copy().view(np.uint64)
-            b = (_splitmix64(v) % np.uint64(num_buckets)).astype(np.int64)
+                .to_numpy(zero_copy_only=False)
+            b = fast_numeric_bucket_of(v, num_buckets)
         else:
             vals = col.fill_null("").to_numpy(zero_copy_only=False)
             b = stable_bucket_of(vals, num_buckets)
