@@ -266,3 +266,41 @@ def test_catalog_read_as_of_event_time(tmp_path):
         version_as_of(d, T1 - 1)
     with pytest.raises(ValueError, match="not both"):
         catalog_read(d, version=1, as_of_us=T1)
+
+
+def test_refresh_scd2_view_equals_from_scratch(tmp_path):
+    """Incremental SCD-2 view == scd2_history recomputed from scratch
+    after every refresh; no-op refresh applies nothing; spec pinned."""
+    from fasta_windows_ray.stages.temporal import (read_scd2_view,
+                                                   refresh_scd2_view)
+    d = str(tmp_path / "dims")
+    v = str(tmp_path / "hist_view")
+    base = pd.DataFrame({"item_id": np.arange(8, dtype=np.int64),
+                         "price": np.arange(8, dtype=np.float64) * 10.0})
+    catalog_write(rd.from_pandas(base), d, mode="overwrite", commit_ts=T1)
+    rep1 = refresh_scd2_view(d, v, "item_id")
+    assert rep1 == {"versions_applied": 1, "opened": 8, "closed": 0}
+
+    upd = pd.DataFrame({"item_id": np.array([0, 1, 2, 3, 8], np.int64),
+                        "price": np.array([100., 101., 102., 103., 88.])})
+    catalog_merge(rd.from_pandas(upd), d, on="item_id", commit_ts=T2)
+    catalog_delete(d, [("item_id", ">=", 6), ("item_id", "<=", 7)],
+                   commit_ts=T3)
+    rep2 = refresh_scd2_view(d, v, "item_id")
+    assert rep2["versions_applied"] == 2
+    assert rep2["opened"] == 5 and rep2["closed"] == 6  # 4 upd + 2 del
+
+    got = read_scd2_view(v).to_pandas()
+    want = scd2_history(d, "item_id").to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(got[["item_id", "price", "valid_from", "valid_to"]]),
+        _norm(want))
+    # matches the planted construction too
+    pd.testing.assert_frame_equal(_norm(got[want.columns.tolist()]),
+                                  _norm(_expected_history()))
+
+    # no-op refresh
+    assert refresh_scd2_view(d, v, "item_id")["versions_applied"] == 0
+    # spec pin
+    with pytest.raises(ValueError, match="refusing"):
+        refresh_scd2_view(d, v, "price")
