@@ -364,7 +364,30 @@ def q_token_count_by_lang(sf_dir: str):
     out["avg_tokens"] = np.round(out["total_tokens"] / out["n_docs"], 6)
     out["total_tokens"] = out["total_tokens"].astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
-    return out[["lang", "n_docs", "total_tokens", "avg_tokens"]]
+    out = out[["lang", "n_docs", "total_tokens", "avg_tokens"]]
+
+    # parity twin: the generic grouping_sets operator (ROLLUP(lang))
+    # must reproduce the per-lang slice exactly, and its grand-total
+    # row must equal the column sums — multi-level aggregation under
+    # the driver gate (stages/grouping_sets.py)
+    from ..stages.grouping_sets import grouping_sets, rollup
+    gs = grouping_sets(counted, rollup(["lang"]),
+                       {"n_docs": ("count", None),
+                        "total_tokens": ("sum", "n_tokens")}).to_pandas()
+    per_lang = (gs[gs["gset"] == 0]
+                .sort_values("lang").reset_index(drop=True))
+    per_lang["avg_tokens"] = np.round(
+        per_lang["total_tokens"] / per_lang["n_docs"], 6)
+    per_lang["n_docs"] = per_lang["n_docs"].astype(np.int64)
+    per_lang["total_tokens"] = per_lang["total_tokens"].astype(np.int64)
+    _parity(out, per_lang[out.columns.tolist()],
+            "token_count_by_lang: combiner rollup vs grouping_sets")
+    total = gs[gs["gset"] == 1]
+    assert len(total) == 1 and total["lang"].isna().all()
+    assert int(total["n_docs"].iloc[0]) == int(out["n_docs"].sum())
+    assert (int(total["total_tokens"].iloc[0])
+            == int(out["total_tokens"].sum()))
+    return out
 
 
 SQL_TOKEN_COUNT_BY_LANG = """
@@ -525,7 +548,19 @@ def q_anti_join_convs(sf_dir: str):
     from ..stages.joins import semi_join
     turns = read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"])
     out = semi_join(turns, SEMI_KEYS, anti=True)
-    return out.select_columns(["conv_id", "turn_uid"])
+    out = out.select_columns(["conv_id", "turn_uid"]).to_pandas()
+
+    # parity twin: relational set difference (stages/setops.py) —
+    # all_rows EXCEPT ALL semi_rows must equal the anti join exactly
+    # (rows are unique by turn_uid, so bag and set semantics coincide;
+    # this puts except_all under the driver gate)
+    from ..stages.setops import except_all
+    alls = read_transcripts(sf_dir, columns=["conv_id", "turn_uid"])
+    semi = semi_join(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_uid", "ts"]),
+        SEMI_KEYS).select_columns(["conv_id", "turn_uid"])
+    return _parity(out, except_all(alls, semi),
+                   "anti_join_convs: semi_join(anti) vs except_all")
 
 
 _KEYS_SQL = ", ".join(f"'{k}'" for k in SEMI_KEYS)
