@@ -162,6 +162,40 @@ def main() -> dict:
     sec, rows = timed(run_wf)
     record("window_rank_family", sec, rows)
 
+    from fasta_windows_ray.stages.setops import set_op
+
+    def _keys(ds):
+        return ds.map_batches(
+            lambda t: t.select(["user_id", "event_type"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def run_except():
+        left = _keys(events())
+        right = _keys(events()).filter(
+            lambda r: r["event_type"] == "purchase")
+        return set_op(left, right, "except_all",
+                      num_buckets=2 * ncpu).count()
+
+    sec, rows = timed(run_except)
+    record("setops_except_all", sec, rows, rows_in=2 * n_in)
+
+    from fasta_windows_ray.stages.grouping_sets import cube, grouping_sets
+
+    def run_cube():
+        def add_day(t: pa.Table) -> pa.Table:
+            day = pa.compute.floor_temporal(t["ts"], unit="day")
+            return t.append_column("day", day)
+        ds = events().map_batches(add_day, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        out = grouping_sets(ds, cube(["event_type", "day"]),
+                            {"n": ("count", None),
+                             "hi": ("max", "event_id")},
+                            num_buckets=2 * ncpu)
+        return out.count()
+
+    sec, rows = timed(run_cube)
+    record("grouping_sets_cube", sec, rows)
+
     result = {
         "metric": "late-round-4 operators at replicated scale",
         "replicate": replicate, "num_cpus": ncpu, "sf": sf,
