@@ -1516,10 +1516,15 @@ def q_hash_sample(sf_dir: str):
       rates ∝ count^α (α = 0.5 upsamples tail languages), derived from
       one bounded groupby().count(), applied by the same shuffle-free
       membership filter.
+    - ``weighted``: Efraimidis–Spirakis A-ES weighted sampling WITHOUT
+      replacement — keep the k rows per language minimizing
+      −ln(u)/n_chars, u the key's md5-uniform, so inclusion follows the
+      document length while staying a pure function of the key
+      (per-batch top-k combiner, zero shuffles).
 
     Each part is reproduced exactly by its SQL md5-fold twin."""
     from ..stages.sampling import (hash_sample, hash_topk_sample,
-                                   mixture_sample)
+                                   mixture_sample, weighted_sample_k)
     a = hash_sample(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
                     SAMPLE_DEFAULT_PERMILLE, strata_col="lang",
                     strata_permille=SAMPLE_STRATA_PERMILLE) \
@@ -1534,11 +1539,17 @@ def q_hash_sample(sf_dir: str):
                             target_permille=MIX_TARGET_PERMILLE)
     c = c.to_pandas().sort_values("doc_id").reset_index(drop=True)
     c.insert(0, "method", "mixture")
-    return pd.concat([a, b, c], ignore_index=True)
+    d = weighted_sample_k(_docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+                          "doc_id", "n_chars", WEIGHTED_SAMPLE_K,
+                          strata_col="lang")
+    d = d[["doc_id", "lang"]].copy()
+    d.insert(0, "method", "weighted")
+    return pd.concat([a, b, c, d], ignore_index=True)
 
 
 MIX_ALPHA = 0.5
 MIX_TARGET_PERMILLE = 250
+WEIGHTED_SAMPLE_K = 15
 
 SQL_HASH_SAMPLE = f"""
 WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
@@ -1563,6 +1574,15 @@ UNION ALL
 SELECT 'topk' AS method, doc_id, lang FROM r WHERE rn <= {SAMPLE_TOPK_K}
 UNION ALL
 SELECT 'mixture' AS method, doc_id, lang FROM m WHERE slot < pm
+UNION ALL
+SELECT 'weighted' AS method, doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY
+           -ln((({_hex_fold("hw", 15)}) + 0.5) / {float(1 << 60)!r})
+             / n_chars, doc_id) AS rn
+  FROM (SELECT doc_id, lang, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS hw
+        FROM documents WHERE n_chars > 0))
+WHERE rn <= {WEIGHTED_SAMPLE_K}
 """
 
 

@@ -523,3 +523,50 @@ def interval_join(left, right, on: str, ts_col: str = "ts",
                                     preserve_index=False)
 
     return both.groupby("_gk").map_groups(probe, batch_format="pandas")
+
+
+def cross_join(left, right, right_suffix: str = "_r",
+               max_right_rows: int = 65536,
+               max_out_per_chunk: int = 1 << 20):
+    """Broadcast cross join (SQL CROSS JOIN): every left row × every
+    right row. The right side must be SMALL — it is materialized once,
+    ``ray.put`` into the object store, and read per actor (never
+    re-shipped per batch); ``max_right_rows`` guards against a
+    quadratic blow-up by refusing a big right side up front.
+
+    Output size management: each task slices its left batch so one
+    emitted chunk is ≤ ``max_out_per_chunk`` rows (a generator UDF —
+    the streaming executor backpressures on chunks, not on the full
+    batch × right product). Column-name collisions on the right get
+    ``right_suffix``. No shuffle at any point.
+    """
+    import pandas as pd
+    right_df = right.to_pandas() if hasattr(right, "to_pandas") else right
+    right_df = pd.DataFrame(right_df)
+    if len(right_df) > max_right_rows:
+        raise ValueError(
+            f"cross_join right side has {len(right_df)} rows > "
+            f"max_right_rows={max_right_rows}; a big-big cross join is "
+            "a deliberate refusal (quadratic output) — pre-filter or "
+            "sample the right side")
+    ref = ray.put(right_df)
+
+    class Cross:
+        def __init__(self):
+            r = ray.get(ref).copy()
+            self.n_right = len(r)
+            self.right = r
+
+        def __call__(self, df: pd.DataFrame):
+            if len(df) == 0 or self.n_right == 0:
+                yield df.head(0)
+                return
+            r = self.right.rename(columns={
+                c: c + right_suffix if c in df.columns else c
+                for c in self.right.columns})
+            step = max(1, max_out_per_chunk // max(self.n_right, 1))
+            for i in range(0, len(df), step):
+                yield df.iloc[i:i + step].merge(r, how="cross")
+
+    return left.map_batches(Cross, batch_format="pandas",
+                            concurrency=(1, 8))

@@ -206,3 +206,53 @@ def train_val_test_split(ds, key_col: str,
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def weighted_sample_k(ds, key_col: str, weight_col: str, k: int,
+                      strata_col: str | None = None):
+    """Deterministic weighted sampling WITHOUT replacement (per
+    stratum): keep the k rows minimizing ``-ln(u) / w`` where ``u`` is
+    the key's md5-uniform in (0, 1) — the Efraimidis–Spirakis A-ES
+    exponential-key scheme, so inclusion probability follows the
+    ``weight_col`` (quality scores, token counts) while membership
+    stays a pure function of the key: re-runs, re-shards and row
+    re-orderings select the IDENTICAL sample, and a DuckDB twin
+    reproduces it bit-for-bit via the engine's md5 fold.
+
+    Rows with null or non-positive weight are never sampled (weight 0
+    = excluded, matching the A-ES limit). Combiner shape as
+    ``hash_topk_sample``: each batch emits ≤ k candidates per stratum
+    (a global top-k is contained in the union of per-batch top-k's),
+    tiny driver merge, zero shuffles. Returns a pandas frame
+    (driver-small: ≤ k × strata rows) sorted by (strata, key).
+    """
+    import pandas as pd
+
+    strata = [strata_col] if strata_col else []
+
+    def cand(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        if strata_col:
+            df[strata_col] = df[strata_col].fillna("")
+        w = df[weight_col].to_numpy(dtype=np.float64, na_value=0.0)
+        h = stable_bucket_of(t[key_col].to_numpy(zero_copy_only=False),
+                             1 << 60)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 60)
+        with np.errstate(divide="ignore"):
+            df["_aes"] = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300),
+                                  np.inf)
+        df = df[np.isfinite(df["_aes"])]
+        df = df.sort_values(["_aes", key_col], kind="stable")
+        return (df.groupby(strata_col, sort=False).head(k)
+                if strata_col else df.head(k))
+
+    c = ds.map_batches(cand, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    if c.empty:
+        return c.drop(columns=["_aes"], errors="ignore")
+    c = c.sort_values(["_aes", key_col], kind="stable")
+    out = (c.groupby(strata_col, sort=False).head(k)
+           if strata_col else c.head(k))
+    return (out.drop(columns=["_aes"])
+               .sort_values(strata + [key_col])
+               .reset_index(drop=True))
