@@ -34,6 +34,7 @@ downstream streaming/pruning behavior is stock Ray Data.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import uuid
@@ -194,6 +195,7 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                   zorder: list[str] | None = None,
                   bloom_cols: list[str] | None = None,
                   bloom_bits: int = 1 << 17,
+                  bloom_store: str = "inline",
                   commit_ts: int | None = None) -> dict:
     """Commit a Dataset to the catalog table as one new version.
 
@@ -245,6 +247,13 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     Bloom PROVES clean — the pruning that min/max stats cannot do when
     value ranges interleave across files (e.g. hash-distributed ids),
     and the one that makes point lookups work on UNBUCKETED tables.
+    ``bloom_store="sidecar"`` keeps each bitmap in a raw sidecar file
+    next to its data file instead of base64 inside the manifest — the
+    layout for big tables (at 10^5 files an inline-bloom manifest is
+    GBs and EVERY version load/commit pays it; sidecar manifests stay
+    ~100 B/file and a bitmap is read, LRU-cached, only when a probe
+    reaches that file).  Modes interoperate per file; copy-on-write
+    maintenance preserves whichever store the table uses.
 
     The data files are written DISTRIBUTED (one per input block, inside
     the map_batches tasks); only the tiny per-file manifest rows travel
@@ -252,6 +261,8 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if bloom_store not in ("inline", "sidecar"):
+        raise ValueError(f"unknown bloom_store {bloom_store!r}")
     if zorder is not None and bucket_by is not None:
         raise ValueError("zorder and bucket_by are mutually exclusive "
                          "(range clustering vs hash co-partitioning)")
@@ -285,7 +296,7 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
 
     def write_block(t: pa.Table) -> pa.Table:
         return _write_data_file(t, data_dir, stats_cols,
-                                bloom_cols, bloom_bits)
+                                bloom_cols, bloom_bits, bloom_store)
 
     if bucket_by is not None:
         report = (tagged.groupby("_bucket")
@@ -303,7 +314,8 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
 
         def write_zblock(t: pa.Table) -> pa.Table:
             return _write_data_file(t.drop_columns(["_z"]), data_dir,
-                                    stats_cols, bloom_cols, bloom_bits)
+                                    stats_cols, bloom_cols, bloom_bits,
+                                    bloom_store)
 
         report = (ds.map_batches(tag_z, batch_format="pyarrow",
                                  zero_copy_batch=True)
@@ -317,12 +329,12 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                          zorder=zorder, commit_ts=commit_ts)
 
 
-def _file_bloom(col: pa.ChunkedArray, n_bits: int) -> dict | None:
+def _file_bloom(col: pa.ChunkedArray, n_bits: int):
     """Per-file Bloom bitmap of a key column (int/float/string only —
     types whose probe-side pandas hash matches the build side; nulls
-    are dropped so an int column with nulls still hashes as int64)."""
-    import base64
-
+    are dropped so an int column with nulls still hashes as int64).
+    Returns ``(meta, raw_bytes)`` — the caller decides where the
+    bitmap lives (inline base64 in the manifest or a sidecar file)."""
     from ..stages.bloom import _bloom_positions
     ty = col.type
     if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
@@ -335,8 +347,19 @@ def _file_bloom(col: pa.ChunkedArray, n_bits: int) -> dict | None:
         np.bitwise_or.at(bitmap, pos >> 6,
                          np.uint64(1) << (pos.astype(np.uint64)
                                           & np.uint64(63)))
-    return {"n_bits": n_bits, "n_hashes": 4,
-            "b64": base64.b64encode(bitmap.tobytes()).decode()}
+    return {"n_bits": n_bits, "n_hashes": 4}, bitmap.tobytes()
+
+
+@functools.lru_cache(maxsize=256)
+def _load_sidecar_bloom(path: str) -> bytes | None:
+    """Read a sidecar Bloom bitmap (immutable once committed — new
+    writes mint new file names — so a plain path-keyed LRU is safe).
+    Missing/unreadable sidecar -> None (callers must not prune)."""
+    try:
+        with open(path, "rb") as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def _coerce_keys(vals: list, type_str: str | None):
@@ -359,9 +382,13 @@ def _coerce_keys(vals: list, type_str: str | None):
 
 
 def _bloom_excludes(st: dict | None, vals: list,
-                    type_str: str | None) -> bool:
+                    type_str: str | None,
+                    table_dir: str | None = None) -> bool:
     """True iff the file's Bloom PROVES none of ``vals`` is present
-    (no false negatives — safe to skip the file)."""
+    (no false negatives — safe to skip the file).  The bitmap is
+    either inline (``b64``) or in a sidecar file (``sidecar``, path
+    relative to ``table_dir``); an unreadable sidecar is merely
+    unprunable, never an error."""
     import base64
 
     import pandas as pd
@@ -373,33 +400,54 @@ def _bloom_excludes(st: dict | None, vals: list,
     keys = _coerce_keys(vals, type_str)
     if keys is None or not isinstance(keys, pd.Series):
         return False
-    bitmap = np.frombuffer(base64.b64decode(bl["b64"]), np.uint64)
+    if "b64" in bl:
+        raw = base64.b64decode(bl["b64"])
+    elif "sidecar" in bl and table_dir is not None:
+        raw = _load_sidecar_bloom(os.path.join(table_dir, bl["sidecar"]))
+        if raw is None or len(raw) * 8 != bl["n_bits"]:
+            return False
+    else:
+        return False
+    bitmap = np.frombuffer(raw, np.uint64)
     return not bool(bloom_contains(bitmap, keys, bl["n_hashes"]).any())
 
 
-def _manifest_bloom_spec(manifest: dict) -> tuple[list[str] | None, int]:
+def _manifest_bloom_spec(manifest: dict) \
+        -> tuple[list[str] | None, int, str]:
     """The table's effective Bloom spec — the union of columns any
-    parent file carries a Bloom for (+ the largest bit width).  Every
-    copy-on-write rewrite (delete / merge / compact) passes this to
-    its ``_write_data_file`` calls so maintenance never silently
-    degrades the table's prunability."""
+    parent file carries a Bloom for (+ the largest bit width + the
+    storage mode: ``sidecar`` if ANY parent bloom lives in a sidecar,
+    else ``inline``).  Every copy-on-write rewrite (delete / merge /
+    compact) passes this to its ``_write_data_file`` calls so
+    maintenance never silently degrades the table's prunability or
+    demotes sidecar tables back to manifest-inflating inline bitmaps."""
     cols: dict[str, int] = {}
+    store = "inline"
     for f in manifest.get("files", []):
         for c, st in f.get("stats", {}).items():
             if isinstance(st, dict) and isinstance(st.get("bloom"), dict):
                 cols[c] = max(cols.get(c, 0), st["bloom"]["n_bits"])
+                if "sidecar" in st["bloom"]:
+                    store = "sidecar"
     if not cols:
-        return None, 1 << 17
-    return sorted(cols), max(cols.values())
+        return None, 1 << 17, store
+    return sorted(cols), max(cols.values()), store
 
 
 def _write_data_file(t: pa.Table, data_dir: str,
                      stats_cols: list[str] | None = None,
                      bloom_cols: list[str] | None = None,
-                     bloom_bits: int = 1 << 17) -> pa.Table:
+                     bloom_bits: int = 1 << 17,
+                     bloom_store: str = "inline") -> pa.Table:
     """Write one data file (tmp + atomic rename) and return its
     one-row manifest report (path, rows, per-column min/max stats,
     optional per-column Bloom bitmaps, bucket id if tagged, schema).
+    ``bloom_store="sidecar"`` writes each bitmap as a raw sidecar file
+    next to the data file (manifest records only its path) — at 10^5+
+    files the inline base64 bitmaps dominate manifest size (~21 KB per
+    file per column at the default 2^17 bits) and every manifest load
+    pays for them; sidecars keep the manifest O(100 B)/file and load a
+    bitmap only when a probe actually reaches that file.
     Runs INSIDE distributed tasks."""
     import pyarrow.parquet as pq
     if len(t) == 0:
@@ -433,9 +481,23 @@ def _write_data_file(t: pa.Table, data_dir: str,
     for bc in (bloom_cols or []):
         if bc not in t.column_names:
             continue
-        bl = _file_bloom(t[bc], bloom_bits)
-        if bl is not None:
-            stats.setdefault(bc, {"min": None, "max": None})["bloom"] = bl
+        fb = _file_bloom(t[bc], bloom_bits)
+        if fb is None:
+            continue
+        meta, raw = fb
+        if bloom_store == "sidecar":
+            import re
+            safe = re.sub(r"[^A-Za-z0-9_.-]", "_", bc)
+            side = f"{name}.{safe}.bloom"
+            stmp = os.path.join(data_dir, f".{side}.tmp")
+            with open(stmp, "wb") as fh:
+                fh.write(raw)
+            os.replace(stmp, os.path.join(data_dir, side))
+            meta["sidecar"] = f"data/{side}"
+        else:
+            import base64
+            meta["b64"] = base64.b64encode(raw).decode()
+        stats.setdefault(bc, {"min": None, "max": None})["bloom"] = meta
     schema_json = json.dumps({f.name: str(f.type) for f in t.schema})
     return pa.table({"path": pa.array([f"data/{name}"]),
                      "rows": pa.array([len(t)], pa.int64()),
@@ -618,7 +680,7 @@ def catalog_read(table_dir: str, columns: list[str] | None = None,
         for col, op, val in (predicate or []):
             st = f["stats"].get(col)
             if op == "==" and _bloom_excludes(
-                    st, [val], f.get("schema", {}).get(col)):
+                    st, [val], f.get("schema", {}).get(col), table_dir):
                 keep = False                  # Bloom-proven absent
                 break
             if st is None or st["min"] is None:
@@ -703,6 +765,10 @@ def catalog_vacuum(table_dir: str, keep_versions: int = 1,
     for v in keep:
         for f in _load_manifest(table_dir, v)["files"]:
             live.add(f["path"])
+            for st in f.get("stats", {}).values():
+                bl = st.get("bloom") if isinstance(st, dict) else None
+                if isinstance(bl, dict) and "sidecar" in bl:
+                    live.add(bl["sidecar"])   # bitmap lives with its file
     deleted = []
     data_dir = os.path.join(table_dir, "data")
     for name in os.listdir(data_dir):
@@ -796,6 +862,10 @@ def catalog_fsck(table_dir: str, deep: bool = False) -> dict:
     for vv in _versions(table_dir):
         for f in _load_manifest(table_dir, vv)["files"]:
             live_all.add(f["path"])
+            for st in f.get("stats", {}).values():
+                bl = st.get("bloom") if isinstance(st, dict) else None
+                if isinstance(bl, dict) and "sidecar" in bl:
+                    live_all.add(bl["sidecar"])
     data_dir = os.path.join(table_dir, "data")
     for name in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) \
             else []:
@@ -822,8 +892,12 @@ def catalog_fsck(table_dir: str, deep: bool = False) -> dict:
             bl = st.get("bloom")
             if isinstance(bl, dict):
                 try:
-                    raw = base64.b64decode(bl["b64"], validate=True)
-                    ok = len(raw) * 8 == bl["n_bits"]
+                    if "sidecar" in bl:
+                        sp = os.path.join(table_dir, bl["sidecar"])
+                        ok = (os.path.getsize(sp) * 8 == bl["n_bits"])
+                    else:
+                        raw = base64.b64decode(bl["b64"], validate=True)
+                        ok = len(raw) * 8 == bl["n_bits"]
                 except Exception:
                     ok = False
                 if not ok:
@@ -1088,7 +1162,7 @@ def catalog_delete(table_dir: str, predicate: list[tuple],
 
     data_dir = os.path.join(table_dir, "data")
     rows_before = sum(f["rows"] for f in cands)
-    bcols, bbits = _manifest_bloom_spec(manifest)
+    bcols, bbits, bstore = _manifest_bloom_spec(manifest)
 
     def rewrite(batch) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1101,7 +1175,7 @@ def catalog_delete(table_dir: str, predicate: list[tuple],
         if len(keep) == 0:
             return _write_data_file(pa.table({}), data_dir)  # drop file
         return _write_data_file(keep, data_dir, bloom_cols=bcols,
-                                bloom_bits=bbits)
+                                bloom_bits=bbits, bloom_store=bstore)
 
     if cands:
         work = rd.from_items([{"entry": json.dumps(f)} for f in cands])
@@ -1160,7 +1234,7 @@ def catalog_merge(ds, table_dir: str, on: str,
     manifest = _load_manifest(table_dir, v)
     data_dir = os.path.join(table_dir, "data")
     spec = manifest.get("bucket_by")
-    bcols_m, bbits_m = _manifest_bloom_spec(manifest)
+    bcols_m, bbits_m, bstore_m = _manifest_bloom_spec(manifest)
 
     def check_unique(keys: pa.ChunkedArray, n: int) -> None:
         if pc.count_distinct(keys, mode="all").as_py() != n:
@@ -1201,7 +1275,8 @@ def catalog_merge(ds, table_dir: str, on: str,
                 merged = pa.concat_tables([keep, t],
                                           promote_options="default")
             rep = _write_data_file(merged, data_dir, bloom_cols=bcols_m,
-                                   bloom_bits=bbits_m)
+                                   bloom_bits=bbits_m,
+                                   bloom_store=bstore_m)
             return rep.append_column(
                 "updated", pa.array([n_updated] * len(rep), pa.int64()))
 
@@ -1261,7 +1336,8 @@ def catalog_merge(ds, table_dir: str, on: str,
             upd = len(t)
         else:
             rep = _write_data_file(keep, data_dir, bloom_cols=bcols_m,
-                                   bloom_bits=bbits_m)
+                                   bloom_bits=bbits_m,
+                                   bloom_store=bstore_m)
             upd = len(t) - len(keep)
         return rep.append_column("updated",
                                  pa.array([upd] * len(rep), pa.int64()))
@@ -1274,7 +1350,8 @@ def catalog_merge(ds, table_dir: str, on: str,
                                       batch_format="numpy").to_pandas())
     parts.append(src.map_batches(
         lambda t: _write_data_file(t, data_dir, bloom_cols=bcols_m,
-                                   bloom_bits=bbits_m).append_column(
+                                   bloom_bits=bbits_m,
+                                   bloom_store=bstore_m).append_column(
             "updated", pa.array([0], pa.int64())),
         batch_format="pyarrow", zero_copy_batch=True).to_pandas())
     report = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
@@ -1399,7 +1476,7 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
         raise FileNotFoundError(f"no committed version in {table_dir}")
     manifest = _load_manifest(table_dir, v)
     spec = manifest.get("bucket_by")
-    bcols_m, bbits_m = _manifest_bloom_spec(manifest)
+    bcols_m, bbits_m, bstore_m = _manifest_bloom_spec(manifest)
 
     if spec is not None:
         bcol, n_buckets = spec
@@ -1425,7 +1502,8 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
             def compact_bucket(batch) -> pa.Table:
                 return _write_data_file(load_bucket(batch), data_dir,
                                         bloom_cols=bcols_m,
-                                        bloom_bits=bbits_m)
+                                        bloom_bits=bbits_m,
+                                        bloom_store=bstore_m)
 
             report = work.map_batches(compact_bucket, batch_size=1,
                                       batch_format="numpy").to_pandas()
@@ -1442,7 +1520,8 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
             batch_format="pyarrow", zero_copy_batch=True)
         return catalog_write(ds, table_dir, mode="overwrite",
                              bucket_by=(bcol, n_buckets),
-                             bloom_cols=bcols_m, bloom_bits=bbits_m)
+                             bloom_cols=bcols_m, bloom_bits=bbits_m,
+                             bloom_store=bstore_m)
 
     paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
     ds = rd.read_parquet(paths)
@@ -1450,7 +1529,8 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
                   // target_rows)
     return catalog_write(ds.repartition(n_files), table_dir,
                          mode="overwrite",
-                         bloom_cols=bcols_m, bloom_bits=bbits_m)
+                         bloom_cols=bcols_m, bloom_bits=bbits_m,
+                         bloom_store=bstore_m)
 
 
 def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
@@ -1523,7 +1603,7 @@ def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,
         except TypeError:            # incomparable key/stat types
             prunable = False
         if not prunable and _bloom_excludes(
-                st, ks, f.get("schema", {}).get(key_col)):
+                st, ks, f.get("schema", {}).get(key_col), table_dir):
             prunable = True
         if prunable:
             skipped_rows += f["rows"]
@@ -1610,7 +1690,7 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys,
         except TypeError:
             prunable = False
         if not prunable and _bloom_excludes(
-                st, ks, f.get("schema", {}).get(key_col)):
+                st, ks, f.get("schema", {}).get(key_col), table_dir):
             prunable = True            # Bloom-proven clean: zero I/O
         (untouched if prunable else cands).append(f)
 
@@ -1619,7 +1699,7 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys,
     keyset = pa.array(keys)
     # preserve the table's Blooms through the rewrite (an absent Bloom
     # is never wrong, just unprunable later)
-    bcols, bbits = _manifest_bloom_spec(manifest)
+    bcols, bbits, bstore = _manifest_bloom_spec(manifest)
 
     def rewrite(batch) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1632,7 +1712,7 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys,
         if len(keep) == 0:
             return _write_data_file(pa.table({}), data_dir)
         return _write_data_file(keep, data_dir, bloom_cols=bcols,
-                                bloom_bits=bbits)
+                                bloom_bits=bbits, bloom_store=bstore)
 
     if cands:
         work = rd.from_items([{"entry": json.dumps(f)} for f in cands])
