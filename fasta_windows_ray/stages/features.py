@@ -1,0 +1,320 @@
+"""Feature engineering: distributed numeric stats and the transforms a
+training-data pipeline derives from them — imputation, z-score
+standardization, min-max scaling, discretization (binning).
+
+Scale shape shared by every op here:
+
+1. one streaming STATS pass — per-batch partials (count/sum/sumsq/
+   min/max, or value counts for mode, or t-digest centroids for
+   median/quantile bins), folded through a tiny ``groupby().sum()``
+   whose exchange is bounded by groups x columns (mode: by distinct
+   values), never by rows;
+2. the resulting lookup (groups x cols rows) broadcast ONCE via
+   ``ray.put``;
+3. one vectorized TRANSFORM pass — ``map_batches`` + numpy against the
+   broadcast lookup, zero shuffles.
+
+The input dataset is traversed twice (stats + transform) but never
+materialized; both passes stream.  Callers that already hold stats
+(e.g. standardizing a validation split with the TRAIN split's stats —
+the leakage-correct direction) pass them in and skip pass 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _gkey(k):
+    """Normalize a group key for dict lookup: NaN/None -> None (NaN
+    never equals itself, so a raw NaN key could never be found)."""
+    if k is None:
+        return None
+    try:
+        if k != k:
+            return None
+    except (TypeError, ValueError):
+        pass
+    return k
+
+
+def numeric_stats(ds, cols: list[str],
+                  by: str | None = None) -> pd.DataFrame:
+    """Exact count/mean/std(pop)/min/max per column (per group with
+    ``by=``) in ONE streaming pass.  Nulls are excluded per column
+    (SQL aggregate semantics).  Output rows = groups x cols — driver
+    state bounded by group cardinality, not input size."""
+    gcols = [by] if by else []
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(gcols + cols).to_pandas()
+        rows = []
+        grouped = (df.groupby(by, sort=False, dropna=False)
+                   if by else [("", df)])
+        for key, sub in grouped:
+            for c in cols:
+                v = sub[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                m = ~np.isnan(v)
+                vv = v[m]
+                rows.append({
+                    "_g": _gkey(key) if by else "",
+                    "col": c,
+                    "n": int(m.sum()),
+                    "s": float(vv.sum()) if len(vv) else 0.0,
+                    "s2": float((vv * vv).sum()) if len(vv) else 0.0,
+                    "lo": float(vv.min()) if len(vv) else np.inf,
+                    "hi": float(vv.max()) if len(vv) else -np.inf,
+                })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=(gcols + ["col", "n", "mean", "std",
+                                              "min", "max"]))
+    agg = (parts.groupby(["_g", "col"], sort=False, dropna=False)
+                .agg(n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"),
+                     lo=("lo", "min"), hi=("hi", "max"))
+                .reset_index())
+    n = agg["n"].to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(n > 0, agg["s"] / n, np.nan)
+        var = np.where(n > 0, agg["s2"] / n - mean * mean, np.nan)
+    out = pd.DataFrame({
+        "col": agg["col"],
+        "n": agg["n"].astype(np.int64),
+        "mean": mean,
+        # population std; clamp the tiny negative fp residue of s2/n-m^2
+        "std": np.sqrt(np.maximum(var, 0.0)),
+        "min": np.where(n > 0, agg["lo"], np.nan),
+        "max": np.where(n > 0, agg["hi"], np.nan),
+    })
+    if by:
+        out.insert(0, by, agg["_g"])
+    return out.sort_values((gcols + ["col"])).reset_index(drop=True)
+
+
+def _broadcast_lookup(stats: pd.DataFrame, by: str | None,
+                      value_col: str) -> dict:
+    """{(group, col) -> value} (group "" when ungrouped)."""
+    g = stats[by] if by else [""] * len(stats)
+    return {(gg, c): float(v) if v == v else np.nan
+            for gg, c, v in zip(g, stats["col"], stats[value_col])}
+
+
+def _apply_per_group(df: pd.DataFrame, cols, by, fn):
+    """Run ``fn(values, group_key, col) -> values`` over each column,
+    vectorized per group segment (sorting not required: boolean masks
+    per group — group cardinality within one batch is small)."""
+    if by is None:
+        for c in cols:
+            df[c] = fn(df[c].to_numpy(dtype=np.float64,
+                                      na_value=np.nan), "", c)
+        return df
+    codes, uniques = pd.factorize(df[by], use_na_sentinel=False)
+    for c in cols:
+        v = df[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        out = np.empty_like(v)
+        for gi, key in enumerate(uniques):
+            m = codes == gi
+            out[m] = fn(v[m], _gkey(key), c)
+        df[c] = out
+    return df
+
+
+def standardize(ds, cols: list[str], by: str | None = None,
+                stats: pd.DataFrame | None = None):
+    """z-score: (x - mean) / std_pop, per group with ``by=``.
+    Zero-variance columns map to 0.0 (not inf); nulls stay null.
+    Pass ``stats=`` (a ``numeric_stats`` frame, e.g. from the TRAIN
+    split) to reuse moments instead of recomputing — the
+    leakage-correct way to scale a validation split."""
+    import ray
+    st = stats if stats is not None else numeric_stats(ds, cols, by)
+    mean = _broadcast_lookup(st, by, "mean")
+    std = _broadcast_lookup(st, by, "std")
+    ref = ray.put((mean, std))
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        mu, sd = ray.get(ref)
+
+        def z(v, g, c):
+            m, s = mu.get((g, c), np.nan), sd.get((g, c), np.nan)
+            if not s or s != s:          # zero/NaN std -> centered 0
+                return np.where(np.isnan(v), np.nan, 0.0)
+            return (v - m) / s
+
+        return _apply_per_group(df, cols, by, z)
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def minmax_scale(ds, cols: list[str], by: str | None = None,
+                 stats: pd.DataFrame | None = None):
+    """(x - min) / (max - min) per group; constant columns map to 0.0;
+    nulls stay null."""
+    import ray
+    st = stats if stats is not None else numeric_stats(ds, cols, by)
+    lo = _broadcast_lookup(st, by, "min")
+    hi = _broadcast_lookup(st, by, "max")
+    ref = ray.put((lo, hi))
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        los, his = ray.get(ref)
+
+        def mm(v, g, c):
+            a, b = los.get((g, c), np.nan), his.get((g, c), np.nan)
+            if a != a or b != b or b == a:
+                return np.where(np.isnan(v), np.nan, 0.0)
+            return (v - a) / (b - a)
+
+        return _apply_per_group(df, cols, by, mm)
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def impute(ds, cols: list[str], strategy: str = "mean",
+           by: str | None = None, fill_value=None):
+    """Fill nulls per column: ``mean`` (exact), ``median``
+    (t-digest-approximate — one centroid-bounded pass, documented
+    error O(q(1-q)/delta)), ``mode`` (exact most-frequent,
+    ties -> smallest value, SQL twin-able; the stats exchange is
+    bounded by DISTINCT VALUES per group x col — meant for
+    categorical-cardinality columns), or ``constant`` (``fill_value``).
+    Groups unseen in the stats pass (possible only with a caller-
+    supplied stats frame) keep their nulls."""
+    import ray
+    if strategy == "constant":
+        if fill_value is None:
+            raise ValueError("strategy='constant' needs fill_value")
+        fills = None
+    elif strategy == "mean":
+        st = numeric_stats(ds, cols, by)
+        fills = _broadcast_lookup(st, by, "mean")
+    elif strategy == "median":
+        from .sketches import tdigest_quantiles
+        fills = {}
+        for c in cols:
+            q = tdigest_quantiles(_nonnull(ds, c, by), c, [0.5],
+                                  group_col=by)
+            for _, r in q.iterrows():
+                fills[(_gkey(r[by]) if by else "", c)] = \
+                    float(r["value"])
+    elif strategy == "mode":
+        fills = _mode_lookup(ds, cols, by)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    ref = ray.put(fills)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        fl = ray.get(ref)
+        if strategy == "constant":
+            for c in cols:
+                df[c] = df[c].fillna(fill_value)
+            return df
+
+        def fill(v, g, c):
+            f = fl.get((g, c))
+            if f is None or f != f:
+                return v
+            return np.where(np.isnan(v), f, v)
+
+        return _apply_per_group(df, cols, by, fill)
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def _mode_lookup(ds, cols: list[str], by: str | None) -> dict:
+    """Exact per-(group, col) mode via a distinct-values-bounded
+    exchange: per-batch value counts -> groupby sum -> top-1
+    (ties -> smallest value, deterministic)."""
+    gcols = [by] if by else []
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(gcols + cols).to_pandas()
+        rows = []
+        grouped = (df.groupby(by, sort=False, dropna=False)
+                   if by else [("", df)])
+        for key, sub in grouped:
+            for c in cols:
+                vc = sub[c].dropna().value_counts()
+                for val, cnt in vc.items():
+                    rows.append({"_g": _gkey(key) if by else "", "col": c,
+                                 "val": float(val), "cnt": int(cnt)})
+        return pd.DataFrame(rows,
+                            columns=["_g", "col", "val", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    agg = (parts.groupby(["_g", "col", "val"], sort=False)["cnt"]
+                .sum().reset_index())
+    # top-1 per (group, col): max count, then smallest value
+    agg = agg.sort_values(["_g", "col", "cnt", "val"],
+                          ascending=[True, True, False, True],
+                          kind="stable")
+    top = agg.drop_duplicates(["_g", "col"], keep="first")
+    return {(g, c): float(v)
+            for g, c, v in zip(top["_g"], top["col"], top["val"])}
+
+
+def bin_numeric(ds, col: str, n_bins: int = 10, method: str = "width",
+                out_col: str | None = None,
+                edges: np.ndarray | None = None):
+    """Discretize ``col`` into ``n_bins`` (new int64 column
+    ``out_col``, default ``{col}_bin``; nulls -> -1).
+
+    ``method="width"``: equal-width over the global [min, max] —
+    matches DuckDB semantics as ``least(greatest(width_bucket(x, lo,
+    hi, n), 1), n) - 1`` (clamped so x == hi lands in the last bin).
+    ``method="quantile"``: equal-frequency with t-digest boundary
+    estimates (one centroid-bounded pass; interior edges approximate,
+    bin POPULATIONS near-equal).  ``edges=`` (len n_bins+1, ascending)
+    skips the stats pass entirely."""
+    import ray
+    name = out_col or f"{col}_bin"
+    if edges is None:
+        if method == "width":
+            st = numeric_stats(ds, [col])
+            lo, hi = float(st["min"][0]), float(st["max"][0])
+            edges = np.linspace(lo, hi, n_bins + 1)
+        elif method == "quantile":
+            from .sketches import tdigest_quantiles
+            qs = np.linspace(0.0, 1.0, n_bins + 1).tolist()
+            q = tdigest_quantiles(ds, col, qs)
+            edges = np.asarray(sorted(q["value"]), dtype=np.float64)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+    edges = np.asarray(edges, dtype=np.float64)
+    if len(edges) != n_bins + 1:
+        raise ValueError("edges must have n_bins + 1 entries")
+    ref = ray.put(edges)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(ref)
+        v = df[col].to_numpy(dtype=np.float64, na_value=np.nan)
+        b = np.searchsorted(e[1:-1], v, side="right").astype(np.int64)
+        b = np.clip(b, 0, n_bins - 1)
+        df[name] = np.where(np.isnan(v), np.int64(-1), b)
+        df[name] = df[name].astype(np.int64)
+        return df
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def _nonnull(ds, col: str, by: str | None):
+    """Project to (by?, col) and drop null/NaN rows of ``col`` — the
+    t-digest compressor has no null concept, so imputation stats must
+    never see the very holes they are meant to fill."""
+    import pyarrow.compute as pc
+    keep = ([by] if by else []) + [col]
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.select(keep)
+        m = pc.is_valid(t[col])
+        if pa.types.is_floating(t[col].type):
+            m = pc.and_(m, pc.invert(pc.is_nan(t[col])))
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

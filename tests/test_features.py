@@ -1,0 +1,191 @@
+"""Feature engineering stages (stages/features.py): distributed
+numeric stats, imputation, standardization, min-max scaling, binning —
+DuckDB twins wherever SQL expresses the semantics."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fasta_windows_ray.stages.features import (bin_numeric, impute,
+                                               minmax_scale,
+                                               numeric_stats,
+                                               standardize)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _df(n=4000, seed=7, with_nulls=True):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "i": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": rng.normal(10.0, 3.0, n),
+        "y": rng.integers(0, 100, n).astype(np.float64),
+    })
+    if with_nulls:
+        df.loc[rng.choice(n, n // 10, replace=False), "x"] = np.nan
+        df.loc[rng.choice(n, n // 20, replace=False), "y"] = np.nan
+    return df
+
+
+def _ds(df, blocks=5):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_numeric_stats_matches_duckdb():
+    df = _df()
+    st = numeric_stats(_ds(df), ["x", "y"], by="g")
+    want = duckdb.sql("""
+        SELECT g, col, n, mean, std, min, max FROM (
+          SELECT g, 'x' col, count(x)::BIGINT n, avg(x) mean,
+                 stddev_pop(x) std, min(x) min, max(x) max
+          FROM df GROUP BY g
+          UNION ALL
+          SELECT g, 'y', count(y)::BIGINT, avg(y), stddev_pop(y),
+                 min(y), max(y) FROM df GROUP BY g)
+        ORDER BY g, col""").df()
+    got = st.sort_values(["g", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=False,
+                                  rtol=1e-12, atol=1e-12)
+
+
+def test_standardize_matches_duckdb_window():
+    df = _df()
+    got = (standardize(_ds(df), ["x"], by="g").to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT i, g,
+               (x - avg(x) OVER (PARTITION BY g))
+                 / stddev_pop(x) OVER (PARTITION BY g) AS x,
+               y
+        FROM df ORDER BY i""").df()
+    pd.testing.assert_frame_equal(got[["g", "x"]], want[["g", "x"]],
+                                  check_exact=False, rtol=1e-9,
+                                  atol=1e-9)
+    # nulls stay null
+    assert got["x"].isna().sum() == df["x"].isna().sum()
+
+
+def test_standardize_zero_variance_and_train_val_reuse():
+    df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50,
+                       "x": [5.0] * 50 + list(np.arange(50.0))})
+    out = standardize(_ds(df, 2), ["x"], by="g").to_pandas()
+    assert (out.loc[out["g"] == "a", "x"] == 0.0).all()
+    # validation split scaled with TRAIN stats (the leakage-safe path)
+    train = pd.DataFrame({"x": np.arange(100.0)})
+    val = pd.DataFrame({"x": [0.0, 99.0, 49.5]})
+    st = numeric_stats(_ds(train, 2), ["x"])
+    got = standardize(_ds(val, 1), ["x"], stats=st).to_pandas()["x"]
+    mu, sd = train["x"].mean(), train["x"].std(ddof=0)
+    np.testing.assert_allclose(got, (val["x"] - mu) / sd, rtol=1e-12)
+
+
+def test_minmax_matches_duckdb():
+    df = _df()
+    got = (minmax_scale(_ds(df), ["x", "y"], by="g").to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT i, g,
+          (x - min(x) OVER (PARTITION BY g))
+            / (max(x) OVER (PARTITION BY g)
+               - min(x) OVER (PARTITION BY g)) AS x,
+          (y - min(y) OVER (PARTITION BY g))
+            / (max(y) OVER (PARTITION BY g)
+               - min(y) OVER (PARTITION BY g)) AS y
+        FROM df ORDER BY i""").df()
+    pd.testing.assert_frame_equal(got[["g", "x", "y"]],
+                                  want[["g", "x", "y"]],
+                                  check_exact=False, rtol=1e-9,
+                                  atol=1e-12)
+
+
+def test_impute_mean_matches_duckdb():
+    df = _df()
+    got = (impute(_ds(df), ["x"], strategy="mean", by="g").to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    want = duckdb.sql("""
+        SELECT i, g,
+               coalesce(x, avg(x) OVER (PARTITION BY g)) AS x, y
+        FROM df ORDER BY i""").df()
+    pd.testing.assert_frame_equal(got[["g", "x", "y"]],
+                                  want[["g", "x", "y"]],
+                                  check_exact=False, rtol=1e-12,
+                                  atol=1e-12)
+    assert got["x"].notna().all()
+
+
+def test_impute_mode_ties_to_smallest():
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 5,
+        "x": [1.0, 1.0, 2.0, 2.0, np.nan, np.nan,   # tie 1 vs 2 -> 1
+              7.0, 7.0, 3.0, np.nan, np.nan]})      # clear mode 7
+    out = impute(_ds(df, 3), ["x"], strategy="mode", by="g").to_pandas()
+    assert (out.loc[out["g"] == "a", "x"].tail(0).tolist() == [])
+    a = out[out["g"] == "a"]["x"]
+    b = out[out["g"] == "b"]["x"]
+    assert sorted(a) == [1.0, 1.0, 1.0, 1.0, 2.0, 2.0]
+    assert sorted(b) == [3.0, 7.0, 7.0, 7.0, 7.0]
+
+
+def test_impute_median_and_constant():
+    rng = np.random.default_rng(3)
+    vals = rng.choice(np.arange(50.0), 3000)
+    df = pd.DataFrame({"x": vals})
+    df.loc[rng.choice(3000, 300, replace=False), "x"] = np.nan
+    med = float(df["x"].median())
+    out = impute(_ds(df), ["x"], strategy="median").to_pandas()
+    filled = out.loc[df["x"].isna().to_numpy(), "x"]
+    assert len(filled) > 0
+    # t-digest median: every hole gets the SAME fill, within the
+    # documented mid-distribution rank error (~1% -> well under one
+    # unit of this 0..49 integer-valued distribution)
+    assert filled.nunique() == 1
+    assert abs(float(filled.iloc[0]) - med) <= 1.0
+
+    out = impute(_ds(df), ["x"], strategy="constant",
+                 fill_value=-1.0).to_pandas()
+    assert (out.loc[df["x"].isna().to_numpy(), "x"] == -1.0).all()
+    with pytest.raises(ValueError):
+        impute(_ds(df), ["x"], strategy="constant")
+    with pytest.raises(ValueError):
+        impute(_ds(df), ["x"], strategy="nope")
+
+
+def test_bin_width_matches_duckdb_width_bucket():
+    df = _df(with_nulls=False)
+    got = (bin_numeric(_ds(df), "x", n_bins=8, method="width")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    # width_bucket is absent in this DuckDB build; its arithmetic
+    # (clamped to [0, n-1], continuous data so boundary fp ties are
+    # measure-zero) spelled out
+    want = duckdb.sql("""
+        WITH b AS (SELECT min(x) lo, max(x) hi FROM df)
+        SELECT i, x,
+          least(greatest(floor((x - lo) * 8 / (hi - lo))::BIGINT, 0), 7)
+            AS x_bin
+        FROM df, b ORDER BY i""").df()
+    assert got["x_bin"].tolist() == want["x_bin"].astype("int64").tolist()
+
+
+def test_bin_nulls_and_quantile_populations():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"x": rng.exponential(2.0, 20_000)})
+    df.loc[:99, "x"] = np.nan
+    out = bin_numeric(_ds(df, 8), "x", n_bins=5,
+                      method="quantile").to_pandas()
+    assert (out.loc[df["x"].isna().to_numpy(), "x_bin"] == -1).all()
+    pops = out.loc[out["x_bin"] >= 0, "x_bin"].value_counts()
+    assert len(pops) == 5
+    # equal-frequency bins: within 10% of ideal on a skewed input
+    ideal = (20_000 - 100) / 5
+    assert (np.abs(pops - ideal) / ideal < 0.1).all()
+    # explicit edges path + validation
+    out2 = bin_numeric(_ds(df, 2), "x", n_bins=2,
+                       edges=np.array([0.0, 1.0, 100.0])).to_pandas()
+    m = df["x"].notna().to_numpy()
+    assert ((out2.loc[m, "x_bin"] == 1)
+            == (df.loc[m, "x"] >= 1.0).to_numpy()).all()
+    with pytest.raises(ValueError):
+        bin_numeric(_ds(df, 1), "x", n_bins=3, edges=np.array([0., 1.]))
