@@ -1,0 +1,126 @@
+"""Fuzzy string join (entity resolution / record linkage): join two
+tables on TEXT SIMILARITY instead of key equality — "Acme Corp." to
+"ACME Corporation", user queries to canonical titles.
+
+Composition of the dedup family's machinery across TWO tables:
+
+1. tag each side's ``id`` into one id space (``id*2 + side`` — the low
+   bit is the side, so the sign-free decode is a shift) and union;
+2. MinHash-LSH blocking (``minhash_band_rows`` ->
+   ``lsh_candidate_pairs``): candidates emerge from shared
+   (band, band_hash) buckets — never an all-pairs cross join.  With
+   the defaults (num_perm=64, bands=16 -> rows=4) a true pair at
+   jaccard j is surfaced with P = 1-(1-j^4)^16: 0.99 at j=0.7, 0.87
+   at j=0.5 — tune bands/rows for the target threshold;
+3. keep only CROSS-side candidates (opposite id parity) — same-side
+   near-dups are the dedup pipelines' business, not the join's;
+4. exact shingle-Jaccard verification, corpus kept distributed
+   (``verify_jaccard_distributed``): emitted pairs are EXACT
+   ``jaccard >= threshold`` matches — LSH affects recall only, never
+   precision.
+
+Shuffle ledger: one bounded-bucket exchange for candidate buckets +
+the verify stage's bounded joins; the corpora are scanned, never
+shuffled.  ``shingle_k`` defaults to 3 (short entity strings); use
+5-7 for document-length text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_ID_CAP = np.int64(1) << 62
+
+
+def _tag_side(ds, text_col: str, id_col: str, side: int):
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and np.abs(ids).max() >= _ID_CAP:
+            raise ValueError(f"{id_col} magnitude >= 2^62: the side "
+                             "bit would overflow int64")
+        return pa.table({
+            "doc_id": pa.array(ids * 2 + side, pa.int64()),
+            "text": t[text_col].cast(pa.string()),
+        })
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def fuzzy_join(left, right, text_col: str = "text",
+               id_col: str = "doc_id", threshold: float = 0.7,
+               shingle_k: int = 3, num_perm: int = 64, bands: int = 16,
+               num_buckets: int = 64):
+    """Pairs (left_id, right_id, jaccard) with exact char-``shingle_k``-
+    gram ``jaccard >= threshold``, candidates blocked by MinHash-LSH.
+    ``id_col`` must be int64-like on both sides (|id| < 2^62)."""
+    from .dedup import (lsh_candidate_pairs, minhash_band_rows,
+                        verify_jaccard_distributed)
+
+    union = _tag_side(left, text_col, id_col, 0).union(
+        _tag_side(right, text_col, id_col, 1))
+    # the union feeds band-rows AND the verify stage's text lookup; the
+    # band pass would re-execute both parents otherwise
+    union = union.materialize()
+
+    rows = minhash_band_rows(union, num_perm=num_perm, bands=bands,
+                             shingle_k=shingle_k)
+    cand = lsh_candidate_pairs(rows, num_buckets=num_buckets,
+                               dedup=False)
+
+    def cross_side(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy()
+        b = df["doc_b"].to_numpy()
+        return df[((a ^ b) & 1) == 1]
+
+    # the candidate list is id pairs only (bounded by the LSH output) —
+    # materializing it is cheap, and an all-empty Ray dataset loses its
+    # column names through to_pandas (the engine-wide caveat), so the
+    # zero-candidate case returns a typed empty result here
+    cross = cand.map_batches(cross_side,
+                             batch_format="pandas").materialize()
+    if cross.count() == 0:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            "left_id": pd.Series(dtype=np.int64),
+            "right_id": pd.Series(dtype=np.int64),
+            "jaccard": pd.Series(dtype=np.float64)}))
+    good = verify_jaccard_distributed(cross, union, shingle_k=shingle_k,
+                                      threshold=threshold,
+                                      num_buckets=num_buckets)
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        lo = np.where((a & 1) == 0, a, b) >> 1    # even id bit = left
+        hi = np.where((a & 1) == 1, a, b) >> 1
+        return pd.DataFrame({"left_id": lo, "right_id": hi,
+                             "jaccard": df["jaccard"].to_numpy()})
+
+    return good.map_batches(decode, batch_format="pandas")
+
+
+def fuzzy_join_exact(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     threshold: float = 0.7,
+                     shingle_k: int = 3) -> pd.DataFrame:
+    """All-pairs exact reference (driver-side, O(|L|x|R|)) — the pytest
+    recall gate for :func:`fuzzy_join`; never the scale path."""
+    from .dedup import MinHasher
+    mh = MinHasher(shingle_k=shingle_k)
+    ls = [(int(i), mh.shingles(t)) for i, t in
+          zip(left_pdf[id_col], left_pdf[text_col])]
+    rs = [(int(i), mh.shingles(t)) for i, t in
+          zip(right_pdf[id_col], right_pdf[text_col])]
+    rows = []
+    for li, a in ls:
+        for ri, b in rs:
+            if len(a) == 0 and len(b) == 0:
+                continue
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                rows.append((li, ri, j))
+    return pd.DataFrame(rows, columns=["left_id", "right_id", "jaccard"])
