@@ -196,6 +196,36 @@ def main() -> dict:
     sec, rows = timed(run_cube)
     record("grouping_sets_cube", sec, rows)
 
+    from fasta_windows_ray.stages.features import bin_numeric, standardize
+
+    def run_features():
+        # stats pass + broadcast + vectorized transform, per event_type
+        out = standardize(events(), ["user_id"], by="event_type")
+        out = bin_numeric(out, "user_id", n_bins=16, method="width")
+        return out.count()
+
+    sec, rows = timed(run_features)
+    record("features_standardize_bin", sec, rows)
+
+    from fasta_windows_ray.stages.fuzzy import fuzzy_join
+
+    def run_fuzzy():
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+        right = docs.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("doc_id"), "doc_id",
+                pa.compute.add(t["doc_id"], pa.scalar(10_000_000,
+                                                      pa.int64()))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = fuzzy_join(docs, right, threshold=0.8, shingle_k=5,
+                         num_buckets=2 * ncpu)
+        return out.count()
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    sec, rows = timed(run_fuzzy)
+    record("fuzzy_join_docs_selfpair", sec, rows, rows_in=2 * n_docs)
+
     result = {
         "metric": "late-round-4 operators at replicated scale",
         "replicate": replicate, "num_cpus": ncpu, "sf": sf,
