@@ -213,6 +213,23 @@ def impute(ds, cols: list[str], strategy: str = "mean",
             for c in cols:
                 df[c] = df[c].fillna(fill_value)
             return df
+        if strategy == "mode":
+            # mode serves CATEGORICAL columns too: string fills use a
+            # plain pandas fillna (no float64 round-trip)
+            if by is None:
+                for c in cols:
+                    f = fl.get(("", c))
+                    if f is not None:
+                        df[c] = df[c].fillna(f)
+                return df
+            for c in cols:
+                fmap = {g: v for (g, cc), v in fl.items() if cc == c}
+                fills_vec = df[by].map(fmap)          # vectorized dict map
+                if None in fmap:                      # null group keys
+                    fills_vec = fills_vec.where(df[by].notna(),
+                                                fmap[None])
+                df[c] = df[c].fillna(fills_vec)
+            return df
 
         def fill(v, g, c):
             f = fl.get((g, c))
@@ -228,7 +245,10 @@ def impute(ds, cols: list[str], strategy: str = "mean",
 def _mode_lookup(ds, cols: list[str], by: str | None) -> dict:
     """Exact per-(group, col) mode via a distinct-values-bounded
     exchange: per-batch value counts -> groupby sum -> top-1
-    (ties -> smallest value, deterministic)."""
+    (ties -> smallest value, deterministic).  Values keep their native
+    type (numeric OR string) — the partial carries split val_num /
+    val_str columns so mixed-type column sets never compare across
+    types in one sort."""
     gcols = [by] if by else []
 
     def partial(t: pa.Table) -> pd.DataFrame:
@@ -238,25 +258,32 @@ def _mode_lookup(ds, cols: list[str], by: str | None) -> dict:
                    if by else [("", df)])
         for key, sub in grouped:
             for c in cols:
-                vc = sub[c].dropna().value_counts()
-                for val, cnt in vc.items():
-                    rows.append({"_g": _gkey(key) if by else "", "col": c,
-                                 "val": float(val), "cnt": int(cnt)})
-        return pd.DataFrame(rows,
-                            columns=["_g", "col", "val", "cnt"])
+                col = sub[c].dropna()
+                numeric = pd.api.types.is_numeric_dtype(col)
+                for val, cnt in col.value_counts().items():
+                    rows.append({
+                        "_g": _gkey(key) if by else "", "col": c,
+                        "val_num": float(val) if numeric else np.nan,
+                        "val_str": None if numeric else str(val),
+                        "cnt": int(cnt)})
+        return pd.DataFrame(rows, columns=["_g", "col", "val_num",
+                                           "val_str", "cnt"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
         return {}
-    agg = (parts.groupby(["_g", "col", "val"], sort=False)["cnt"]
+    agg = (parts.groupby(["_g", "col", "val_num", "val_str"],
+                         sort=False, dropna=False)["cnt"]
                 .sum().reset_index())
-    # top-1 per (group, col): max count, then smallest value
-    agg = agg.sort_values(["_g", "col", "cnt", "val"],
-                          ascending=[True, True, False, True],
+    # top-1 per (group, col): max count, then smallest value (numeric
+    # and string orderings never mix — exactly one side is set per col)
+    agg = agg.sort_values(["_g", "col", "cnt", "val_num", "val_str"],
+                          ascending=[True, True, False, True, True],
                           kind="stable")
     top = agg.drop_duplicates(["_g", "col"], keep="first")
-    return {(g, c): float(v)
-            for g, c, v in zip(top["_g"], top["col"], top["val"])}
+    return {(g, c): (s if isinstance(s, str) else float(v))
+            for g, c, v, s in zip(top["_g"], top["col"],
+                                  top["val_num"], top["val_str"])}
 
 
 def bin_numeric(ds, col: str, n_bins: int = 10, method: str = "width",

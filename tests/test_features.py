@@ -189,3 +189,21 @@ def test_bin_nulls_and_quantile_populations():
             == (df.loc[m, "x"] >= 1.0).to_numpy()).all()
     with pytest.raises(ValueError):
         bin_numeric(_ds(df, 1), "x", n_bins=3, edges=np.array([0., 1.]))
+
+
+def test_impute_mode_string_categorical():
+    # the classic categorical use: fill missing langs with the group's
+    # most frequent lang; ties break to the lexicographically smallest
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 5,
+        "lang": ["en", "en", "de", None, None, "de",   # tie en/de -> de
+                 "fr", "fr", "es", None, None]})       # clear mode fr
+    out = (impute(_ds(df, 3), ["lang"], strategy="mode", by="g")
+           .to_pandas())
+    a = sorted(out.loc[out["g"] == "a", "lang"])
+    b = sorted(out.loc[out["g"] == "b", "lang"])
+    assert a == ["de", "de", "de", "de", "en", "en"]
+    assert b == ["es", "fr", "fr", "fr", "fr"]
+    # ungrouped string mode
+    out2 = impute(_ds(df, 2), ["lang"], strategy="mode").to_pandas()
+    assert out2["lang"].notna().all()
