@@ -387,6 +387,18 @@ def q_token_count_by_lang(sf_dir: str):
     assert int(total["n_docs"].iloc[0]) == int(out["n_docs"].sum())
     assert (int(total["total_tokens"].iloc[0])
             == int(out["total_tokens"].sum()))
+
+    # parity twin 2: the feature-engineering stats pass
+    # (stages/features.numeric_stats, round 4) must reproduce the same
+    # per-lang doc counts and mean token counts from its independent
+    # count/sum/sumsq partial fold — one-pass moments under the gate
+    from ..stages.features import numeric_stats
+    st = (numeric_stats(counted, ["n_tokens"], by="lang")
+          .sort_values("lang").reset_index(drop=True))
+    assert st["n"].astype(np.int64).tolist() == out["n_docs"].tolist()
+    assert np.allclose(st["mean"], out["total_tokens"] / out["n_docs"],
+                       rtol=1e-12), \
+        "token_count_by_lang: numeric_stats mean diverges from rollup"
     return out
 
 
