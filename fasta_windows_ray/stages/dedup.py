@@ -478,18 +478,31 @@ def verify_jaccard(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame,
     """Exact shingle-Jaccard for candidate pairs (driver-side reference
     implementation — the pytest equality gate for
     :func:`verify_jaccard_distributed`, which is the scale path).
-    Returns pairs >= threshold."""
+    Returns pairs >= threshold.
+
+    All candidate docs are shingled in ONE batched rolling-hash pass
+    (``shingle_segments`` — bit-identical to per-doc ``shingles``);
+    only the per-pair set intersection, inherent to exact Jaccard,
+    remains a loop.  The per-doc Python shingling this replaced
+    dominated the small-side verify at bench scale (fuzzy_join over
+    2x5k docs spent most of its 19 s here)."""
     mh = MinHasher(shingle_k=shingle_k)
     wanted = set(pairs_pdf["doc_a"]).union(pairs_pdf["doc_b"])
-    sh = {int(r.doc_id): mh.shingles(r.text)
-          for r in docs_pdf.itertuples() if r.doc_id in wanted}
+    sub = docs_pdf[docs_pdf["doc_id"].isin(wanted)]
+    vals, offs = mh.shingle_segments([str(t) for t in sub["text"]])
+    pos = {int(i): j for j, i in enumerate(sub["doc_id"])}
     empty = np.zeros(0, dtype=np.int64)
-    rows = []
-    for r in pairs_pdf.itertuples():
+
+    def sh(doc_id) -> np.ndarray:
         # a missing doc behaves as empty text (same as the distributed
         # path's co-partitioned lookup default)
-        a = sh.get(int(r.doc_a), empty)
-        b = sh.get(int(r.doc_b), empty)
+        j = pos.get(int(doc_id))
+        return empty if j is None else vals[offs[j]:offs[j + 1]]
+
+    rows = []
+    for r in pairs_pdf.itertuples():
+        a = sh(r.doc_a)
+        b = sh(r.doc_b)
         if len(a) == 0 and len(b) == 0:
             continue
         inter = len(np.intersect1d(a, b, assume_unique=True))
