@@ -333,7 +333,8 @@ def dedup_pairs(pairs_ds, num_buckets: int = 64):
 def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
                                threshold: float = 0.7,
                                num_buckets: int = 64,
-                               small_side_limit: int = 50_000):
+                               small_side_limit: int = 50_000,
+                               small_side_pair_limit: int = 2_000_000):
     """Exact shingle-Jaccard verification of LSH candidate pairs with the
     corpus kept distributed (round-1 "What's wrong" #2 fix).
 
@@ -357,7 +358,16 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
     SEMI-JOINED docs (candidates only — never the corpus) are collected
     and verified driver-side, skipping two sort-shuffles whose fixed cost
     dwarfs 25-pair workloads; set 0 to force the co-partitioned path
-    (the pytest equality gate runs both).
+    (the pytest equality gate runs both).  The driver path is also
+    skipped when the PAIR count exceeds ``small_side_pair_limit``:
+    the driver loop is O(pairs) single-threaded and its memory is
+    O(pairs + candidate docs), so a pair explosion must eventually
+    reroute.  The crossover is HIGH — measured on a near-dup-heavy
+    fuzzy_join (10 k docs -> 269 k unique candidate pairs): driver
+    loop ~9 s vs co-partitioned ~44 s, because the distributed path's
+    two text-carrying attach exchanges cost far more than they
+    parallelize away — so the default (2 M) reroutes only genuinely
+    driver-hostile pair counts.
     """
     import ray
 
@@ -386,7 +396,8 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
 
     docs = docs_ds.map_batches(keep_wanted, batch_format="pyarrow")
 
-    if len(wanted) <= small_side_limit:
+    if (len(wanted) <= small_side_limit
+            and len(ids_pdf) <= small_side_pair_limit):
         # small-side fast path: the semi-join output is bounded by the
         # candidate set (NOT the corpus); collect it and verify locally —
         # identical results to the co-partitioned path (pytest gate)
