@@ -345,3 +345,40 @@ def _nonnull(ds, col: str, by: str | None):
         return t.filter(m)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winsorize(ds, cols: list[str], lower: float = 0.01,
+              upper: float = 0.99, by: str | None = None):
+    """Clip each column to its [lower, upper] quantiles (per group with
+    ``by=``) — the standard outlier treatment before scaling.  Bounds
+    come from the t-digest pass (centroid-bounded exchange, documented
+    O(q(1-q)/delta) rank error — tight at the tails where winsorizing
+    lives); the clip itself is a broadcast + np.clip, zero shuffles.
+    Nulls stay null; groups unseen in the stats pass keep their values."""
+    import ray
+
+    from .sketches import tdigest_quantiles
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    bounds: dict = {}
+    for c in cols:
+        q = tdigest_quantiles(_nonnull(ds, c, by), c, [lower, upper],
+                              group_col=by)
+        for _, r in q.iterrows():
+            key = (_gkey(r[by]) if by else "", c)
+            lo_hi = bounds.setdefault(key, [np.nan, np.nan])
+            lo_hi[0 if r["q"] == lower else 1] = float(r["value"])
+    ref = ray.put(bounds)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+
+        def clip(v, g, c):
+            lo_hi = b.get((g, c))
+            if lo_hi is None or lo_hi[0] != lo_hi[0]:
+                return v
+            return np.clip(v, lo_hi[0], lo_hi[1])
+
+        return _apply_per_group(df, cols, by, clip)
+
+    return ds.map_batches(fx, batch_format="pandas")

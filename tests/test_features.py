@@ -207,3 +207,41 @@ def test_impute_mode_string_categorical():
     # ungrouped string mode
     out2 = impute(_ds(df, 2), ["lang"], strategy="mode").to_pandas()
     assert out2["lang"].notna().all()
+
+
+def test_winsorize_clips_to_quantiles():
+    from fasta_windows_ray.stages.features import winsorize
+    rng = np.random.default_rng(9)
+    x = rng.normal(0.0, 1.0, 10_000)
+    x[:20] = 500.0          # planted high outliers
+    x[20:40] = -500.0       # planted low outliers
+    df = pd.DataFrame({"x": x})
+    df.loc[40:49, "x"] = np.nan
+    out = winsorize(_ds(df, 6), ["x"], 0.01, 0.99).to_pandas()
+    lo, hi = out["x"].min(), out["x"].max()
+    exact_lo = df["x"].quantile(0.01)
+    exact_hi = df["x"].quantile(0.99)
+    # clipped bounds within t-digest tail error of the exact quantiles
+    assert abs(lo - exact_lo) < 0.2 and abs(hi - exact_hi) < 0.2
+    assert out["x"].max() < 10 and out["x"].min() > -10   # outliers gone
+    # nulls stay null, interior values untouched
+    assert out["x"].isna().sum() == 10
+    inner = df["x"].between(exact_lo + 0.3, exact_hi - 0.3)
+    pd.testing.assert_series_equal(out.loc[inner, "x"],
+                                   df.loc[inner, "x"])
+    with pytest.raises(ValueError):
+        winsorize(_ds(df, 1), ["x"], 0.9, 0.1)
+
+
+def test_winsorize_grouped():
+    from fasta_windows_ray.stages.features import winsorize
+    df = pd.DataFrame({
+        "g": ["a"] * 1000 + ["b"] * 1000,
+        "x": np.concatenate([np.arange(1000.0),
+                             np.arange(1000.0) * 100])})
+    out = winsorize(_ds(df, 4), ["x"], 0.05, 0.95, by="g").to_pandas()
+    a = out.loc[out["g"] == "a", "x"]
+    b = out.loc[out["g"] == "b", "x"]
+    # each group clips at ITS OWN quantiles
+    assert 35 <= a.min() <= 65 and 935 <= a.max() <= 965
+    assert 3500 <= b.min() <= 6500 and 93500 <= b.max() <= 96500
