@@ -1069,7 +1069,27 @@ FROM b
 
 def q_doc_fingerprint(sf_dir: str):
     from ..stages.text_analysis import Fingerprinter, apply
-    return apply(_docs(sf_dir, ["doc_id", "text"]), Fingerprinter)
+    out = apply(_docs(sf_dir, ["doc_id", "text"]), Fingerprinter)
+
+    # parity twin: the ORC interchange path (sources/orc.py, round 4)
+    # must reproduce the parquet-sourced result byte-for-byte — write
+    # the documents through write_orc, re-read with the stripe-streamed
+    # reader, fingerprint again, compare under the driver gate
+    import shutil
+    import tempfile
+    from ..sources.orc import read_documents_orc, write_orc
+    tmp = tempfile.mkdtemp(prefix="orc_parity_")
+    try:
+        write_orc(_docs(sf_dir, ["doc_id", "text"]), tmp)
+        via_orc = apply(read_documents_orc(tmp, columns=["doc_id", "text"]),
+                        Fingerprinter)
+        a = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = via_orc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        _parity(a, b[a.columns.tolist()],
+                "doc_fingerprint: parquet-sourced vs ORC-roundtrip")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q_simhash(sf_dir: str):
