@@ -382,3 +382,80 @@ def winsorize(ds, cols: list[str], lower: float = 0.01,
         return _apply_per_group(df, cols, by, clip)
 
     return ds.map_batches(fx, batch_format="pandas")
+
+
+def target_encode(ds, cat_col: str, target_col: str,
+                  smoothing: float = 10.0,
+                  out_col: str | None = None,
+                  stats: pd.DataFrame | None = None):
+    """Smoothed target (mean) encoding of a categorical column:
+    ``(n*cat_mean + smoothing*global_mean) / (n + smoothing)`` — the
+    Bayesian-shrunk per-category mean that high-cardinality categoricals
+    need (raw per-category means overfit rare categories).
+
+    One ``numeric_stats(by=cat_col)`` pass (exchange bounded by
+    category count), encoding map broadcast once, vectorized dict-map
+    transform.  Pass ``stats=`` (the TRAIN split's ``numeric_stats``
+    frame) to encode a validation split without leaking its targets —
+    categories unseen in the stats get the global mean.  Null
+    categories encode via the null-group row (dropna=False stats)."""
+    import ray
+    name = out_col or f"{cat_col}_te"
+    st = stats if stats is not None else \
+        numeric_stats(ds, [target_col], by=cat_col)
+    if not len(st):
+        raise ValueError("target_encode on an empty dataset")
+    n = st["n"].to_numpy(np.float64)
+    total = float((st["mean"].to_numpy(np.float64) * n).sum())
+    g_mean = total / max(n.sum(), 1.0)
+    enc = (n * st["mean"].to_numpy(np.float64) + smoothing * g_mean) \
+        / (n + smoothing)
+    emap = {_gkey(k): float(v) for k, v in zip(st[cat_col], enc)}
+    ref = ray.put((emap, g_mean))
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        m, g = ray.get(ref)
+        vals = df[cat_col].map(m)                 # vectorized dict map
+        if None in m:                             # null-category rows
+            vals = vals.where(df[cat_col].notna(), m[None])
+        df[name] = vals.fillna(g).astype(np.float64)  # unseen -> global
+        return df
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def robust_scale(ds, cols: list[str], by: str | None = None,
+                 delta: int = 200):
+    """(x - median) / IQR — the outlier-insensitive scaler.  Medians
+    and quartiles come from the t-digest pass (centroid-bounded
+    exchange); zero-IQR columns map to 0.0; nulls stay null."""
+    import ray
+
+    from .sketches import tdigest_quantiles
+    params: dict = {}
+    for c in cols:
+        q = tdigest_quantiles(_nonnull(ds, c, by), c,
+                              [0.25, 0.5, 0.75], group_col=by,
+                              delta=delta)
+        for _, r in q.iterrows():
+            key = (_gkey(r[by]) if by else "", c)
+            trio = params.setdefault(key, [np.nan, np.nan, np.nan])
+            trio[{0.25: 0, 0.5: 1, 0.75: 2}[float(r["q"])]] = \
+                float(r["value"])
+    ref = ray.put(params)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref)
+
+        def rs(v, g, c):
+            trio = p.get((g, c))
+            if trio is None or trio[1] != trio[1]:
+                return v
+            iqr = trio[2] - trio[0]
+            if not iqr or iqr != iqr:
+                return np.where(np.isnan(v), np.nan, 0.0)
+            return (v - trio[1]) / iqr
+
+        return _apply_per_group(df, cols, by, rs)
+
+    return ds.map_batches(fx, batch_format="pandas")

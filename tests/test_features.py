@@ -245,3 +245,62 @@ def test_winsorize_grouped():
     # each group clips at ITS OWN quantiles
     assert 35 <= a.min() <= 65 and 935 <= a.max() <= 965
     assert 3500 <= b.min() <= 6500 and 93500 <= b.max() <= 96500
+
+
+def test_target_encode_matches_duckdb_smoothing():
+    from fasta_windows_ray.stages.features import target_encode
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "i": np.arange(3000, dtype=np.int64),
+        "cat": rng.choice([f"c{i}" for i in range(30)], 3000),
+        "y": rng.normal(5.0, 2.0, 3000)})
+    got = (target_encode(_ds(df), "cat", "y", smoothing=10.0)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH g AS (SELECT avg(y) gm FROM df),
+        c AS (SELECT cat, count(*) n, avg(y) m FROM df GROUP BY cat)
+        SELECT i, (c.n * c.m + 10.0 * g.gm) / (c.n + 10.0) AS cat_te
+        FROM df JOIN c USING (cat), g ORDER BY i""").df()
+    np.testing.assert_allclose(got["cat_te"], want["cat_te"],
+                               rtol=1e-12)
+
+
+def test_target_encode_train_val_unseen_and_null():
+    from fasta_windows_ray.stages.features import (numeric_stats,
+                                                   target_encode)
+    train = pd.DataFrame({"cat": ["a"] * 90 + ["b"] * 10 + [None] * 10,
+                          "y": [1.0] * 90 + [11.0] * 10 + [21.0] * 10})
+    val = pd.DataFrame({"cat": ["a", "b", "zz", None]})
+    st = numeric_stats(_ds(train, 3), ["y"], by="cat")
+    out = target_encode(_ds(val, 1), "cat", "y", smoothing=10.0,
+                        stats=st).to_pandas()
+    gm = train["y"].mean()
+    want_a = (90 * 1.0 + 10 * gm) / 100
+    want_b = (10 * 11.0 + 10 * gm) / 20
+    want_null = (10 * 21.0 + 10 * gm) / 20
+    enc = dict(zip(val["cat"], out["cat_te"]))
+    np.testing.assert_allclose(enc["a"], want_a, rtol=1e-12)
+    np.testing.assert_allclose(enc["b"], want_b, rtol=1e-12)
+    np.testing.assert_allclose(enc["zz"], gm, rtol=1e-12)  # unseen
+    np.testing.assert_allclose(enc[None], want_null, rtol=1e-12)
+
+
+def test_robust_scale_vs_exact_quartiles():
+    from fasta_windows_ray.stages.features import robust_scale
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"x": rng.exponential(3.0, 20_000)})
+    df.loc[:9, "x"] = np.nan
+    out = robust_scale(_ds(df, 8), ["x"]).to_pandas()
+    med = df["x"].median()
+    iqr = df["x"].quantile(0.75) - df["x"].quantile(0.25)
+    want = (df["x"] - med) / iqr
+    m = df["x"].notna()
+    # t-digest quartile error propagates; 2% relative on this input
+    err = np.abs(out.loc[m, "x"] - want[m])
+    assert float(err.mean()) < 0.02
+    assert out["x"].isna().sum() == 10
+    # grouped: constant group -> 0.0
+    df2 = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 100,
+                        "x": [5.0] * 100 + list(np.arange(100.0))})
+    o2 = robust_scale(_ds(df2, 2), ["x"], by="g").to_pandas()
+    assert (o2.loc[o2["g"] == "a", "x"] == 0.0).all()
