@@ -459,3 +459,28 @@ def robust_scale(ds, cols: list[str], by: str | None = None,
         return _apply_per_group(df, cols, by, rs)
 
     return ds.map_batches(fx, batch_format="pandas")
+
+
+def feature_hash(ds, cols: list[str], n_features: int = 256,
+                 out_prefix: str = "fh_"):
+    """Hashing-trick categorical encoding: each named column gains an
+    int64 companion ``{out_prefix}{col}`` = md5(col + ':' + value) %
+    n_features — fixed-width, vocabulary-free (no stats pass at all,
+    unseen values Just Work), deterministic across runs/shards, and
+    SQL-twinnable via the engine's md5 fold.  Column name is part of
+    the hash input so identical values in different columns land in
+    different (independent) buckets.  Nulls -> -1."""
+    from .window_stats import stable_bucket_of
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            isna = df[c].isna().to_numpy()
+            salted = np.asarray([f"{c}:{v}" for v in df[c]],
+                                dtype=object)
+            h = stable_bucket_of(salted, n_features)
+            df[f"{out_prefix}{c}"] = np.where(isna, np.int64(-1), h)
+            df[f"{out_prefix}{c}"] = df[f"{out_prefix}{c}"].astype(
+                np.int64)
+        return df
+
+    return ds.map_batches(fx, batch_format="pandas")

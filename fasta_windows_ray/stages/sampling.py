@@ -256,3 +256,28 @@ def weighted_sample_k(ds, key_col: str, weight_col: str, k: int,
     return (out.drop(columns=["_aes"])
                .sort_values(strata + [key_col])
                .reset_index(drop=True))
+
+
+def kfold_assign(ds, key_col: str, k: int = 5,
+                 fold_col: str = "fold", salt: str = "kfold"):
+    """Deterministic k-fold assignment: adds int64 ``fold_col`` =
+    md5(salt + key) % k.  A pure function of the key — reproducible
+    across runs/partitionings, grouped records stay together (fold on
+    conv_id keeps whole conversations in one fold: the leakage-safe
+    default), zero shuffles, and exactly SQL-twinnable via the md5
+    fold.  ``salt`` decorrelates the fold id from the sampler/split
+    slots (same md5 family, different key string)."""
+    if k < 2:
+        raise ValueError("need k >= 2 folds")
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        salted = [f"{salt}:{v}" for v in
+                  keys.to_numpy(zero_copy_only=False)]
+        fold = stable_bucket_of(np.asarray(salted, dtype=object), k)
+        return t.append_column(fold_col, pa.array(fold, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -304,3 +304,43 @@ def test_robust_scale_vs_exact_quartiles():
                         "x": [5.0] * 100 + list(np.arange(100.0))})
     o2 = robust_scale(_ds(df2, 2), ["x"], by="g").to_pandas()
     assert (o2.loc[o2["g"] == "a", "x"] == 0.0).all()
+
+
+def test_feature_hash_deterministic_and_sql_twin():
+    from fasta_windows_ray.stages.features import feature_hash
+    df = pd.DataFrame({"cat": ["x", "y", None, "x", "zz"],
+                       "src": ["a", "a", "b", None, "b"]})
+    out = feature_hash(_ds(df, 2), ["cat", "src"],
+                       n_features=64).to_pandas()
+    # null -> -1; same value same bucket; per-column independence
+    assert out.loc[df["cat"].isna().to_numpy(), "fh_cat"].tolist() == [-1]
+    x = out.loc[df["cat"] == "x", "fh_cat"].unique()
+    assert len(x) == 1 and 0 <= x[0] < 64
+    # the md5 fold twin DuckDB uses everywhere else in the engine
+    want = duckdb.sql("""
+        SELECT CASE WHEN cat IS NULL THEN -1 ELSE
+          CAST(('0x' || substr(md5('cat:' || cat), 1, 15)) AS BIGINT)
+          % 64 END AS fh_cat
+        FROM df""").df()
+    assert out["fh_cat"].tolist() == want["fh_cat"].astype("int64").tolist()
+
+
+def test_kfold_assign_partition_and_grouping():
+    from fasta_windows_ray.stages.sampling import kfold_assign
+    df = pd.DataFrame({"conv_id": [f"c{i % 100}" for i in range(2000)],
+                       "v": np.arange(2000)})
+    out = kfold_assign(_ds(df, 4), "conv_id", k=5).to_pandas()
+    assert set(out["fold"]) <= set(range(5))
+    # whole group in one fold
+    assert (out.groupby("conv_id")["fold"].nunique() == 1).all()
+    # roughly balanced across the 100 keys
+    per_fold = out.drop_duplicates("conv_id")["fold"].value_counts()
+    assert per_fold.min() >= 8
+    # deterministic across runs and independent of partitioning
+    out2 = kfold_assign(_ds(df, 9), "conv_id", k=5).to_pandas()
+    a = out.sort_values("v")["fold"].to_numpy()
+    b = out2.sort_values("v")["fold"].to_numpy()
+    assert (a == b).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kfold_assign(_ds(df, 1), "conv_id", k=1)
