@@ -351,13 +351,19 @@ def _file_bloom(col: pa.ChunkedArray, n_bits: int):
 
 
 @functools.lru_cache(maxsize=256)
+def _load_sidecar_bloom_cached(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
 def _load_sidecar_bloom(path: str) -> bytes | None:
     """Read a sidecar Bloom bitmap (immutable once committed — new
     writes mint new file names — so a plain path-keyed LRU is safe).
-    Missing/unreadable sidecar -> None (callers must not prune)."""
+    Missing/unreadable sidecar -> None (callers must not prune) — and
+    such failures are NOT cached: a transient read error must not
+    disable pruning for that file for the process lifetime."""
     try:
-        with open(path, "rb") as fh:
-            return fh.read()
+        return _load_sidecar_bloom_cached(path)
     except OSError:
         return None
 

@@ -93,7 +93,11 @@ def _normalized_pruned(paths, schema, defaults, columns, pre=None):
         unknown = set(columns) - set(schema.names)
         if unknown:
             raise KeyError(f"unknown columns {sorted(unknown)}")
-        sub = sorted(set(columns) | ({"text"} if pre else set()))
+        # "text" is needed only to COMPUTE a requested-but-absent
+        # n_chars; decoding the corpus's largest column for a
+        # doc_id-only projection would break the pruning contract
+        need_text = pre is not None and "n_chars" in columns
+        sub = sorted(set(columns) | ({"text"} if need_text else set()))
         out_schema = pa.schema([f for f in schema if f.name in sub])
     from .jsonl import _normalize
     norm = _normalize(out_schema, defaults)

@@ -34,12 +34,18 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _pad_to(df: pd.DataFrame, all_cols: dict) -> pd.DataFrame:
+def _pad_to(df: pd.DataFrame, all_cols: dict,
+            shared: set) -> pd.DataFrame:
     out = {}
     n = len(df)
     for c, dt in all_cols.items():
         if c in df.columns:
-            out[c] = df[c].to_numpy()
+            v = df[c].to_numpy()
+            # a column one side pads with NaN must be float64 on BOTH
+            # sides, or the union mixes block schemas per bucket
+            if dt == "i" and c not in shared:
+                v = v.astype(np.float64)
+            out[c] = v
         elif dt == "i":
             out[c] = np.full(n, np.nan)          # null-pad; ints float
         else:
@@ -60,9 +66,12 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
     result drops the key."""
     from .window_stats import stable_bucket_of
 
-    hints = (left_cols, right_cols)
+    if (left_cols is None) != (right_cols is None):
+        raise ValueError("pass BOTH left_cols and right_cols or "
+                         "neither — one-sided hints cannot unify the "
+                         "union schema")
 
-    def tagger(side: int, cols: dict | None):
+    def tagger(side: int):
         def tag(df: pd.DataFrame) -> pd.DataFrame:
             out = df.copy()
             out["_cg_side"] = np.int64(side)
@@ -76,16 +85,17 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
             return out
         return tag
 
-    tl = left.map_batches(tagger(0, hints[0]), batch_format="pandas")
-    tr = right.map_batches(tagger(1, hints[1]), batch_format="pandas")
+    tl = left.map_batches(tagger(0), batch_format="pandas")
+    tr = right.map_batches(tagger(1), batch_format="pandas")
 
     # unify schemas: pad each side with the other's exclusive columns
     if left_cols is not None and right_cols is not None:
         all_cols = {**left_cols, **right_cols}
+        shared = set(left_cols) & set(right_cols)
 
         def pad(df: pd.DataFrame) -> pd.DataFrame:
             keep = df[["_cg_side", "_cg_b"]]
-            body = _pad_to(df, all_cols)
+            body = _pad_to(df, all_cols, shared)
             body["_cg_side"] = keep["_cg_side"].to_numpy()
             body["_cg_b"] = keep["_cg_b"].to_numpy()
             return body
@@ -105,17 +115,12 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
             l = l[[c for c in l.columns if c in lcols]]
         if rcols is not None:
             r = r[[c for c in r.columns if c in rcols]]
-        lg = {k: g for k, g in l.groupby(on, sort=False, dropna=False)}
-        rg = {k: g for k, g in r.groupby(on, sort=False, dropna=False)}
-
-        def norm(k):
-            try:
-                return None if k != k else k
-            except (TypeError, ValueError):
-                return k
-        keys = {norm(k) for k in lg} | {norm(k) for k in rg}
-        lg = {norm(k): g for k, g in lg.items()}
-        rg = {norm(k): g for k, g in rg.items()}
+        from .features import _gkey
+        lg = {_gkey(k): g
+              for k, g in l.groupby(on, sort=False, dropna=False)}
+        rg = {_gkey(k): g
+              for k, g in r.groupby(on, sort=False, dropna=False)}
+        keys = set(lg) | set(rg)
         le = l.iloc[0:0]
         re = r.iloc[0:0]
         outs = []

@@ -140,7 +140,9 @@ def standardize(ds, cols: list[str], by: str | None = None,
         mu, sd = ray.get(ref)
 
         def z(v, g, c):
-            m, s = mu.get((g, c), np.nan), sd.get((g, c), np.nan)
+            if (g, c) not in mu:         # group unseen in the stats
+                return v                 # frame: leave values as-is
+            m, s = mu[(g, c)], sd.get((g, c), np.nan)
             if not s or s != s:          # zero/NaN std -> centered 0
                 return np.where(np.isnan(v), np.nan, 0.0)
             return (v - m) / s
@@ -164,7 +166,9 @@ def minmax_scale(ds, cols: list[str], by: str | None = None,
         los, his = ray.get(ref)
 
         def mm(v, g, c):
-            a, b = los.get((g, c), np.nan), his.get((g, c), np.nan)
+            if (g, c) not in los:        # unseen group: values as-is
+                return v
+            a, b = los[(g, c)], his.get((g, c), np.nan)
             if a != a or b != b or b == a:
                 return np.where(np.isnan(v), np.nan, 0.0)
             return (v - a) / (b - a)
@@ -304,6 +308,9 @@ def bin_numeric(ds, col: str, n_bins: int = 10, method: str = "width",
     if edges is None:
         if method == "width":
             st = numeric_stats(ds, [col])
+            if not len(st) or st["min"][0] != st["min"][0]:
+                raise ValueError(
+                    f"bin_numeric: no non-null values in {col!r}")
             lo, hi = float(st["min"][0]), float(st["max"][0])
             edges = np.linspace(lo, hi, n_bins + 1)
         elif method == "quantile":
@@ -406,10 +413,17 @@ def target_encode(ds, cat_col: str, target_col: str,
     if not len(st):
         raise ValueError("target_encode on an empty dataset")
     n = st["n"].to_numpy(np.float64)
-    total = float((st["mean"].to_numpy(np.float64) * n).sum())
-    g_mean = total / max(n.sum(), 1.0)
-    enc = (n * st["mean"].to_numpy(np.float64) + smoothing * g_mean) \
-        / (n + smoothing)
+    means = st["mean"].to_numpy(np.float64)
+    seen = n > 0                 # an all-null-target category has n=0,
+    # mean=NaN; masking it keeps one bad category from poisoning the
+    # global mean (NaN*0 is NaN in IEEE) and encodes it as the global
+    if not seen.any():
+        raise ValueError("target_encode: no non-null target values")
+    g_mean = float((means[seen] * n[seen]).sum() / n[seen].sum())
+    enc = np.where(seen,
+                   (n * np.where(seen, means, 0.0) + smoothing * g_mean)
+                   / (n + smoothing),
+                   g_mean)
     emap = {_gkey(k): float(v) for k, v in zip(st[cat_col], enc)}
     ref = ray.put((emap, g_mean))
 

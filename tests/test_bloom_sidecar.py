@@ -22,7 +22,7 @@ import ray.data as rd
 
 from fasta_windows_ray.sources.catalog import (_latest_version,
                                                _load_manifest,
-                                               _load_sidecar_bloom,
+                                               _load_sidecar_bloom_cached,
                                                catalog_fsck,
                                                catalog_lookup,
                                                catalog_read,
@@ -150,7 +150,7 @@ def test_fsck_flags_truncated_sidecar_not_live_orphans(ray_session,
 
 def test_missing_sidecar_is_unprunable_not_fatal(ray_session, tmp_path):
     d, df = _interleaved(tmp_path, "miss", "sidecar")
-    _load_sidecar_bloom.cache_clear()
+    _load_sidecar_bloom_cached.cache_clear()
     _, bls = _blooms(d)
     for _, _, bl in bls:
         os.remove(os.path.join(d, bl["sidecar"]))
@@ -160,7 +160,7 @@ def test_missing_sidecar_is_unprunable_not_fatal(ray_session, tmp_path):
                               return_report=True)
     assert rep["files_scanned"] == rep["files_total"]
     assert got.to_pandas()["v"].tolist() == [12003]
-    _load_sidecar_bloom.cache_clear()
+    _load_sidecar_bloom_cached.cache_clear()
 
 
 def test_inline_and_sidecar_interoperate(ray_session, tmp_path):

@@ -87,3 +87,10 @@ def test_cogroup_empty_side_and_null_keys():
             zip(got["k"], got["n_l"], got["n_r"])}
     assert by_k["a"] == (2, 0)
     assert by_k[None] == (1, 0)        # null keys co-group under None
+
+
+def test_cogroup_one_sided_hint_rejected():
+    l = pd.DataFrame({"k": ["a"], "v": [1]})
+    with pytest.raises(ValueError):
+        cogroup(rd.from_pandas(l), rd.from_pandas(l), on="k",
+                fn=lambda k, a, b: a, right_cols={"k": "s", "v": "i"})

@@ -344,3 +344,35 @@ def test_kfold_assign_partition_and_grouping():
     import pytest as _pt
     with _pt.raises(ValueError):
         kfold_assign(_ds(df, 1), "conv_id", k=1)
+
+
+def test_review_fixes_null_target_unseen_group_empty_bin():
+    from fasta_windows_ray.stages.features import target_encode
+    # an all-null-target category must NOT poison the global mean
+    df = pd.DataFrame({"cat": ["a"] * 4 + ["b"] * 3,
+                       "y": [1.0, 2.0, 3.0, 2.0] + [np.nan] * 3})
+    out = target_encode(_ds(df, 2), "cat", "y", smoothing=2.0).to_pandas()
+    gm = 2.0
+    enc = dict(zip(out["cat"], out["cat_te"]))
+    np.testing.assert_allclose(enc["a"], (4 * 2.0 + 2 * gm) / 6,
+                               rtol=1e-12)
+    np.testing.assert_allclose(enc["b"], gm, rtol=1e-12)   # n=0 -> global
+    with pytest.raises(ValueError):
+        target_encode(_ds(pd.DataFrame({"cat": ["a"], "y": [np.nan]}), 1),
+                      "cat", "y").to_pandas()
+
+    # groups unseen in a caller-supplied stats frame keep their values
+    train = pd.DataFrame({"g": ["a"] * 10, "x": np.arange(10.0)})
+    val = pd.DataFrame({"g": ["a", "zz"], "x": [4.5, 7.0]})
+    st = numeric_stats(_ds(train, 1), ["x"], by="g")
+    out = (standardize(_ds(val, 1), ["x"], by="g", stats=st)
+           .to_pandas())
+    assert out.loc[out["g"] == "zz", "x"].tolist() == [7.0]   # untouched
+    out = (minmax_scale(_ds(val, 1), ["x"], by="g", stats=st)
+           .to_pandas())
+    assert out.loc[out["g"] == "zz", "x"].tolist() == [7.0]
+
+    # width binning on an all-null / empty column is a typed error
+    with pytest.raises(ValueError):
+        bin_numeric(_ds(pd.DataFrame({"x": [np.nan, np.nan]}), 1),
+                    "x", n_bins=4).to_pandas()
