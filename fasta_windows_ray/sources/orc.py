@@ -64,7 +64,7 @@ def read_orc(paths, columns: list[str] | None = None, **kwargs):
 def write_orc(ds, out_dir: str) -> list[str]:
     """Write a Dataset as ORC files, one per block, inside the
     distributed tasks (tmp + atomic rename; only names reach the
-    driver). Returns the written paths."""
+    driver). Returns the written FULL paths."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
@@ -79,7 +79,8 @@ def write_orc(ds, out_dir: str) -> list[str]:
 
     paths = ds.map_batches(write_block, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
-    return sorted(paths["path"].tolist()) if len(paths) else []
+    return sorted(os.path.join(out_dir, p)
+                  for p in paths["path"]) if len(paths) else []
 
 
 def _normalized_pruned(paths, schema, defaults, columns, pre=None):

@@ -34,16 +34,17 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _pad_to(df: pd.DataFrame, all_cols: dict,
-            shared: set) -> pd.DataFrame:
+def _pad_to(df: pd.DataFrame, all_cols: dict) -> pd.DataFrame:
     out = {}
     n = len(df)
     for c, dt in all_cols.items():
         if c in df.columns:
             v = df[c].to_numpy()
-            # a column one side pads with NaN must be float64 on BOTH
-            # sides, or the union mixes block schemas per bucket
-            if dt == "i" and c not in shared:
+            # EVERY 'i'-hinted column goes float64: one side may pad
+            # with NaN, and even a shared int column arrives float64
+            # from any batch containing a null — a uniform dtype is
+            # the only way the union never mixes block schemas
+            if dt == "i":
                 v = v.astype(np.float64)
             out[c] = v
         elif dt == "i":
@@ -61,9 +62,10 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
     static ``{name: "i"|"s"}`` schema hints ("i" numeric, "s" string)
     — REQUIRED when either side can be empty (an all-empty Ray dataset
     loses its column names; also skips the Dataset.schema() probe the
-    engine avoids).  Without hints, names are taken from the first
-    batch seen.  ``fn`` results are concatenated per bucket; an empty
-    result drops the key."""
+    engine avoids) OR when the two sides carry different column sets
+    (the hints drive the union's schema unification; without them both
+    sides must share one column set).  ``fn`` results are concatenated
+    per bucket; an empty result drops the key."""
     from .window_stats import stable_bucket_of
 
     if (left_cols is None) != (right_cols is None):
@@ -76,7 +78,13 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
             out = df.copy()
             out["_cg_side"] = np.int64(side)
             keys = df[on]
-            if keys.dtype == object:
+            if pd.api.types.is_numeric_dtype(keys):
+                # canonical float64: a batch with a null upcasts int64
+                # keys to float64, and str(7) != str(7.0) would split
+                # merge-equal keys across buckets (joins.py _canon has
+                # the same rule for the same reason)
+                keys = keys.astype(np.float64)
+            else:
                 # null keys bucket under the "" sentinel (same task as
                 # genuine "" keys — bucketing only; fn still sees None)
                 keys = keys.fillna("")
@@ -91,11 +99,10 @@ def cogroup(left, right, on: str, fn, num_buckets: int = 64,
     # unify schemas: pad each side with the other's exclusive columns
     if left_cols is not None and right_cols is not None:
         all_cols = {**left_cols, **right_cols}
-        shared = set(left_cols) & set(right_cols)
 
         def pad(df: pd.DataFrame) -> pd.DataFrame:
             keep = df[["_cg_side", "_cg_b"]]
-            body = _pad_to(df, all_cols, shared)
+            body = _pad_to(df, all_cols)
             body["_cg_side"] = keep["_cg_side"].to_numpy()
             body["_cg_b"] = keep["_cg_b"].to_numpy()
             return body

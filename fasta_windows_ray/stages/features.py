@@ -178,6 +178,54 @@ def minmax_scale(ds, cols: list[str], by: str | None = None,
     return ds.map_batches(fx, batch_format="pandas")
 
 
+def _tdigest_lookup(ds, cols: list[str], qs: list[float],
+                    by: str | None, delta: int = 200) -> dict:
+    """{(group, col, q) -> value} from ONE streaming pass over ALL
+    columns (vs one full dataset scan per column): per-batch
+    per-(group, col) t-digest centroids (nulls/NaN excluded — the
+    compressor has no null concept), a bounded collect of centroid
+    rows (groups x cols x ~delta/2), per-(group, col) canonical merge
+    + quantile query on the driver.  At the 100-TB design scale the
+    scan is the dominant cost, so multi-column stats must never
+    multiply it by the column count."""
+    from .sketches import (_merge_digests, tdigest_compress,
+                           tdigest_quantile)
+    gcols = [by] if by else []
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(gcols + cols).to_pandas()
+        frames = []
+        grouped = (df.groupby(by, sort=False, dropna=False)
+                   if by else [("", df)])
+        for key, sub in grouped:
+            for c in cols:
+                v = sub[c].to_numpy(dtype=np.float64, na_value=np.nan)
+                v = v[~np.isnan(v)]
+                if not len(v):
+                    continue
+                m, w = tdigest_compress(v, np.ones(len(v)), delta)
+                frames.append(pd.DataFrame({
+                    "_g": _gkey(key) if by else "",
+                    "col": c, "_mean": m, "_weight": w}))
+        if not frames:
+            return pd.DataFrame({"_g": pd.Series(dtype=object),
+                                 "col": pd.Series(dtype=object),
+                                 "_mean": pd.Series(dtype=np.float64),
+                                 "_weight": pd.Series(dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out: dict = {}
+    if parts.empty:
+        return out
+    for (g, c), grp in parts.groupby(["_g", "col"], sort=False,
+                                     dropna=False):
+        m, w = _merge_digests(grp, delta)
+        for q, v in zip(qs, tdigest_quantile(m, w, list(qs))):
+            out[(_gkey(g), c, float(q))] = float(v)
+    return out
+
+
 def impute(ds, cols: list[str], strategy: str = "mean",
            by: str | None = None, fill_value=None):
     """Fill nulls per column: ``mean`` (exact), ``median``
@@ -197,14 +245,10 @@ def impute(ds, cols: list[str], strategy: str = "mean",
         st = numeric_stats(ds, cols, by)
         fills = _broadcast_lookup(st, by, "mean")
     elif strategy == "median":
-        from .sketches import tdigest_quantiles
-        fills = {}
-        for c in cols:
-            q = tdigest_quantiles(_nonnull(ds, c, by), c, [0.5],
-                                  group_col=by)
-            for _, r in q.iterrows():
-                fills[(_gkey(r[by]) if by else "", c)] = \
-                    float(r["value"])
+        # ONE scan for all columns (each tdigest_quantiles call would
+        # re-traverse the dataset per column)
+        fills = {(g, c): v for (g, c, q), v in
+                 _tdigest_lookup(ds, cols, [0.5], by).items()}
     elif strategy == "mode":
         fills = _mode_lookup(ds, cols, by)
     else:
@@ -316,7 +360,9 @@ def bin_numeric(ds, col: str, n_bins: int = 10, method: str = "width",
         elif method == "quantile":
             from .sketches import tdigest_quantiles
             qs = np.linspace(0.0, 1.0, n_bins + 1).tolist()
-            q = tdigest_quantiles(ds, col, qs)
+            # nulls must never reach the digest (NaN centroids shift
+            # every edge) — the same _nonnull rule as impute(median)
+            q = tdigest_quantiles(_nonnull(ds, col, None), col, qs)
             edges = np.asarray(sorted(q["value"]), dtype=np.float64)
         else:
             raise ValueError(f"unknown method {method!r}")
@@ -363,18 +409,13 @@ def winsorize(ds, cols: list[str], lower: float = 0.01,
     lives); the clip itself is a broadcast + np.clip, zero shuffles.
     Nulls stay null; groups unseen in the stats pass keep their values."""
     import ray
-
-    from .sketches import tdigest_quantiles
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
+    lk = _tdigest_lookup(ds, cols, [lower, upper], by)
     bounds: dict = {}
-    for c in cols:
-        q = tdigest_quantiles(_nonnull(ds, c, by), c, [lower, upper],
-                              group_col=by)
-        for _, r in q.iterrows():
-            key = (_gkey(r[by]) if by else "", c)
-            lo_hi = bounds.setdefault(key, [np.nan, np.nan])
-            lo_hi[0 if r["q"] == lower else 1] = float(r["value"])
+    for (g, c, q), v in lk.items():
+        lo_hi = bounds.setdefault((g, c), [np.nan, np.nan])
+        lo_hi[0 if q == lower else 1] = v
     ref = ray.put(bounds)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
@@ -444,18 +485,11 @@ def robust_scale(ds, cols: list[str], by: str | None = None,
     and quartiles come from the t-digest pass (centroid-bounded
     exchange); zero-IQR columns map to 0.0; nulls stay null."""
     import ray
-
-    from .sketches import tdigest_quantiles
+    lk = _tdigest_lookup(ds, cols, [0.25, 0.5, 0.75], by, delta=delta)
     params: dict = {}
-    for c in cols:
-        q = tdigest_quantiles(_nonnull(ds, c, by), c,
-                              [0.25, 0.5, 0.75], group_col=by,
-                              delta=delta)
-        for _, r in q.iterrows():
-            key = (_gkey(r[by]) if by else "", c)
-            trio = params.setdefault(key, [np.nan, np.nan, np.nan])
-            trio[{0.25: 0, 0.5: 1, 0.75: 2}[float(r["q"])]] = \
-                float(r["value"])
+    for (g, c, q), v in lk.items():
+        trio = params.setdefault((g, c), [np.nan, np.nan, np.nan])
+        trio[{0.25: 0, 0.5: 1, 0.75: 2}[q]] = v
     ref = ray.put(params)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:

@@ -37,7 +37,8 @@ _ID_CAP = np.int64(1) << 62
 def _tag_side(ds, text_col: str, id_col: str, side: int):
     def tag(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and np.abs(ids).max() >= _ID_CAP:
+        # np.abs(int64 min) overflows back to itself — compare bounds
+        if len(ids) and (ids.max() >= _ID_CAP or ids.min() <= -_ID_CAP):
             raise ValueError(f"{id_col} magnitude >= 2^62: the side "
                              "bit would overflow int64")
         return pa.table({
