@@ -91,8 +91,9 @@ def grouping_sets(ds, sets: list[list[str]],
                                       else g[col].count())
             elif fn in ("sum", "mean"):
                 parts[f"_s_{out}"] = g[col].sum()
-                if fn == "mean":
-                    parts[f"_c_{out}"] = g[col].count()
+                # sum needs the non-null count too: SQL SUM over an
+                # all-null group is NULL, pandas' skipna sum is 0
+                parts[f"_c_{out}"] = g[col].count()
             elif fn == "min":
                 parts[f"_m_{out}"] = g[col].min()
             else:
@@ -125,8 +126,7 @@ def grouping_sets(ds, sets: list[list[str]],
             plan[f"_c_{out}"] = "sum"
         elif fn in ("sum", "mean"):
             plan[f"_s_{out}"] = "sum"
-            if fn == "mean":
-                plan[f"_c_{out}"] = "sum"
+            plan[f"_c_{out}"] = "sum"
         elif fn == "min":
             plan[f"_m_{out}"] = "min"
         else:
@@ -143,7 +143,8 @@ def grouping_sets(ds, sets: list[list[str]],
             if fn == "count":
                 g[out] = g[f"_c_{out}"].astype(np.int64)
             elif fn == "sum":
-                g[out] = g[f"_s_{out}"]
+                g[out] = np.where(g[f"_c_{out}"] > 0,
+                                  g[f"_s_{out}"], np.nan)
             elif fn == "mean":
                 g[out] = g[f"_s_{out}"] / g[f"_c_{out}"]
             elif fn == "min":

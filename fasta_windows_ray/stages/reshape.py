@@ -174,10 +174,14 @@ def explode(ds, list_col: str, pos_col: str | None = None):
         col = t[list_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        if pa.types.is_null(col.type):      # all-null block: no rows,
-            out = t.drop_columns([list_col]).slice(0, 0)  # typed empty
+        if pa.types.is_null(col.type):      # all-null block: no rows;
+            # the element type is unknowable here, so emit the Arrow
+            # null type — it promotes to ANY sibling block's element
+            # type at schema unification (a hardcoded string() broke
+            # datasets whose other blocks carry list<int64> etc.)
+            out = t.drop_columns([list_col]).slice(0, 0)
             out = out.append_column(list_col,
-                                    pa.array([], pa.string()))
+                                    pa.array([], pa.null()))
             if pos_col is not None:
                 out = out.append_column(pos_col,
                                         pa.array([], pa.int64()))

@@ -40,8 +40,11 @@ def _side_counts(side: int, columns: list[str]):
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             out = df[columns].copy()
-            out["_side"], out["_cnt"] = (
-                np.array([], np.int8), np.array([], np.int64))
+            # same column ORDER as the non-empty branch (cols, _cnt,
+            # _side) — a 0-row block with permuted fields breaks the
+            # exchange's schema unification
+            out["_cnt"] = np.array([], np.int64)
+            out["_side"] = np.array([], np.int8)
             return out
         g = (df[columns].groupby(columns, dropna=False, sort=False,
                                  as_index=False)
@@ -54,7 +57,15 @@ def _side_counts(side: int, columns: list[str]):
 
 def _bucket(columns: list[str], num_buckets: int):
     def add(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[columns], index=False).to_numpy()
+        # hash a CANONICALIZED view: numerics as float64, so a block
+        # whose ints were null-upcast to float still co-buckets its
+        # rows with int-typed blocks (5 and 5.0 are one SQL value but
+        # two hash_pandas_object bit patterns)
+        canon = df[columns].copy()
+        for c in columns:
+            if pd.api.types.is_numeric_dtype(canon[c]):
+                canon[c] = canon[c].astype(np.float64)
+        h = pd.util.hash_pandas_object(canon, index=False).to_numpy()
         df = df.copy()
         df["_b"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return df
@@ -69,12 +80,22 @@ def set_op(left, right, op: str, num_buckets: int = 64):
     """
     if op not in _OPS:
         raise ValueError(f"unknown set op {op!r}; expected one of {_OPS}")
-    lcols = [c for c in left.schema().names]
-    rcols = set(right.schema().names)
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = set(rsch.names)
     if set(lcols) != rcols:
         raise ValueError(
             f"schema mismatch: left has {sorted(lcols)}, right has "
             f"{sorted(rcols)} — set operations need identical columns")
+    lt = dict(zip(lsch.names, [str(t) for t in lsch.types]))
+    rt = dict(zip(rsch.names, [str(t) for t in rsch.types]))
+    diff = {c for c in lcols if lt[c] != rt[c]}
+    if diff:
+        raise ValueError(
+            f"dtype mismatch on {sorted(diff)} "
+            f"({ {c: (lt[c], rt[c]) for c in sorted(diff)} }) — cast "
+            "the sides to one type; int-vs-float rows would otherwise "
+            "silently fail to pair")
 
     both = (left.map_batches(_side_counts(0, lcols), batch_format="pandas")
             .union(right.map_batches(_side_counts(1, lcols),

@@ -348,6 +348,16 @@ def temporal_join(events, history, key: str, value_cols: list[str],
         sch_l = {f.name: f.type for f in s_l.base_schema}
         sch_r = {f.name: f.type for f in s_r.base_schema}
         events = ev
+    clash = set(sch_l) & (set(value_cols)
+                          | {"valid_from", "valid_to", "_ts_us"})
+    if clash:
+        # merge_asof would keep the EVENT's column unsuffixed and the
+        # nulling step would clobber it with stale event data — refuse
+        # loudly instead of silently corrupting the enrichment
+        raise ValueError(
+            f"temporal_join: event columns {sorted(clash)} collide "
+            "with value_cols/interval columns — rename or project "
+            "them off the event side first")
     int_names = ({n for n, t in sch_l.items()
                   if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
                  | {n for n, t in sch_r.items() if n in value_cols
@@ -512,17 +522,23 @@ def refresh_scd2_view(dim_dir: str, view_dir: str, key_col: str,
             rows.append(ins)
             report["opened"] += len(ins)
         if len(dels):
-            open_rows = catalog_lookup(
+            found = catalog_lookup(
                 view_dir, sorted(set(dels[key_col])), key_col=key_col)
-            if hasattr(open_rows, "to_pandas"):
-                open_rows = open_rows.to_pandas()
-            open_rows = open_rows[open_rows["valid_to"].isna()]
+            if hasattr(found, "to_pandas"):
+                found = found.to_pandas()
+            open_rows = found[found["valid_to"].isna()]
             closed = open_rows.merge(dels, on=content, how="inner")
             if len(closed) != len(dels):
-                raise ValueError(
-                    f"scd2 view out of sync at version {v}: "
-                    f"{len(dels)} deletes matched {len(closed)} open "
-                    "intervals")
+                # crash-replay tolerance: a refresh killed between this
+                # version's catalog_merge commit and its meta write
+                # re-applies the version — deletes already closed AT
+                # THIS version's event-time count as applied
+                done = found[found["valid_to"] == float(vts)]                     .merge(dels, on=content, how="inner")
+                if len(closed) + len(done) != len(dels):
+                    raise ValueError(
+                        f"scd2 view out of sync at version {v}: "
+                        f"{len(dels)} deletes matched {len(closed)} "
+                        f"open + {len(done)} already-closed intervals")
             closed["valid_to"] = float(vts)
             rows.append(closed[content + ["valid_from", "valid_to",
                                           "_iid"]])
@@ -534,18 +550,22 @@ def refresh_scd2_view(dim_dir: str, view_dir: str, key_col: str,
             # block codec), corrupting the view's unified schema
             up["valid_to"] = up["valid_to"].astype("float64")
             tbl = pa.Table.from_pandas(up, preserve_index=False)
-            if meta is None and v == last + 1 and last == 0 \
-                    and not os.path.isdir(view_dir):
+            # bootstrap = the view has no committed version yet (NOT
+            # the loop counter: a dimension whose first versions carry
+            # empty deltas bootstraps at its first non-empty one)
+            if _latest_version(view_dir) == 0:
                 catalog_write(rd.from_arrow(tbl), view_dir,
                               mode="overwrite", bloom_cols=[key_col])
             else:
                 catalog_merge(rd.from_arrow(tbl), view_dir, on="_iid")
         report["versions_applied"] += 1
-
-    os.makedirs(view_dir, exist_ok=True)
-    _atomic_json(os.path.join(view_dir, _SCD2_META),
-                 {"dim_dir": dim_dir, "key_col": key_col,
-                  "last_synced": to_v})
+        # per-version sync point: a crash resumes at exactly the next
+        # version (the one-version replay window between the merge
+        # commit and this write is covered by the idempotence above)
+        os.makedirs(view_dir, exist_ok=True)
+        _atomic_json(os.path.join(view_dir, _SCD2_META),
+                     {"dim_dir": dim_dir, "key_col": key_col,
+                      "last_synced": v})
     return report
 
 

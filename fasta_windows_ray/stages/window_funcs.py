@@ -244,17 +244,40 @@ def window_functions(ds, partition_by: list[str], order_by: list[str],
                 # frame per row = rows of the SAME segment with
                 # ts in [row.ts - r_us, row.ts]; segments are
                 # contiguous and ts-sorted, so one composite
-                # searchsorted finds every lower bound at once
-                base = int(ts.min())
-                span = int(ts.max()) - base + 2
-                seg_id = (seg_start // 1)            # unique per segment
-                comp = seg_id.astype(np.int64) * span + (ts - base)
-                lower = np.searchsorted(
-                    comp, seg_id.astype(np.int64) * span
-                    + np.maximum(ts - r_us - base, 0), side="left")
+                # searchsorted finds every lower bound at once.
+                # DENSE segment rank x PER-SEGMENT-rebased ts keeps the
+                # composite small (a raw row-index x global-span product
+                # overflows int64 near ~3e5 rows x 1-year-us spans)
+                seg_start = seg_start.astype(np.int64)
+                dense = np.zeros(len(ts), dtype=np.int64)
+                if len(ts) > 1:
+                    dense[1:] = np.cumsum(seg_start[1:] != seg_start[:-1])
+                rel = ts - ts[seg_start]             # >= 0, per segment
+                block = int(rel.max()) + r_us + 2 if len(rel) else 2
+                nseg = int(dense[-1]) + 1 if len(dense) else 0
+                if nseg and block < (1 << 62) // max(nseg, 1):
+                    comp = dense * block + rel
+                    lower = np.searchsorted(
+                        comp, dense * block + np.maximum(rel - r_us, 0),
+                        side="left")
+                    upper = np.searchsorted(comp, comp,
+                                            side="right") - 1
+                else:
+                    # pathological span x segment-count: per-segment
+                    # searchsorted (bounded by segments per bucket)
+                    lower = np.empty(len(ts), dtype=np.int64)
+                    upper = np.empty(len(ts), dtype=np.int64)
+                    starts = np.flatnonzero(np.concatenate(
+                        [[True], seg_start[1:] != seg_start[:-1]]))
+                    ends = np.concatenate([starts[1:], [len(ts)]])
+                    for a, b in zip(starts, ends):
+                        seg_ts = ts[a:b]
+                        lower[a:b] = a + np.searchsorted(
+                            seg_ts, seg_ts - r_us, side="left")
+                        upper[a:b] = a + np.searchsorted(
+                            seg_ts, seg_ts, side="right") - 1
                 # RANGE includes ALL ties at the current ts: the frame's
                 # upper bound is the last row with this (segment, ts)
-                upper = np.searchsorted(comp, comp, side="right") - 1
                 notna = vals.notna().to_numpy()
                 v = vals.fillna(0).to_numpy().astype(np.float64)
                 cs = np.concatenate([[0.0], np.cumsum(v)])

@@ -124,3 +124,19 @@ def test_spec_validation():
         grouping_sets(_ds(df), [["role"]], {"x": ("median", "n_chars")})
     with pytest.raises(ValueError, match="col=None"):
         grouping_sets(_ds(df), [["role"]], {"x": ("sum", None)})
+
+
+def test_sum_over_all_null_group_is_null(ray_session):
+    """SQL SUM over a group whose column is entirely NULL is NULL, not
+    0 (regression: the skipna partial sum emitted 0)."""
+    import duckdb
+    df = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                       "v": [1.0, 2.0, np.nan, np.nan]})
+    out = (grouping_sets(rd.from_pandas(df), [["k"]],
+                         {"s": ("sum", "v")})
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT k, sum(v) AS s FROM df GROUP BY k ORDER BY k").df()
+    assert out.loc[out["k"] == "a", "s"].tolist() == [3.0]
+    assert out.loc[out["k"] == "b", "s"].isna().all()
+    assert want.loc[want["k"] == "b", "s"].isna().all()

@@ -304,3 +304,26 @@ def test_refresh_scd2_view_equals_from_scratch(tmp_path):
     # spec pin
     with pytest.raises(ValueError, match="refusing"):
         refresh_scd2_view(d, v, "price")
+
+
+def test_temporal_join_rejects_value_col_collision(ray_session):
+    """An event column sharing a name with a value_col would be kept
+    unsuffixed by merge_asof and clobbered by the interval nulling —
+    refuse loudly (regression for silent enrichment corruption)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fasta_windows_ray.stages.temporal import temporal_join
+    ev = pd.DataFrame({"user_id": [1], "price": [9.0],
+                       "ts": pd.to_datetime([1_000_000], unit="us")})
+    hist = pd.DataFrame({"user_id": [1], "valid_from": [0],
+                         "valid_to": [np.nan], "price": [5.0]})
+    with pytest.raises(ValueError, match="collide"):
+        temporal_join(
+            rd.from_pandas(ev), rd.from_pandas(hist),
+            key="user_id", value_cols=["price"],
+            schemas=({"user_id": pa.int64(), "price": pa.float64(),
+                      "ts": pa.timestamp("us")},
+                     {"user_id": pa.int64(), "valid_from": pa.int64(),
+                      "valid_to": pa.float64(),
+                      "price": pa.float64()}))

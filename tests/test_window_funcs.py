@@ -222,3 +222,35 @@ def test_range_frames_match_duckdb(ray_session):
     con.close()
     pd.testing.assert_frame_equal(
         got[["uid", "rs", "rm", "rc"]], want, check_dtype=False)
+
+
+def test_range_frames_huge_span_overflow_fallback(ray_session):
+    """A segment-count x time-span product past int64 forces the
+    per-segment fallback; results must still match DuckDB (regression
+    for the composite-key overflow that silently corrupted frames)."""
+    from fasta_windows_ray.stages.window_funcs import window_functions
+    rng = np.random.default_rng(7)
+    n = 400
+    span = (1 << 61)              # rel alone near int64/4
+    df = pd.DataFrame({
+        "conv_id": np.asarray(["u%03d" % i
+                               for i in rng.integers(0, 50, n)], object),
+        # int64 event "times" spread over a deliberately absurd span
+        "ts": rng.integers(0, span, n).astype(np.int64),
+        "uid": np.arange(n, dtype=np.int64),
+        "score": rng.integers(-9, 9, n).astype(np.int64)})
+    R = span // 7
+    got = (window_functions(_ds(df), ["conv_id"], ["ts"],
+                            [("range_sum", "score", R, "rs")],
+                            num_buckets=4)
+           .to_pandas().sort_values("uid").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(f"""
+        SELECT uid, CAST(sum(score) OVER (PARTITION BY conv_id
+          ORDER BY ts RANGE BETWEEN {R} PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS rs
+        FROM t ORDER BY uid""").df()
+    con.close()
+    pd.testing.assert_frame_equal(got[["uid", "rs"]], want,
+                                  check_dtype=False)
