@@ -112,7 +112,9 @@ def quantiles_from_hist(values: np.ndarray, counts: np.ndarray,
     n = int(cum[-1]) if len(cum) else 0
     out = []
     for q in qs:
-        target = 1 if q <= 0 else int(np.ceil(q * n))
+        # round-tolerant ceil: 0.07*100 == 7.000000000000001 in
+        # IEEE-754, and a raw ceil would return rank 8 instead of 7
+        target = 1 if q <= 0 else int(np.ceil(q * n - 1e-9))
         idx = int(np.searchsorted(cum, target, side="left"))
         out.append((float(q), values[min(idx, len(values) - 1)]))
     return out
@@ -132,8 +134,17 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     """
 
     def hist(t: pa.Table) -> pa.Table:
-        v, c = np.unique(t[col].to_numpy(zero_copy_only=False),
-                         return_counts=True)
+        # SQL quantile aggregates ignore NULLs: drop them before the
+        # histogram (np.unique would also crash sorting None-vs-str,
+        # and NaNs would inflate n and corrupt high quantiles)
+        col_arr = t[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        col_arr = col_arr.drop_null()
+        vals = col_arr.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind == "f":
+            vals = vals[~np.isnan(vals)]
+        v, c = np.unique(vals, return_counts=True)
         return pa.table({col: pa.array(v),
                          "cnt": pa.array(c.astype(np.int64))})
 

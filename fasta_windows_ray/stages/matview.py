@@ -55,6 +55,12 @@ def refresh_materialized_agg(source_dir: str, view_dir: str,
                              window: dict | None = None) -> dict:
     """Sync the rollup view to the source's latest snapshot.
 
+    Sums accumulate in float64 (signed partials must absorb null-
+    upcast blocks without schema flapping): exact to the last integer
+    below 2^53 per group — int64 sums beyond that need a pre-split of
+    the column (the same bound pack_documents documents for its
+    offsets).
+
     ``window={"ts_col": "ts", "size_us": N[, "offset_us": 0]}`` makes
     the view a WINDOWED rollup: a derived ``window_start`` (int64
     epoch-µs tumbling bucket of the ts column) joins the group key —

@@ -66,10 +66,19 @@ def _rule_mask(t: pa.Table, rule: tuple):
 
 def _named(rules) -> list[tuple[str, tuple]]:
     out = []
+    seen: dict[str, int] = {}
     for r in rules:
         name = f"{r[0]}({r[1]})"
         if len(r) > 2 and r[0] != "custom":
             name += f":{','.join(str(x) for x in r[2:])}"
+        elif r[0] == "custom" and len(r) > 2:
+            name += f":{getattr(r[2], '__name__', 'fn')}"
+        # two rules must never share a report row (the fold groups by
+        # name — a collision merged their counts into one phantom rule)
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        if k:
+            name += f"#{k + 1}"
         out.append((name, tuple(r)))
     return out
 
@@ -152,6 +161,13 @@ def validate(ds, rules, id_col: str | None = None, sample: int = 5):
             "rule": name, "n_checked": -1, "n_failed": n_total,
             "sample_ids": ",".join(samp.split(",")[:sample])}]))
 
+    if not rows:                      # empty rule list: typed empty report
+        return pd.DataFrame({"rule": pd.Series(dtype=object),
+                             "n_checked": pd.Series(dtype=np.int64),
+                             "n_failed": pd.Series(dtype=np.int64),
+                             "sample_ids": pd.Series(dtype=object),
+                             "fail_rate": pd.Series(dtype=np.float64),
+                             "ok": pd.Series(dtype=bool)})
     rep = pd.concat(rows, ignore_index=True)
     rep["fail_rate"] = np.where(
         rep["n_checked"] > 0, rep["n_failed"] / rep["n_checked"].clip(1),

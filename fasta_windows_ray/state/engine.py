@@ -493,7 +493,6 @@ class StreamEngine:
         # open tumbling/sliding windows: (conv_id, start) -> _WindowAcc
         self.open: dict[tuple, _WindowAcc] = {}
         self.heap: list[tuple] = []      # (window_end, conv_id, start)
-        self.heaped: set[tuple] = set()
         # session state: conv_id -> (first_ts, last_ts, n_turns)
         self.sessions: dict[str, list] = {}
         # count-window state: conv_id -> [chunks_emitted, acc, rows_in_acc]
@@ -516,17 +515,22 @@ class StreamEngine:
         Amortized O(1)/insert: a conv's set is rescanned only once it
         doubles past its post-prune size (a genuinely hot conv with many
         live uids inside lateness just raises its own threshold).
-        Updates mode accepts rows up to retention_us BELOW the watermark,
-        so its prune threshold backs off by the same amount. Count
-        windows accept ANY ts (arrival-order semantics), so pruning is
-        never exact there — keep everything; a conv's dedup set is then
-        bounded by its true turn count, not the corpus."""
+        Updates mode accepts a row iff SOME covering window is still
+        live (s + size_us + retention_us > watermark); the largest
+        covering start is <= ts, so acceptance implies
+        ts > watermark - size_us - retention_us — the prune threshold
+        must back off by BOTH terms (retention alone pruned entries of
+        still-acceptable rows, letting a replayed duplicate double-
+        count into a live window's next revision). Count windows accept
+        ANY ts (arrival-order semantics), so pruning is never exact
+        there — keep everything; a conv's dedup set is then bounded by
+        its true turn count, not the corpus."""
         if self.cfg.kind == "count":
             self._seen_prune_at[conv] = max(1024, 2 * len(seen))
             return seen
         wm = self.watermark
         if self.cfg.emit == "updates":
-            wm -= self.cfg.retention_us
+            wm -= self.cfg.size_us + self.cfg.retention_us
         kept = {e for e in seen if e[1] >= wm}
         self.seen_uids[conv] = kept
         self._seen_prune_at[conv] = max(1024, 2 * len(kept))
@@ -613,9 +617,8 @@ class StreamEngine:
                     acc = self.open.get(key)
                     if acc is None:
                         acc = self.open[key] = _WindowAcc()
-                        hk = (s + cfg.size_us, conv, s)
-                        heapq.heappush(self.heap, hk)
-                        self.heaped.add(hk)
+                        heapq.heappush(self.heap,
+                                       (s + cfg.size_us, conv, s))
                     acc.add(ts, int(uid), role, text, tool, cfg, stats)
                     if cfg.early_fire_every:
                         n = self._since_fire.get(key, 0) + 1
@@ -638,9 +641,7 @@ class StreamEngine:
                         acc = self.open[key] = _WindowAcc()
                         if end > self.watermark:
                             # covering window not yet due: normal path
-                            hk = (end, conv, s)
-                            heapq.heappush(self.heap, hk)
-                            self.heaped.add(hk)
+                            heapq.heappush(self.heap, (end, conv, s))
                         else:
                             # opened BY a late row: schedule retention GC
                             heapq.heappush(
@@ -659,6 +660,18 @@ class StreamEngine:
 
     def _ingest_session(self, conv: str, ts: int, uid: int, role: str,
                         text: str, tool: str, out: list[dict], stats=None):
+        """Gap sessions close EAGERLY on the first gap-exceeding arrival
+        and fold any non-late arrival into the currently-open session —
+        correct iff rows arrive per-conv ts-ordered, which is the
+        session contract (same as ``_ingest_count``; the Dataset replay
+        path sorts by (ts, turn_uid), and the batch twin
+        ``windows.session_ids`` defines the semantics over sorted ts).
+        An out-of-order-but-in-lateness row would join the WRONG session
+        here (the open one, even across a backward gap) — watermark-
+        deferred session close would need per-row buffering until
+        last_ts + gap passes the watermark, a different memory contract;
+        disordered streams should route through the sorted replay or the
+        salted batch session path (stages/salted.py)."""
         st = self.sessions.get(conv)
         if st is not None and ts - st[1] > self.cfg.gap_us:
             out.append(self._session_row(conv, st))
@@ -743,7 +756,6 @@ class StreamEngine:
         while self.heap and self.heap[0][0] <= self.watermark:
             end, conv, s = heapq.heappop(self.heap)
             key = (conv, s)
-            self.heaped.discard((end, conv, s))
             if retain:
                 # keep the accumulator for late updates; GC at
                 # end + retention_us
@@ -808,7 +820,7 @@ class StreamEngine:
         return pickle.dumps({
             "cfg": self.cfg, "partition_id": self.partition_id,
             "watermark": self.watermark, "max_ts": self.max_ts,
-            "open": self.open, "heap": self.heap, "heaped": self.heaped,
+            "open": self.open, "heap": self.heap,
             "sessions": self.sessions, "seen_uids": self.seen_uids,
             "metrics": self.metrics,
             "revisions": self.revisions, "ret_heap": self.ret_heap,
@@ -820,7 +832,7 @@ class StreamEngine:
         d = pickle.loads(blob)
         eng = cls(d["cfg"], d["partition_id"])
         eng.watermark, eng.max_ts = d["watermark"], d["max_ts"]
-        eng.open, eng.heap, eng.heaped = d["open"], d["heap"], d["heaped"]
+        eng.open, eng.heap = d["open"], d["heap"]
         eng.sessions, eng.seen_uids = d["sessions"], d["seen_uids"]
         eng.metrics = d["metrics"]
         eng.revisions = d.get("revisions", {})

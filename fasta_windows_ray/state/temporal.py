@@ -30,9 +30,14 @@ State bounds (what a batch join doesn't need):
   events inside the lateness horizon.
 - Late rows on EITHER stream (ts < watermark) drop and count; exact
   (uid, ts) event dedup with the engine's amortized watermark prune.
-- Two live inserts for one key (no delete between) violate the
-  primary-key contract and raise — the same assertion the batch
-  operator makes per bucket.
+- Two live inserts for one key AT ONE ts raise (PK violation).  An
+  insert at a LATER ts closes the open interval like an SCD-2 update —
+  in the netted boundary representation (delete + insert at one ts
+  nets to the insert) a feed that omitted the delete is
+  indistinguishable from a legitimate update, so THAT violation is
+  enforced by the batch twin's per-bucket overlap assertion
+  (``temporal_join``), not here; the equality gate runs both paths
+  over the same CDC log.
 - ``snapshot``/``restore`` round-trip the full state (kill-and-resume
   == fresh, pytest-gated).
 
