@@ -113,8 +113,12 @@ def quantiles_from_hist(values: np.ndarray, counts: np.ndarray,
     out = []
     for q in qs:
         # round-tolerant ceil: 0.07*100 == 7.000000000000001 in
-        # IEEE-754, and a raw ceil would return rank 8 instead of 7
-        target = 1 if q <= 0 else int(np.ceil(q * n - 1e-9))
+        # IEEE-754, and a raw ceil would return rank 8 instead of 7.
+        # RELATIVE epsilon: the FP error of q*n scales with n
+        # (~n*2^-52 ≈ 2e-7 at n=1e9), so an absolute 1e-9 stops
+        # covering exactly-integral ranks at the row counts this
+        # engine targets.
+        target = 1 if q <= 0 else int(np.ceil(q * n * (1.0 - 1e-12)))
         idx = int(np.searchsorted(cum, target, side="left"))
         out.append((float(q), values[min(idx, len(values) - 1)]))
     return out

@@ -99,7 +99,11 @@ def _broadcast_lookup(stats: pd.DataFrame, by: str | None,
                       value_col: str) -> dict:
     """{(group, col) -> value} (group "" when ungrouped)."""
     g = stats[by] if by else [""] * len(stats)
-    return {(gg, c): float(v) if v == v else np.nan
+    # _gkey on the build side too: pandas groupby renders a None group
+    # key as NaN in the stats frame, while the transform side looks up
+    # _gkey(key) -> None — without normalizing here, null-group rows
+    # silently miss the lookup and pass through untransformed.
+    return {(_gkey(gg), c): float(v) if v == v else np.nan
             for gg, c, v in zip(g, stats["col"], stats[value_col])}
 
 
@@ -329,7 +333,9 @@ def _mode_lookup(ds, cols: list[str], by: str | None) -> dict:
                           ascending=[True, True, False, True, True],
                           kind="stable")
     top = agg.drop_duplicates(["_g", "col"], keep="first")
-    return {(g, c): (s if isinstance(s, str) else float(v))
+    # _gkey: the groupby surfaces the None group key as NaN; normalize
+    # so the transform side's _gkey(key) -> None lookup finds it.
+    return {(_gkey(g), c): (s if isinstance(s, str) else float(v))
             for g, c, v, s in zip(top["_g"], top["col"],
                                   top["val_num"], top["val_str"])}
 
@@ -517,18 +523,32 @@ def feature_hash(ds, cols: list[str], n_features: int = 256,
     unseen values Just Work), deterministic across runs/shards, and
     SQL-twinnable via the engine's md5 fold.  Column name is part of
     the hash input so identical values in different columns land in
-    different (independent) buckets.  Nulls -> -1."""
+    different (independent) buckets.  Nulls -> -1.
+
+    Values are canonicalized on the ARROW side (cast-to-string) before
+    hashing: a pandas batch upcasts null-bearing int64 to float64, so
+    the SAME value would hash as '7' or '7.0' depending on block
+    co-residents, breaking cross-run/shard determinism. Arrow renders
+    a value identically wherever it lands (int64 7 -> '7', float64
+    7.0 -> '7')."""
+    import pyarrow.compute as pc
+
     from .window_stats import stable_bucket_of
 
-    def fx(df: pd.DataFrame) -> pd.DataFrame:
+    def fx(t: pa.Table) -> pa.Table:
         for c in cols:
-            isna = df[c].isna().to_numpy()
-            salted = np.asarray([f"{c}:{v}" for v in df[c]],
-                                dtype=object)
+            ks = pc.cast(t[c], pa.string()).to_pylist()
+            salted = np.asarray(
+                ["" if v is None else f"{c}:{v}" for v in ks],
+                dtype=object)
             h = stable_bucket_of(salted, n_features)
-            df[f"{out_prefix}{c}"] = np.where(isna, np.int64(-1), h)
-            df[f"{out_prefix}{c}"] = df[f"{out_prefix}{c}"].astype(
-                np.int64)
-        return df
+            isna = np.asarray([v is None for v in ks], dtype=bool)
+            vals = np.where(isna, np.int64(-1), h).astype(np.int64)
+            name = f"{out_prefix}{c}"
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            t = t.append_column(name, pa.array(vals, pa.int64()))
+        return t
 
-    return ds.map_batches(fx, batch_format="pandas")
+    return ds.map_batches(fx, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -266,17 +266,28 @@ def kfold_assign(ds, key_col: str, k: int = 5,
     conv_id keeps whole conversations in one fold: the leakage-safe
     default), zero shuffles, and exactly SQL-twinnable via the md5
     fold.  ``salt`` decorrelates the fold id from the sampler/split
-    slots (same md5 family, different key string)."""
+    slots (same md5 family, different key string).
+
+    Keys are canonicalized on the ARROW side (cast-to-string) before
+    salting: ``.to_numpy()`` on a null-bearing int64 block upcasts to
+    float64, so the SAME key would render ``kfold:7`` in a null-free
+    block but ``kfold:7.0`` in a null-bearing one — splitting one key
+    across folds depending on which block it lands in. Arrow's
+    rendering is a pure function of the value (int64 7 -> '7', float64
+    7.0 -> '7', exact for full-range int64), independent of block
+    co-residents. Null keys use a fixed ``chr(0)`` sentinel (one fold,
+    deterministic; SQL twin: ``CASE WHEN k IS NULL THEN chr(0) ELSE
+    CAST(k AS VARCHAR) END``)."""
     if k < 2:
         raise ValueError("need k >= 2 folds")
 
     def assign(t: pa.Table) -> pa.Table:
-        keys = t[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        salted = [f"{salt}:{v}" for v in
-                  keys.to_numpy(zero_copy_only=False)]
-        fold = stable_bucket_of(np.asarray(salted, dtype=object), k)
+        import pyarrow.compute as pc
+        ks = pc.cast(t[key_col], pa.string()).to_pylist()
+        salted = np.asarray(
+            [f"{salt}:\x00" if v is None else f"{salt}:{v}"
+             for v in ks], dtype=object)
+        fold = stable_bucket_of(salted, k)
         return t.append_column(fold_col, pa.array(fold, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow",

