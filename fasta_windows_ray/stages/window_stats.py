@@ -739,11 +739,16 @@ def turn_window_counts(ds, w_turns: int, num_buckets: int = 64):
         G = len(uk)
         ucid = (uk // (rank.max() + 1)).astype(np.int64)
         uws = (uk % (rank.max() + 1)).astype(np.int64)
-        role_idx = np.asarray(
-            [0 if r is None else
-             ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
-             for r in df["role"].to_numpy(dtype=object)]) \
-            if "role" in df.columns else np.zeros(len(df), dtype=np.int64)
+        if "role" in df.columns:
+            # vectorized role -> index (None -> 0, unknown -> 4 "other";
+            # Categorical codes are -1 for BOTH, so split on isna)
+            codes_r = pd.Categorical(
+                df["role"], categories=ROLE_ORDER).codes.astype(np.int64)
+            role_idx = np.where(
+                codes_r >= 0, codes_r,
+                np.where(df["role"].isna().to_numpy(), 0, 4))
+        else:
+            role_idx = np.zeros(len(df), dtype=np.int64)
         rc = np.bincount(codes * 5 + role_idx, minlength=G * 5).reshape(G, 5)
         return pd.DataFrame({
             "conv_id": np.asarray(cu, dtype=object).take(ucid),

@@ -170,3 +170,46 @@ def test_dedup_survives_pruning_threshold():
     assert eng.metrics.dup_dropped == 1
     total = sum(r["n_turns"] for r in rows) + eng.metrics.windows_emitted * 0
     assert eng.metrics.rows_in == n + 1
+
+
+def test_turn_window_role_index_vectorization_bit_equal(ray_session):
+    """r5: the Categorical-codes role indexing must be bit-equal to the
+    per-row formula it replaced (None -> n_user, unknown -> n_other)."""
+    import ray.data as rd
+    from fasta_windows_ray.stages.window_stats import ROLE_ORDER
+    rng = np.random.default_rng(5)
+    n = 400
+    roles = rng.choice(ROLE_ORDER + ["weird", None], n).tolist()
+    df = pd.DataFrame({
+        "conv_id": [f"c{i % 13}" for i in range(n)],
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": pd.array(roles, dtype="string"),
+        "ts": pd.to_datetime("2026-01-01")
+              + pd.to_timedelta(np.arange(n), unit="s"),
+    })
+    out = (turn_window_counts(rd.from_pandas(df).repartition(3), 4)
+           .to_pandas().sort_values(["conv_id", "win_start"])
+           .reset_index(drop=True))
+    # naive reference: the exact pre-vectorization per-row formula
+    naive = df.copy()
+    naive["role"] = [None if r is pd.NA or r is None else r
+                     for r in naive["role"]]
+    naive = naive.sort_values(["conv_id", "ts", "turn_idx"],
+                              kind="stable")
+    rows = []
+    for conv, sub in naive.groupby("conv_id", sort=True):
+        sub = sub.reset_index(drop=True)
+        for s in range(0, len(sub), 4):
+            ch = sub.iloc[s:s + 4]
+            idx = [0 if r is None else
+                   ROLE_ORDER.index(r) if r in ROLE_ORDER else 4
+                   for r in ch["role"]]
+            cnt = np.bincount(idx, minlength=5)
+            rows.append({"conv_id": conv, "win_start": s,
+                         "win_end": min(s + 4, len(sub)),
+                         "n_turns": len(ch), "n_user": cnt[0],
+                         "n_assistant": cnt[1], "n_system": cnt[2],
+                         "n_tool": cnt[3], "n_other": cnt[4]})
+    want = (pd.DataFrame(rows).sort_values(["conv_id", "win_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype(want.dtypes.to_dict()), want)
