@@ -1384,25 +1384,170 @@ ORDER BY doc_id
 
 
 def q_tumbling_ctw(sf_dir: str):
-    """All non-SQL-expressible window columns under ONE rows-only driver
-    row (the gate caps at 50 queries): CTW bits/base over each window's
-    role sequence AND char-class text (inherently sequential,
-    kmeru8.rs:170-319), plus the dense role-k-gram frequency vectors
-    (the reference's di/tri/tetra freq tables, fw.rs:313-331, as
-    list<int32> columns — not SQL-hashable). All three are pytest-gated
-    (kernels tests F12-F15, dense_kgram_vector gate), and the k-gram
-    vectors additionally have the oracle-paired long-format twin
-    ``tumbling_role_kgram_long``."""
-    from ..stages.window_stats import window_stats
-    ds = read_transcripts(sf_dir)
-    out = window_stats(ds, SIZE_US, profile="full", ctw_text=True,
-                       kgram_freqs=True).to_pandas()
-    out = out[["conv_id", "window_start", "n_turns", "n_chars",
-               "ctw_roles_bpb", "ctw_text_bpb", "kgram_freq_k2",
-               "kgram_freq_k3", "kgram_freq_k4"]].copy()
-    for c in ("kgram_freq_k2", "kgram_freq_k3", "kgram_freq_k4"):
-        out[c] = [np.asarray(v, dtype=np.int32) for v in out[c]]
-    return _round6(out, ["ctw_roles_bpb", "ctw_text_bpb"])
+    """CTW/KT code-length math, oracle-gated via a PLANTED corpus with
+    CLOSED-FORM code lengths (the media_decode formula-pixel pattern).
+
+    CTW on arbitrary text is not SQL — but for single-symbol runs the
+    KT estimator is: the KT probability of a run of n equal symbols
+    (m=4) is prod_{i<n} (i+1/2)/(i+2), and the depth-6 CTW mixture over
+    a constant context path telescopes to a 7-level recursion over that
+    closed form (kmeru8.rs:127-159 KT0; :170-319 node math; :195-212
+    mixture guard — irrelevant here, terms are same-magnitude). Per
+    window, planted sequences are derived from ORACLED count columns
+    (role counts / n_chars — same definitions as tumbling_role_counts /
+    tumbling_window_stats), fed through the REAL kernels, and
+    reproduced in DuckDB as recursive-CTE closed forms:
+
+    - ctw_const_bpb: ctw_roles over a constant run of length
+      1+(n_known%96) — covers L<=depth and L>depth leaf/mixture paths;
+    - ctw_flush_bpb: ctw_roles over run(a) + 'other' + run(b)
+      (a=n_user%48, b=n_assistant%48) — the unmapped symbol SKIPS AND
+      FLUSHES the context (kmeru8.rs:296-299) but keeps node counts, so
+      the final tree is n_d = max(a-d,0)+max(b-d,0) with the leaf rule
+      re-applied at depth min(b-1,6): run-2's shallow path OVERWRITES
+      the deeper stale mixture — the exact flush semantics, closed
+      form;
+    - kt0_const_bpb: the depth-0 KT path over 1+(n_chars%96);
+    - ctw_textplant_bpb: ctw_text_classes over 'x'*(1+(n_chars%80)) —
+      exercises the byte->4-class LUT + text wrapper.
+
+    Kernel calls are memoized per unique plant length (<=96+2304+96+80
+    sequential evaluations of length <=96, independent of data size) —
+    a bounded driver-side fold, not a per-row loop.
+
+    The REAL-corpus CTW columns stay pytest-gated (tests/test_kernels
+    F12-F15, test_ctw_text.py); in-query, every window whose role
+    sequence is a constant known-role run is ALSO cross-checked: its
+    real-data ctw_roles_bpb must equal the closed form at n_turns. The
+    dense k-gram freq vectors (list<int32>, not SQL-hashable) live in
+    the oracle-paired long twin ``tumbling_role_kgram_long``."""
+    from .. import kernels as K
+
+    pdf = _full_stats_pdf(sf_dir)
+    n_known = (pdf["n_user"] + pdf["n_assistant"] + pdf["n_system"]
+               + pdf["n_tool"]).to_numpy(np.int64)
+    lc = (1 + n_known % 96).astype(np.int64)
+    fa = (pdf["n_user"].to_numpy(np.int64) % 48).astype(np.int64)
+    fb = (pdf["n_assistant"].to_numpy(np.int64) % 48).astype(np.int64)
+    lk = (1 + pdf["n_chars"].to_numpy(np.int64) % 96).astype(np.int64)
+    lt = (1 + pdf["n_chars"].to_numpy(np.int64) % 80).astype(np.int64)
+
+    const_map = {int(v): K.ctw_roles(["user"] * int(v))
+                 for v in np.unique(np.concatenate([lc, lt]))}
+    flush_map = {(int(a), int(b)):
+                 K.ctw_roles(["user"] * int(a) + ["other"]
+                             + ["user"] * int(b))
+                 for a, b in {(int(a), int(b)) for a, b in zip(fa, fb)}}
+    kt0_map = {int(v): K.ctw_roles(["user"] * int(v), max_depth=0)
+               for v in np.unique(lk)}
+    # the text wrapper goes through the byte->class LUT for real
+    text_map = {int(v): K.ctw_text_classes(["x" * int(v)])
+                for v in np.unique(lt)}
+    for v, bpb in text_map.items():
+        assert abs(bpb - const_map[v]) < 1e-12   # class stream == run
+
+    # real-corpus cross-check: constant known-role windows must match
+    # the closed form at their true length (ties the planted oracle to
+    # the production path over REAL data)
+    known_max = pdf[["n_user", "n_assistant", "n_system",
+                     "n_tool"]].max(axis=1).to_numpy(np.int64)
+    mask = known_max == pdf["n_turns"].to_numpy(np.int64)
+    assert mask.any(), "planted cross-check found no constant windows"
+    want = np.asarray([K.ctw_roles(["user"] * int(n)) if n not in
+                       const_map else const_map[int(n)]
+                       for n in pdf["n_turns"].to_numpy(np.int64)[mask]])
+    got = pdf["ctw_roles_bpb"].to_numpy(np.float64)[mask]
+    assert np.allclose(got, want, rtol=0, atol=1e-9), \
+        "real-data CTW diverges from closed form on constant windows"
+
+    out = pd.DataFrame({
+        "conv_id": pdf["conv_id"],
+        "window_start": pdf["window_start"],
+        "n_turns": pdf["n_turns"].astype(np.int64),
+        "plant_const_len": lc, "plant_flush_a": fa, "plant_flush_b": fb,
+        "plant_kt0_len": lk, "plant_text_len": lt,
+        "ctw_const_bpb": [const_map[int(v)] for v in lc],
+        "ctw_flush_bpb": [flush_map[(int(a), int(b))]
+                          for a, b in zip(fa, fb)],
+        "kt0_const_bpb": [kt0_map[int(v)] for v in lk],
+        "ctw_textplant_bpb": [text_map[int(v)] for v in lt],
+    })
+    return _round6(out, ["ctw_const_bpb", "ctw_flush_bpb",
+                         "kt0_const_bpb", "ctw_textplant_bpb"])
+
+
+# Closed-form KT/CTW oracle (see q_tumbling_ctw docstring for the
+# derivation). kt0 carries CAST(0.0 AS DOUBLE) — a bare 0.0 types the
+# UNION column DECIMAL(2,1) and silently rounds every log-prob to one
+# decimal place.
+SQL_TUMBLING_CTW = f"""
+WITH RECURSIVE
+w AS ({_WIN}),
+base AS (SELECT conv_id, window_start, count(*) AS n_turns,
+    count(*) FILTER (role = 'user') AS nu,
+    count(*) FILTER (role = 'assistant') AS na,
+    count(*) FILTER (role = 'system') AS ns,
+    count(*) FILTER (role = 'tool') AS nt,
+    sum(length(text))::BIGINT AS n_chars
+  FROM w GROUP BY 1, 2),
+plant AS (SELECT conv_id, window_start, n_turns,
+    1 + (nu + na + ns + nt) % 96 AS lc,
+    nu % 48 AS fa, na % 48 AS fb,
+    1 + n_chars % 96 AS lk, 1 + n_chars % 80 AS lt
+  FROM base),
+seq AS (SELECT unnest(generate_series(0, 99)) AS i),
+ktc AS (SELECT i + 1 AS n,
+               SUM(LN((i + 0.5) / (i + 2.0))) OVER (ORDER BY i) AS lnp
+        FROM seq),
+kt0 AS (SELECT 0 AS n, CAST(0.0 AS DOUBLE) AS lnp
+        UNION ALL SELECT n, lnp FROM ktc),
+lens AS (SELECT unnest(generate_series(1, 96)) AS L),
+cr AS (
+  SELECT lens.L AS L, least(lens.L - 1, 6) AS d, kt0.lnp AS lw
+  FROM lens JOIN kt0 ON kt0.n = lens.L - least(lens.L - 1, 6)
+  UNION ALL
+  SELECT cr.L, cr.d - 1, LN(0.5 * EXP(kt0.lnp) + 0.5 * EXP(cr.lw))
+  FROM cr JOIN kt0 ON kt0.n = cr.L - (cr.d - 1)
+  WHERE cr.d > 0
+),
+ctwc AS (SELECT L, -lw / LN(2) / L AS bpb FROM cr WHERE d = 0),
+pairs AS (SELECT a.a AS a, b.b AS b
+          FROM (SELECT unnest(generate_series(0, 47)) AS a) a,
+               (SELECT unnest(generate_series(0, 47)) AS b) b
+          WHERE a.a + b.b > 0),
+fr AS (
+  SELECT p.a AS a, p.b AS b,
+         CASE WHEN p.b > 0 THEN least(p.b - 1, 6)
+              ELSE least(p.a - 1, 6) END AS d,
+         kt0.lnp AS lw
+  FROM pairs p JOIN kt0 ON kt0.n =
+       greatest(p.a - (CASE WHEN p.b > 0 THEN least(p.b - 1, 6)
+                            ELSE least(p.a - 1, 6) END), 0)
+     + greatest(p.b - (CASE WHEN p.b > 0 THEN least(p.b - 1, 6)
+                            ELSE least(p.a - 1, 6) END), 0)
+  UNION ALL
+  SELECT fr.a, fr.b, fr.d - 1, LN(0.5 * EXP(kt0.lnp) + 0.5 * EXP(fr.lw))
+  FROM fr JOIN kt0
+    ON kt0.n = greatest(fr.a - (fr.d - 1), 0)
+             + greatest(fr.b - (fr.d - 1), 0)
+  WHERE fr.d > 0
+),
+ctwf AS (SELECT a, b, -lw / LN(2) / (a + b) AS bpb FROM fr WHERE d = 0
+         UNION ALL SELECT 0, 0, CAST(0.0 AS DOUBLE)),
+ktb AS (SELECT n AS L, -lnp / LN(2) / n AS bpb FROM ktc)
+SELECT p.conv_id, p.window_start, p.n_turns,
+  p.lc AS plant_const_len, p.fa AS plant_flush_a, p.fb AS plant_flush_b,
+  p.lk AS plant_kt0_len, p.lt AS plant_text_len,
+  round(cc.bpb, 6) + 0.0 AS ctw_const_bpb,
+  round(cf.bpb, 6) + 0.0 AS ctw_flush_bpb,
+  round(kb.bpb, 6) + 0.0 AS kt0_const_bpb,
+  round(ct.bpb, 6) + 0.0 AS ctw_textplant_bpb
+FROM plant p
+JOIN ctwc cc ON cc.L = p.lc
+JOIN ctwf cf ON cf.a = p.fa AND cf.b = p.fb
+JOIN ktb kb ON kb.L = p.lk
+JOIN ctwc ct ON ct.L = p.lt
+"""
 
 
 def q_tumbling_role_kgram_long(sf_dir: str):
@@ -2195,8 +2340,9 @@ def build_queries() -> dict:
         "hash_join_enrich": q_hash_join_enrich,
         "window_topk_convs": q_window_topk_convs,
         "stateful_custom_aggs": q_stateful_custom_aggs,
-        # rows-only (non-SQL-expressible semantics: CTW state machine,
-        # list-typed freq vectors — long-format twin is oracle-paired)
+        # oracle-gated since r5 via the planted closed-form corpus
+        # (recursive-CTE KT/CTW oracle; real-corpus CTW cross-checked
+        # in-query on constant windows, rest pytest-gated)
         "tumbling_ctw": q_tumbling_ctw,
     }
 
@@ -2259,4 +2405,5 @@ def build_oracle_sql() -> dict:
         "hash_join_enrich": SQL_HASH_JOIN_ENRICH,
         "window_topk_convs": SQL_WINDOW_TOPK_CONVS,
         "stateful_custom_aggs": SQL_STATEFUL_CUSTOM_AGGS,
+        "tumbling_ctw": SQL_TUMBLING_CTW,
     }
