@@ -87,7 +87,8 @@ def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
                 max_dup_word_frac: float = 0.6,
                 ratio_bounds: tuple = (0.03, 0.98),
                 jaccard_tau: float = 0.5, shingle_k: int = 7,
-                split_weights: dict | None = None):
+                split_weights: dict | None = None,
+                checkpoint_dir: str | None = None):
     """Normalize → filter → near-dup keep-best → decontaminate → split.
 
     Returns ``(survivors, funnel)``: a lazy Dataset of the curated
@@ -96,6 +97,17 @@ def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
     survivor counts. ``quality`` (the keeper criterion) is the
     stopword ratio — the strongest single naturalness signal of the
     heuristic family; swap by passing a pre-computed column instead.
+
+    ``checkpoint_dir``: the 100-TB path for the filtered-corpus fan-out.
+    Four consumers read the filter output (count, band rows, pair
+    verify, cluster assignment). By default it is pinned once in the
+    (spillable) object store via ``materialize()``; with
+    ``checkpoint_dir=`` it is instead committed to a catalog table
+    (exactly-once parquet) and each consumer re-reads it COLUMN-PRUNED
+    — the MinHash/verify passes read only (doc_id, text), never the
+    full row — so no copy of the corpus needs to stay resident and a
+    crashed run resumes from the checkpoint instead of re-filtering.
+    Output is bit-identical between the two paths (gated in pytest).
     """
     import pyarrow.compute as pc
 
@@ -153,17 +165,26 @@ def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
             return out
 
     # four consumers follow (count, band rows, pair verify, cluster
-    # assignment): pin the filtered corpus in the (spillable) object
-    # store once instead of re-running normalize+signals per consumer;
-    # at fleet scale the same role is played by checkpointing this
-    # stage to parquet via catalog_write and re-reading
-    filtered = norm.map_batches(SignalFilter, batch_format="pandas",
-                                concurrency=(1, 8)).materialize()
-    n_filtered = filtered.count()
+    # assignment): pin the filtered corpus ONCE instead of re-running
+    # normalize+signals per consumer — in the (spillable) object store
+    # by default, or as a catalog checkpoint with pruned re-reads when
+    # checkpoint_dir is given (the fleet-scale path)
+    filt_stage = norm.map_batches(SignalFilter, batch_format="pandas",
+                                  concurrency=(1, 8))
+    if checkpoint_dir is None:
+        filtered = filt_stage.materialize()
+        n_filtered = filtered.count()
+        slim = filtered          # already resident; no second copy
+    else:
+        from ..sources.catalog import catalog_read, catalog_write
+        man = catalog_write(filt_stage, checkpoint_dir, mode="overwrite")
+        n_filtered = int(man["total_rows"])
+        filtered = catalog_read(checkpoint_dir)
+        slim = catalog_read(checkpoint_dir, columns=["doc_id", "text"])
 
-    bands = minhash_band_rows(filtered, shingle_k=shingle_k)
+    bands = minhash_band_rows(slim, shingle_k=shingle_k)
     pairs = verify_jaccard_distributed(
-        lsh_candidate_pairs(bands, dedup=False), filtered,
+        lsh_candidate_pairs(bands, dedup=False), slim,
         shingle_k=shingle_k, threshold=jaccard_tau)
     clustered = dedup_clusters(filtered, pairs, quality_col="quality",
                                append_to_docs=True)

@@ -88,3 +88,27 @@ def test_cli_curate_subcommand(tmp_path):
     got = pd.read_parquet(out)
     assert set(got["doc_id"]) == {0, 2, 5, 6}
     assert "split" in got.columns
+
+
+def test_curate_full_checkpoint_path_equals_materialize(tmp_path):
+    """r5: checkpoint_dir= replaces the object-store materialize() with
+    a catalog commit + column-pruned re-reads; output and funnel must be
+    bit-identical to the default path, and the checkpoint itself must be
+    a readable catalog table of the filtered corpus."""
+    from fasta_windows_ray.sources.catalog import catalog_read
+    eval_ds = rd.from_items(
+        [{"doc_id": 100, "text": "it was the best of times indeed"}])
+    base, funnel_a = curate_full(_corpus(), eval_ds)
+    ckpt = str(tmp_path / "filtered_ckpt")
+    chk, funnel_b = curate_full(_corpus(), eval_ds, checkpoint_dir=ckpt)
+    assert funnel_a == funnel_b
+    a = base.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = chk.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # the checkpoint is the filtered corpus (stage-2 survivors),
+    # committed exactly-once and re-readable column-pruned
+    filt = catalog_read(ckpt).to_pandas()
+    assert sorted(filt["doc_id"]) == [0, 1, 2, 5, 6]
+    slim = catalog_read(ckpt, columns=["doc_id", "text"]).to_pandas()
+    assert list(slim.columns) == ["doc_id", "text"]
