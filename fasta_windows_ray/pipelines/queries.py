@@ -689,7 +689,7 @@ def q_media_decode(sf_dir: str):
     formula, so any header/stride/row-flip/channel-order/resample bug
     hash-mismatches."""
     from ..stages.multimodal import ResizeStub, synth_bmp_media
-    media = synth_bmp_media(_docs(sf_dir, ["doc_id"]))
+    media = synth_bmp_media(_docs(sf_dir, ["doc_id"]), mixed=True)
     out = media.map_batches(
         ResizeStub, batch_format="pandas", batch_size=256,
         concurrency=(1, 4),

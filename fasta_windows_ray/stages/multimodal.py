@@ -1,9 +1,10 @@
 """Multimodal columns: opaque ``binary`` payloads with typed metadata.
 
-Decode support is format-tiered: 24-bit uncompressed BMP has a REAL
-pure-python/numpy codec here (``bmp_decode``/``bmp_encode``) driving real
-nearest-neighbor resampling end-to-end; formats that need external codec
-libraries (JPEG/PNG/audio — not in this container) stay behind the
+Decode support is format-tiered: 24-bit uncompressed BMP, binary PPM,
+8-bit truecolor PNG (here) and baseline JPEG (``stages/jpeg.py``) have
+REAL pure-python/numpy codecs driving real nearest-neighbor resampling
+end-to-end; formats that genuinely need external codec libraries
+(progressive JPEG, WebP, video — not in this container) stay behind the
 clearly-marked deterministic stubs, while all the Ray-side plumbing —
 schema, actor-pool signature, batch sizing for large binary rows, output
 layout — is real and tested either way.
@@ -326,9 +327,14 @@ def png_decode(buf: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, ch)
 
 
-# codec registry for the real decode path: sniff -> (decode, encode)
+# codec registry for the real decode path: sniff -> (decode, encode).
+# JPEG lives in its own module (stages/jpeg.py — baseline huffman+iDCT,
+# pure numpy).
+from .jpeg import jpeg_decode, jpeg_encode  # noqa: E402
+
 _CODECS = {b"BM": (bmp_decode, bmp_encode), b"P6": (ppm_decode, ppm_encode),
-           b"\x89P": (png_decode, png_encode)}
+           b"\x89P": (png_decode, png_encode),
+           b"\xff\xd8": (jpeg_decode, jpeg_encode)}
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -340,11 +346,16 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[yi[:, None], xi[None, :]]
 
 
-def synth_bmp_media(ds, id_col: str = "doc_id"):
-    """Deterministic planted BMP corpus: one real 24-bit BMP per id with
+def synth_bmp_media(ds, id_col: str = "doc_id", mixed: bool = False):
+    """Deterministic planted image corpus: one real image per id with
     SQL-expressible pixels — R = (id*31 + x*7 + y*13) % 256,
     G = (R+85) % 256, B = (R+170) % 256, dims w = 8 + id%9, h = 8 + id%7.
-    The downstream decode stage sees only the encoded BYTES."""
+    The downstream decode stage sees only the encoded BYTES.
+    ``mixed=True`` cycles the LOSSLESS codecs (BMP / PPM / PNG by
+    id % 3), so the decode oracle doubles as a cross-format parity
+    gate — pixel semantics must be independent of container format.
+    (JPEG is lossy, hence pytest-gated in tests/test_jpeg.py, not
+    planted here.)"""
 
     def gen(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -355,7 +366,9 @@ def synth_bmp_media(ds, id_col: str = "doc_id"):
             r = (i * 31 + x * 7 + y * 13) % 256
             img = np.stack([r, (r + 85) % 256, (r + 170) % 256],
                            axis=-1).astype(np.uint8)
-            payloads.append(bmp_encode(img))
+            enc = ((bmp_encode, ppm_encode, png_encode)[int(i) % 3]
+                   if mixed else bmp_encode)
+            payloads.append(enc(img))
         n = len(ids)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
@@ -371,12 +384,12 @@ class ResizeStub:
     """Resize stage with the real signature (payload + target dims in,
     payload + dims out).
 
-    Format-tiered: BMP (magic ``BM``) and binary PPM (magic ``P6``)
-    payloads take the REAL path — decode → ``resize_nearest`` →
-    re-encode in the same format — and emit the md5 of the genuinely
-    resampled file plus a weighted pixel checksum (``sum(3R+5G+7B)``,
-    order/channel-swap sensitive). Other payloads: ``strict=True``
-    raises (no JPEG/PNG codec in this container); else the
+    Format-tiered: BMP (``BM``), binary PPM (``P6``), truecolor PNG
+    and baseline JPEG (``\\xff\\xd8``) payloads take the REAL path —
+    decode → ``resize_nearest`` → re-encode in the same format — and
+    emit the md5 of the genuinely resampled file plus a weighted pixel
+    checksum (``sum(3R+5G+7B)``, order/channel-swap sensitive). Other
+    payloads: ``strict=True`` raises (no WebP/video codec here); else the
     deterministic fake tags the payload with the target and
     re-digests, so downstream exactly-once / lineage plumbing sees a
     genuinely transformed payload column either way."""
@@ -413,9 +426,10 @@ class ResizeStub:
                 md5s.append(hashlib.md5(encode(out)).hexdigest())
             elif self.strict:
                 raise NotImplementedError(
-                    "non-BMP/PPM image resize requires PIL/cv2 — not "
-                    "available in this environment; run with "
-                    "strict=False for the deterministic fake resize")
+                    "image resize outside BMP/PPM/PNG/baseline-JPEG "
+                    "requires PIL/cv2 — not available in this "
+                    "environment; run with strict=False for the "
+                    "deterministic fake resize")
             else:
                 md5s.append(hashlib.md5(p + tag).hexdigest())
         return pd.DataFrame({
