@@ -812,6 +812,19 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
 
     edges = pairs.map_batches(undirect, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+    # block-count discipline: the per-round exchanges move O(maps ×
+    # reduces) objects, and groupby output inherits the input block
+    # count — so blocks must track the (bounded) EDGE-TABLE size, not
+    # the corpus block count ``pairs`` inherited. Measured: the same
+    # 56 k edges cost 4 s/loop at 8 blocks but 21 s at 256 and minutes
+    # at 1024 (the r4 curate-rehearsal regression — 342 s in
+    # dedup_clusters at 64× replication, all of it exchange overhead).
+    n_edges = edges.count()
+    # floor of 8 keeps the per-bucket union-find tasks parallel (groups
+    # per output block ~= num_buckets / blocks)
+    target_blocks = int(min(num_buckets, max(8, n_edges // 65536 + 1)))
+    if edges.num_blocks() > 2 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy()
@@ -869,6 +882,8 @@ def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
         labels = labels.map_batches(
             lambda t: pa.table({"node": t["node"], "l": t["min(l)"]}),
             batch_format="pyarrow").materialize()
+        if labels.num_blocks() > 2 * target_blocks:
+            labels = labels.repartition(target_blocks).materialize()
         cur = label_sum(labels)
         if cur == prev:
             break
