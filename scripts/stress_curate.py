@@ -78,10 +78,15 @@ def build_corpus(sf: str, replicate: int, out_dir: str) -> int:
 
 
 class RssMonitor:
-    """Peak RSS across ray worker processes, sampled every 0.5 s."""
+    """Peak RSS and peak PRIVATE (rss - shared) across ray worker
+    processes, sampled every 0.5 s.  Private is the boundedness metric:
+    on Linux a worker's RSS includes every plasma object-store page it
+    has mapped (shared memory), so RSS grows with object-store traffic
+    even when the worker heap is flat."""
 
     def __init__(self):
         self.peak_kb = 0
+        self.peak_private_kb = 0
         self._stop = threading.Event()
         self._t = threading.Thread(target=self._run, daemon=True)
 
@@ -92,8 +97,11 @@ class RssMonitor:
             for p in psutil.process_iter(["name", "memory_info"]):
                 try:
                     if p.pid != me and (p.info["name"] or "").startswith("ray::"):
-                        self.peak_kb = max(self.peak_kb,
-                                           p.info["memory_info"].rss // 1024)
+                        mi = p.info["memory_info"]
+                        self.peak_kb = max(self.peak_kb, mi.rss // 1024)
+                        self.peak_private_kb = max(
+                            self.peak_private_kb,
+                            (mi.rss - getattr(mi, "shared", 0)) // 1024)
                 except Exception:
                     pass
             self._stop.wait(0.5)
@@ -158,6 +166,7 @@ def run_one(corpus_dir: str, n_docs: int, ncpu: int) -> dict:
         "split_counts": {str(r["split"]): int(r["count()"])
                          for _, r in splits.iterrows()},
         "peak_worker_rss_mb": round(mon.peak_kb / 1024, 1),
+        "peak_worker_private_mb": round(mon.peak_private_kb / 1024, 1),
     }
 
 
