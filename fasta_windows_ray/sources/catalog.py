@@ -37,6 +37,8 @@ from __future__ import annotations
 import functools
 import json
 import os
+import random
+import time
 import uuid
 
 import numpy as np
@@ -516,16 +518,39 @@ def _commit_files(table_dir: str, report, mode: str,
                   bucket_by: tuple[str, int] | None,
                   base_files: list | None = None,
                   zorder: list[str] | None = None,
-                  commit_ts: int | None = None) -> dict:
+                  commit_ts: int | None = None,
+                  expect_parent: int | None = None,
+                  max_retries: int = 10) -> dict:
     """Assemble the file list from distributed write reports and commit
     one new manifest version (the atomic commit point).
 
     ``base_files`` (copy-on-write commits: delete/merge/compact-subset)
     is an explicit list of parent file entries to RETAIN alongside this
     write's files — it overrides the mode-derived parent handling.
+
+    Optimistic concurrency contract (two writers, one table):
+
+    - **Append vs append: both commit, serialized.** The manifest
+      create is a compare-and-swap on the version id (exclusive file
+      create); the loser re-reads the fresh snapshot and retries HERE —
+      its data files are already on disk and an append's file list is
+      a pure function of (parent files + own files), so the retry is
+      metadata-only and commutative. Bounded by ``max_retries``, after
+      which ``ConcurrentWriteError`` escapes to the caller.
+    - **Row-level / snapshot-rewriting commits (delete / merge /
+      update / compact) are NOT retried.** They pass ``expect_parent``
+      = the snapshot version their rewrite was computed from; if the
+      table has advanced past it (or advances mid-commit), the commit
+      is cleanly REFUSED with ``ConcurrentWriteError`` — retrying the
+      manifest alone would silently drop the interleaved writer's
+      files (lost update). The caller must re-run the operation on a
+      fresh snapshot.
+    - Schema-evolution conflicts and bucket-spec mismatches are
+      rejected at commit time regardless of interleaving (checked
+      against the parent actually committed against, per attempt).
     """
     mdir = os.path.join(table_dir, _MANIFEST)
-    files = []
+    new_files = []
     for p, r, s, b, sc in zip(report.get("path", []),
                               report.get("rows", []),
                               report.get("stats", []),
@@ -535,53 +560,71 @@ def _commit_files(table_dir: str, report, mode: str,
                  "schema": json.loads(sc)}
         if int(b) >= 0:
             entry["bucket"] = int(b)
-        files.append(entry)
+        new_files.append(entry)
 
-    parent = _latest_version(table_dir)
-    if base_files is not None:
-        files = list(base_files) + files
-    elif mode == "append" and parent:
-        files = _load_manifest(table_dir, parent)["files"] + files
-    # unified table schema = union of per-file schemas; ADD-only
-    # evolution (a same-named column with a different type is an error
-    # at COMMIT time, not a surprise at read time)
-    unified: dict = {}
-    for f in files:
-        for cname, ctype in f.get("schema", {}).items():
-            if cname in unified and unified[cname] != ctype:
+    for attempt in range(max_retries + 1):
+        parent = _latest_version(table_dir)
+        if expect_parent is not None and parent != expect_parent:
+            raise ConcurrentWriteError(
+                f"snapshot v{expect_parent} is stale: the table advanced "
+                f"to v{parent} while this copy-on-write {mode} was "
+                "running; re-run it against the fresh snapshot")
+        if base_files is not None:
+            files = list(base_files) + new_files
+        elif mode == "append" and parent:
+            files = _load_manifest(table_dir, parent)["files"] + new_files
+        else:
+            files = new_files
+        # unified table schema = union of per-file schemas; ADD-only
+        # evolution (a same-named column with a different type is an
+        # error at COMMIT time, not a surprise at read time)
+        unified: dict = {}
+        for f in files:
+            for cname, ctype in f.get("schema", {}).items():
+                if cname in unified and unified[cname] != ctype:
+                    raise ValueError(
+                        f"schema evolution conflict on column {cname!r}: "
+                        f"{unified[cname]} vs {ctype} — only ADDING "
+                        "columns is supported")
+                unified.setdefault(cname, ctype)
+        version = parent + 1
+        manifest = {"version": version, "parent": parent, "mode": mode,
+                    "files": files, "schema": unified,
+                    "total_rows": int(sum(f["rows"] for f in files))}
+        if zorder is not None:
+            manifest["zorder"] = list(zorder)
+        if commit_ts is not None:
+            prev_ts = (_load_manifest(table_dir, parent).get("commit_ts")
+                       if parent else None)
+            if prev_ts is not None and int(commit_ts) < int(prev_ts):
                 raise ValueError(
-                    f"schema evolution conflict on column {cname!r}: "
-                    f"{unified[cname]} vs {ctype} — only ADDING columns "
-                    "is supported")
-            unified.setdefault(cname, ctype)
-    version = parent + 1
-    manifest = {"version": version, "parent": parent, "mode": mode,
-                "files": files, "schema": unified,
-                "total_rows": int(sum(f["rows"] for f in files))}
-    if zorder is not None:
-        manifest["zorder"] = list(zorder)
-    if commit_ts is not None:
-        prev_ts = (_load_manifest(table_dir, parent).get("commit_ts")
-                   if parent else None)
-        if prev_ts is not None and int(commit_ts) < int(prev_ts):
-            raise ValueError(
-                f"commit_ts {commit_ts} < parent version's {prev_ts}: "
-                "version event-times must be non-decreasing")
-        manifest["commit_ts"] = int(commit_ts)
-    if bucket_by is not None:
-        manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
-    elif mode == "append" and parent:
-        spec = _load_manifest(table_dir, parent).get("bucket_by")
-        if spec is not None:
-            raise ValueError(
-                f"table is bucketed by {spec}; appends must pass "
-                "bucket_by to preserve co-partitioning")
-    # exclusive manifest create = the commit point: a concurrent writer
-    # racing to the same version fails loudly instead of clobbering
-    _atomic_json_exclusive(os.path.join(mdir, f"v{version:08d}.json"),
-                           manifest)
-    _atomic_json(os.path.join(mdir, _LATEST), version)
-    return manifest
+                    f"commit_ts {commit_ts} < parent version's {prev_ts}: "
+                    "version event-times must be non-decreasing")
+            manifest["commit_ts"] = int(commit_ts)
+        if bucket_by is not None:
+            manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
+        elif mode == "append" and parent:
+            spec = _load_manifest(table_dir, parent).get("bucket_by")
+            if spec is not None:
+                raise ValueError(
+                    f"table is bucketed by {spec}; appends must pass "
+                    "bucket_by to preserve co-partitioning")
+        # exclusive manifest create = the commit point (version CAS): a
+        # concurrent writer racing to the same version fails the create
+        # instead of clobbering
+        try:
+            _atomic_json_exclusive(
+                os.path.join(mdir, f"v{version:08d}.json"), manifest)
+        except ConcurrentWriteError:
+            if expect_parent is not None or attempt == max_retries:
+                raise
+            # commutative commit lost the CAS — back off briefly and
+            # rebuild against the winner's snapshot
+            time.sleep(random.uniform(0.005, 0.02 * (attempt + 1)))
+            continue
+        _atomic_json(os.path.join(mdir, _LATEST), version)
+        return manifest
+    raise AssertionError("unreachable")
 
 
 _TYPE_PARSERS = {
@@ -1193,7 +1236,8 @@ def catalog_delete(table_dir: str, predicate: list[tuple],
     spec = manifest.get("bucket_by")
     new_man = _commit_files(table_dir, report, "delete",
                             tuple(spec) if spec else None,
-                            base_files=untouched, commit_ts=commit_ts)
+                            base_files=untouched, commit_ts=commit_ts,
+                            expect_parent=v)
     rows_after = new_man["total_rows"] - sum(f["rows"] for f in untouched)
     # an all-empty report Dataset loses column names through to_pandas()
     _p = report.get("path", None)
@@ -1296,7 +1340,7 @@ def catalog_merge(ds, table_dir: str, on: str,
                 if f.get("bucket", -1) not in touched]
         new_man = _commit_files(table_dir, report, "merge",
                                 (bcol, n_buckets), base_files=base,
-                                commit_ts=commit_ts)
+                                commit_ts=commit_ts, expect_parent=v)
         n_updated = int(sum(report.get("updated", [])))
         return {"version": new_man["version"],
                 "rows_updated": n_updated,
@@ -1363,7 +1407,8 @@ def catalog_merge(ds, table_dir: str, on: str,
     report = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
         else parts[0]
     new_man = _commit_files(table_dir, report, "merge", None,
-                            base_files=untouched, commit_ts=commit_ts)
+                            base_files=untouched, commit_ts=commit_ts,
+                            expect_parent=v)
     n_updated = int(report["updated"].sum())
     return {"version": new_man["version"],
             "rows_updated": n_updated,
@@ -1514,7 +1559,7 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
             report = work.map_batches(compact_bucket, batch_size=1,
                                       batch_format="numpy").to_pandas()
             return _commit_files(table_dir, report, "overwrite",
-                                 (bcol, n_buckets))
+                                 (bcol, n_buckets), expect_parent=v)
 
         ds = work.map_batches(load_bucket, batch_size=1,
                               batch_format="numpy")
@@ -1729,7 +1774,8 @@ def catalog_delete_keys(table_dir: str, key_col: str, keys,
                   "schema": []}
     new_man = _commit_files(table_dir, report, "delete",
                             tuple(spec) if spec else None,
-                            base_files=untouched, commit_ts=commit_ts)
+                            base_files=untouched, commit_ts=commit_ts,
+                            expect_parent=v)
     rows_after = new_man["total_rows"] - sum(f["rows"] for f in untouched)
     _p = report.get("path", None)
     kept_paths = set(_p) if _p is not None else set()
