@@ -198,8 +198,16 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
                   bloom_cols: list[str] | None = None,
                   bloom_bits: int = 1 << 17,
                   bloom_store: str = "inline",
-                  commit_ts: int | None = None) -> dict:
+                  commit_ts: int | None = None,
+                  expect_parent: int | None = None) -> dict:
     """Commit a Dataset to the catalog table as one new version.
+
+    ``expect_parent`` (optional) pins the commit to a snapshot version:
+    if the table advanced past it the commit is refused with
+    ``ConcurrentWriteError`` instead of retried — for writes whose
+    CONTENT was derived from that snapshot (compaction uses this; a
+    plain user overwrite intentionally replaces whatever is current
+    and does not pass it).
 
     ``commit_ts`` (optional, int64 epoch-µs) stamps the manifest with
     an event-time for this version — the hook ``scd2_history`` /
@@ -328,7 +336,8 @@ def catalog_write(ds, table_dir: str, mode: str = "append",
         report = ds.map_batches(write_block, batch_format="pyarrow",
                                 zero_copy_batch=True).to_pandas()
     return _commit_files(table_dir, report, mode, bucket_by,
-                         zorder=zorder, commit_ts=commit_ts)
+                         zorder=zorder, commit_ts=commit_ts,
+                         expect_parent=expect_parent)
 
 
 def _file_bloom(col: pa.ChunkedArray, n_bits: int):
@@ -1572,7 +1581,7 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
         return catalog_write(ds, table_dir, mode="overwrite",
                              bucket_by=(bcol, n_buckets),
                              bloom_cols=bcols_m, bloom_bits=bbits_m,
-                             bloom_store=bstore_m)
+                             bloom_store=bstore_m, expect_parent=v)
 
     paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
     ds = rd.read_parquet(paths)
@@ -1581,7 +1590,7 @@ def catalog_compact(table_dir: str, target_rows: int = 1 << 20,
     return catalog_write(ds.repartition(n_files), table_dir,
                          mode="overwrite",
                          bloom_cols=bcols_m, bloom_bits=bbits_m,
-                         bloom_store=bstore_m)
+                         bloom_store=bstore_m, expect_parent=v)
 
 
 def catalog_lookup(table_dir: str, keys, columns: list[str] | None = None,

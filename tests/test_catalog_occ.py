@@ -151,3 +151,72 @@ def test_stale_cow_merge_refused(ray_session, tmp_path, monkeypatch):
         catalog_merge(_mk(range(5, 8), lang="fr"), t, on="doc_id")
     got = set(catalog_read(t).to_pandas()["doc_id"])
     assert got == set(range(10)) | set(range(600, 603))
+
+
+def test_stale_compact_refused(ray_session, tmp_path, monkeypatch):
+    """Compaction rewrites a snapshot; an append landing mid-compact
+    must refuse the compact commit (it would drop the append's files),
+    for BOTH the trust_placement fast path and the rewrite fallback."""
+    from fasta_windows_ray.sources.catalog import catalog_compact
+
+    for trust in (True, False):
+        t = str(tmp_path / f"tbl_{trust}")
+        catalog_write(_mk(range(5)), t, bucket_by=("doc_id", 4))
+        catalog_write(_mk(range(5, 10)), t, mode="append",
+                      bucket_by=("doc_id", 4))
+
+        orig = cat._commit_files
+        state = {"interleaved": False}
+
+        def interleave(table_dir, report, mode, *a, **kw):
+            if mode == "overwrite" and not state["interleaved"]:
+                state["interleaved"] = True
+                catalog_write(_mk(range(700, 703)), table_dir,
+                              mode="append", bucket_by=("doc_id", 4))
+            return orig(table_dir, report, mode, *a, **kw)
+
+        monkeypatch.setattr(cat, "_commit_files", interleave)
+        with pytest.raises(ConcurrentWriteError):
+            catalog_compact(t, trust_placement=trust)
+        monkeypatch.setattr(cat, "_commit_files", orig)
+
+        got = set(catalog_read(t).to_pandas()["doc_id"])
+        assert got == set(range(10)) | set(range(700, 703))
+        # fresh-snapshot re-run compacts cleanly and keeps every row
+        m = catalog_compact(t, trust_placement=trust)
+        got = set(catalog_read(t, version=m["version"])
+                  .to_pandas()["doc_id"])
+        assert got == set(range(10)) | set(range(700, 703))
+
+
+def test_restore_race_refused(ray_session, tmp_path, monkeypatch):
+    """catalog_restore's metadata-only commit is also a version CAS:
+    a concurrent writer landing the same version forces a clean
+    refusal, never a clobber."""
+    from fasta_windows_ray.sources.catalog import catalog_restore
+
+    t = str(tmp_path / "tbl")
+    catalog_write(_mk(range(5)), t)
+    catalog_write(_mk(range(5, 10)), t, mode="append")
+
+    orig = cat._atomic_json_exclusive
+
+    def inject(path, obj):
+        if obj.get("mode") == "restore":
+            # competitor lands v3 first
+            orig(path, {"version": obj["version"],
+                        "parent": obj["parent"], "mode": "append",
+                        "files": cat._load_manifest(t, 2)["files"],
+                        "schema": obj["schema"],
+                        "total_rows": 10})
+        return orig(path, obj)
+
+    monkeypatch.setattr(cat, "_atomic_json_exclusive", inject)
+    with pytest.raises(ConcurrentWriteError):
+        catalog_restore(t, version=1)
+    monkeypatch.setattr(cat, "_atomic_json_exclusive", orig)
+    # the competitor's v3 is intact; a fresh restore succeeds as v4
+    assert cat._latest_version(t) == 3
+    m = catalog_restore(t, version=1)
+    assert m["version"] == 4
+    assert catalog_read(t).count() == 5
