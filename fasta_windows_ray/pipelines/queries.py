@@ -499,13 +499,16 @@ def q_media_resize(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """REAL image decode + resample (no stub): plant one genuine 24-bit
-    BMP per doc (pixels a pure function of doc_id — synth_bmp_media),
-    then bmp_decode → resize_nearest → bmp_encode over the BYTES on an
+    """REAL image decode + resample (no stub): plant one genuine image
+    per doc (pixels a pure function of doc_id — synth_bmp_media,
+    ``mixed=True`` cycles the lossless codecs BMP/PPM/PNG by id % 3),
+    then decode → resize_nearest → re-encode over the BYTES on an
     actor pool. The SQL oracle recomputes source dims and the weighted
     checksum of the nearest-neighbor-sampled grid from the generator
     formula, so any header/stride/row-flip/channel-order/resample bug
-    hash-mismatches."""
+    hash-mismatches — and because pixels must be identical across the
+    three container formats, it doubles as a cross-codec parity gate
+    (JPEG is lossy, hence pytest-gated in tests/test_jpeg.py)."""
     from ..stages.multimodal import ResizeStub, synth_bmp_media
     media = synth_bmp_media(_docs(sf_dir, ["doc_id"]), mixed=True)
     out = media.map_batches(

@@ -525,19 +525,20 @@ def feature_hash(ds, cols: list[str], n_features: int = 256,
     the hash input so identical values in different columns land in
     different (independent) buckets.  Nulls -> -1.
 
-    Values are canonicalized on the ARROW side (cast-to-string) before
-    hashing: a pandas batch upcasts null-bearing int64 to float64, so
-    the SAME value would hash as '7' or '7.0' depending on block
-    co-residents, breaking cross-run/shard determinism. Arrow renders
-    a value identically wherever it lands (int64 7 -> '7', float64
-    7.0 -> '7')."""
-    import pyarrow.compute as pc
-
+    Values are canonicalized via ``to_pylist()`` + Python ``str``
+    before hashing: a pandas batch upcasts null-bearing int64 to
+    float64, so the SAME value would hash as '7' or '7.0' depending on
+    block co-residents, breaking cross-run/shard determinism.
+    ``to_pylist`` preserves the Arrow type, so the rendering is a pure
+    function of the value — and Python ``str`` matches DuckDB's
+    ``CAST(x AS VARCHAR)`` for int/float/timestamp/date values (an
+    Arrow cast renders integral float64 7.0 as '7', diverging from the
+    SQL twin's '7.0')."""
     from .window_stats import stable_bucket_of
 
     def fx(t: pa.Table) -> pa.Table:
         for c in cols:
-            ks = pc.cast(t[c], pa.string()).to_pylist()
+            ks = t[c].to_pylist()
             salted = np.asarray(
                 ["" if v is None else f"{c}:{v}" for v in ks],
                 dtype=object)

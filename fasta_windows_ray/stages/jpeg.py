@@ -569,7 +569,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                           hmax // hs, axis=1)[:fh, :fw] + 128.0
         planes.append(plane)
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255)
+        # round like the 3-component path below (truncation would bias
+        # reconstructed samples a half-LSB dark)
+        y = np.clip(planes[0].round(), 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     if len(planes) != 3:
         raise ValueError(f"unsupported component count {len(planes)}")

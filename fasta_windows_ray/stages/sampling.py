@@ -268,22 +268,25 @@ def kfold_assign(ds, key_col: str, k: int = 5,
     fold.  ``salt`` decorrelates the fold id from the sampler/split
     slots (same md5 family, different key string).
 
-    Keys are canonicalized on the ARROW side (cast-to-string) before
+    Keys are canonicalized via ``to_pylist()`` + Python ``str`` before
     salting: ``.to_numpy()`` on a null-bearing int64 block upcasts to
     float64, so the SAME key would render ``kfold:7`` in a null-free
     block but ``kfold:7.0`` in a null-bearing one — splitting one key
-    across folds depending on which block it lands in. Arrow's
-    rendering is a pure function of the value (int64 7 -> '7', float64
-    7.0 -> '7', exact for full-range int64), independent of block
-    co-residents. Null keys use a fixed ``chr(0)`` sentinel (one fold,
-    deterministic; SQL twin: ``CASE WHEN k IS NULL THEN chr(0) ELSE
-    CAST(k AS VARCHAR) END``)."""
+    across folds depending on which block it lands in. ``to_pylist``
+    preserves the Arrow type (int64 stays int under nulls), so the
+    rendering is a pure function of the value, AND Python ``str``
+    matches DuckDB's ``CAST(x AS VARCHAR)`` for int/float/timestamp/
+    date keys (verified: 7 -> '7', 7.0 -> '7.0', 1e30 -> '1e+30',
+    '2024-01-02 03:04:05[.123456]') — an Arrow ``pc.cast`` would
+    render integral floats as '7' and timestamps with forced
+    microseconds, breaking the SQL twin. Null keys use a fixed
+    ``chr(0)`` sentinel (one fold, deterministic; SQL twin: ``CASE
+    WHEN k IS NULL THEN chr(0) ELSE CAST(k AS VARCHAR) END``)."""
     if k < 2:
         raise ValueError("need k >= 2 folds")
 
     def assign(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ks = pc.cast(t[key_col], pa.string()).to_pylist()
+        ks = t[key_col].to_pylist()
         salted = np.asarray(
             [f"{salt}:\x00" if v is None else f"{salt}:{v}"
              for v in ks], dtype=object)

@@ -50,6 +50,11 @@ def build_corpus(sf: str, replicate: int, out_dir: str) -> int:
     from fasta_windows_ray.stages.text_analysis import STOPWORDS
 
     base = pq.read_table(f"{sf}/documents.parquet")
+    # shard ids live in disjoint 10M ranges; a bigger base corpus would
+    # silently collide doc_ids across shards and corrupt the dedup
+    # funnel — refuse loudly instead
+    assert len(base) < 10_000_000, \
+        f"base corpus {len(base)} rows >= 10M: raise the shard offset"
     base_ref = ray.put(base)
     stop = frozenset(STOPWORDS)
 

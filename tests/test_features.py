@@ -459,3 +459,48 @@ def test_quantiles_from_hist_relative_epsilon():
     assert v == 1.0   # rank exactly n/2 -> still the first value
     (q, v), = quantiles_from_hist(values, counts, [0.5000000001])
     assert v == 2.0
+
+
+def test_kfold_and_feature_hash_float_timestamp_sql_twin():
+    """Round-5 review: float64 and timestamp KEY columns must render
+    exactly as DuckDB's CAST(k AS VARCHAR) (7.0 -> '7.0', timestamps
+    without forced microseconds) so the documented SQL twin holds for
+    every key dtype — an Arrow cast-to-string renders 7.0 as '7' and
+    diverges."""
+    from fasta_windows_ray.stages.features import feature_hash
+    from fasta_windows_ray.stages.sampling import kfold_assign
+
+    df = pd.DataFrame({
+        "fk": pd.array([7.0, 7.5, 0.1, 1e30] * 5, dtype="float64"),
+        "ts": pd.to_datetime(
+            ["2024-01-02 03:04:05", "2024-01-02 03:04:05.123456",
+             "2030-12-31 23:59:59", "2024-06-01 00:00:00"] * 5,
+            format="mixed"),
+        "v": np.arange(20)})
+
+    out = kfold_assign(_ds(df, 2), "fk", k=7).to_pandas()
+    want = duckdb.sql("""
+        SELECT fk, CAST(('0x' || substr(
+                 md5('kfold:' || CAST(fk AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 7 AS fold FROM df""").df()
+    got = dict(zip(out["fk"], out["fold"]))
+    for k, f in zip(want["fk"], want["fold"]):
+        assert got[k] == int(f), k
+
+    out = kfold_assign(_ds(df, 2), "ts", k=7).to_pandas()
+    want = duckdb.sql("""
+        SELECT ts, CAST(('0x' || substr(
+                 md5('kfold:' || CAST(ts AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 7 AS fold FROM df""").df()
+    got = dict(zip(out["ts"], out["fold"]))
+    for k, f in zip(want["ts"], want["fold"]):
+        assert got[k] == int(f), k
+
+    out = feature_hash(_ds(df, 2), ["fk"], n_features=32).to_pandas()
+    want = duckdb.sql("""
+        SELECT fk, CAST(('0x' || substr(
+                 md5('fk:' || CAST(fk AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 32 AS fh FROM df""").df()
+    got = dict(zip(out["fk"], out["fh_fk"]))
+    for k, f in zip(want["fk"], want["fh"]):
+        assert got[k] == int(f), k
