@@ -113,7 +113,8 @@ def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
 
     from ..stages.curation_filters import (_token_segments, decontaminate,
                                            normalize_text)
-    from ..stages.dedup import (dedup_clusters, lsh_candidate_pairs,
+    from ..stages.dedup import (apply_exact_dup_filter, dedup_clusters,
+                                exact_dup_winners, lsh_candidate_pairs,
                                 minhash_band_rows,
                                 verify_jaccard_distributed)
     from ..stages.sampling import train_val_test_split
@@ -182,9 +183,31 @@ def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
         filtered = catalog_read(checkpoint_dir)
         slim = catalog_read(checkpoint_dir, columns=["doc_id", "text"])
 
+    # exact content dedup BEFORE MinHash: identical texts (boilerplate,
+    # stopword-only docs replicated across shards/sites) otherwise form
+    # O(copies²) LSH candidate cliques — a 1024-shard rehearsal hit
+    # ~50 M candidate pairs from this degeneracy alone — while exact
+    # dedup removes them at O(copies) cost (digest-only exchange +
+    # bounded dup-winner broadcast). Identical text ⇒ identical quality
+    # signals, so min-id-per-digest IS keep-best with a deterministic
+    # tie-break; the kept representative then competes in near-dup
+    # clustering on behalf of its copies. ONE digest pass (on the
+    # pruned view) filters both views via the same winner broadcast.
+    dup_ref = exact_dup_winners(slim)
+    one_view = slim is filtered          # default (materialized) path
+    filtered = apply_exact_dup_filter(filtered, dup_ref)
+    slim = filtered if one_view else apply_exact_dup_filter(slim, dup_ref)
+
+    # star candidate mode: curation only needs CLUSTERS (keep best per
+    # near-dup group), so each LSH bucket contributes hub edges
+    # (≤ n−1) instead of all pairs (n²/2) — without this, a k-copy
+    # boilerplate clique costs O(k²) verify volume (a 1024-shard
+    # rehearsal hit ~50 M candidate pairs; star mode makes the same
+    # corpus linear). Connected components recovers the clique through
+    # its hub; dedup_clusters then keeps the best-quality member.
     bands = minhash_band_rows(slim, shingle_k=shingle_k)
     pairs = verify_jaccard_distributed(
-        lsh_candidate_pairs(bands, dedup=False), slim,
+        lsh_candidate_pairs(bands, dedup=False, mode="star"), slim,
         shingle_k=shingle_k, threshold=jaccard_tau)
     clustered = dedup_clusters(filtered, pairs, quality_col="quality",
                                append_to_docs=True)

@@ -42,11 +42,16 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text; emit (id, n_copies).
 
     Exact dedup = hash-partition + per-group first (SURVEY.md §2.7).
+    Only (digest, id) travels through the exchange — the text column
+    is dropped after hashing, so the shuffle ships 16 B/doc, not the
+    corpus.
     """
     def add_hash_bucket(t: pa.Table) -> pa.Table:
         h = _text_hash_int64(t[text_col])
-        t = t.append_column("_h", pa.array(h, pa.int64()))
-        return t.append_column("_hb", pa.array(h % 256, pa.int64()))
+        return pa.table({
+            id_col: t[id_col],
+            "_h": pa.array(h, pa.int64()),
+            "_hb": pa.array(h % 256, pa.int64())})
 
     ds = ds.map_batches(add_hash_bucket, batch_format="pyarrow")
 
@@ -59,6 +64,92 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.groupby("_hb").map_groups(first_per_digest,
                                         batch_format="pandas")
+
+
+def drop_exact_dups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Drop every row whose text is an exact duplicate of a
+    lower-``id_col`` row; keep winners and all unique-text rows.
+
+    The near-dup PRE-FILTER: identical texts (boilerplate, empty or
+    stopword-only documents) form O(copies²) LSH candidate cliques —
+    a 1024-shard curation rehearsal produced ~50 M candidate pairs
+    from exactly this degeneracy — while exact dedup removes them at
+    O(copies) cost. Run this before MinHash so near-dup only ever
+    sees one representative per distinct text.
+
+    Scale shape: one 256-bucket exchange of (digest, id) pairs
+    (16 B/doc — the text never shuffles), then winners for DUPLICATED
+    digests only (bounded by the number of distinct duplicated texts,
+    NOT the corpus) are broadcast via ``ray.put`` and every corpus
+    batch drops its losers with two vectorized searchsorted probes.
+    Returns the filtered Dataset (lazy; corpus streams once).
+
+    ``exact_dup_winners`` / ``apply_exact_dup_filter`` expose the two
+    halves so one winner broadcast can filter several datasets (e.g.
+    a full-column and a column-pruned view of the same table).
+    """
+    return apply_exact_dup_filter(
+        ds, exact_dup_winners(ds, text_col=text_col, id_col=id_col),
+        text_col=text_col, id_col=id_col)
+
+
+def exact_dup_winners(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Digest-only exchange -> ``ray.put`` ref of (sorted duplicated
+    digests, winner id per digest). Broadcast size is bounded by the
+    number of distinct DUPLICATED texts."""
+    import ray
+
+    def add_hash_bucket(t: pa.Table) -> pa.Table:
+        h = _text_hash_int64(t[text_col])
+        return pa.table({
+            id_col: t[id_col],
+            "_h": pa.array(h, pa.int64()),
+            "_hb": pa.array(h % 256, pa.int64())})
+
+    hashed = ds.map_batches(add_hash_bucket, batch_format="pyarrow")
+
+    _empty = pd.DataFrame({"_h": pd.Series(dtype=np.int64),
+                           "winner": pd.Series(dtype=np.int64)})
+
+    def dup_winners(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:                     # typed empty: schema-less
+            return _empty.copy()         # empty-group blocks occur
+        g = df.groupby("_h", sort=False)[id_col]
+        mn = g.min()
+        sz = g.size()
+        m = sz.to_numpy() > 1
+        return pd.DataFrame({"_h": mn.index.to_numpy()[m],
+                             "winner": mn.to_numpy()[m]})
+
+    dup_pdf = (hashed.groupby("_hb")
+                     .map_groups(dup_winners, batch_format="pandas")
+                     .to_pandas())
+    if "_h" not in dup_pdf.columns:      # all-empty result loses names
+        dup_pdf = _empty
+    order = np.argsort(dup_pdf["_h"].to_numpy(), kind="stable")
+    return ray.put((dup_pdf["_h"].to_numpy()[order].astype(np.int64),
+                    dup_pdf["winner"].to_numpy()[order].astype(np.int64)))
+
+
+def apply_exact_dup_filter(ds, dup_ref, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Stream ``ds`` once, dropping exact-duplicate losers per the
+    broadcast winner set from :func:`exact_dup_winners`."""
+    import ray
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        hs, winners = ray.get(dup_ref)
+        if len(hs) == 0:
+            return t
+        h = _text_hash_int64(t[text_col])
+        pos = np.searchsorted(hs, h)
+        pos_c = np.clip(pos, 0, len(hs) - 1)
+        is_dup = hs[pos_c] == h
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~is_dup | (winners[pos_c] == ids)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +344,7 @@ def minhash_band_rows(ds, num_perm: int = 128, bands: int = 16,
 
 
 def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64,
-                        dedup: bool = True):
+                        dedup: bool = True, mode: str = "pairs"):
     """(band_id, band_hash) buckets → unordered candidate pairs (a < b).
 
     Shuffles on a bounded hash-bucket key (num_buckets groups), with the
@@ -266,7 +357,25 @@ def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64,
     anyway (``verify_jaccard_distributed`` dedups its collected
     candidate list on the small-side fast path; connected components is
     dupe-invariant), saving one full sort shuffle per pipeline.
+
+    ``mode``:
+      - ``"pairs"`` (default): ALL within-bucket pairs — the gate
+        operator's contract ("every candidate pair ≥ τ").
+      - ``"star"``: each doc pairs only with its bucket's min-id hub —
+        ≤ n−1 edges per bucket instead of n(n−1)/2. For CLUSTERING
+        consumers (``dedup_clusters``): a k-member near-dup clique
+        produces k−1 verified hub edges and connected components
+        recovers the same cluster, so candidate volume is linear in
+        clique size. This is what makes boilerplate cliques (the same
+        template on 10⁴ sites) affordable: a 1024-copy clique is 1023
+        edges, not 524 k. Trade-off: a borderline pair (a,b) whose
+        members both fail τ against the hub but pass against each
+        other is not verified — recall on borderline CHAINS can dip;
+        exact cliques (j = 1) lose nothing. Not for the pairwise gate.
     """
+    if mode not in ("pairs", "star"):
+        raise ValueError(f"unknown candidate mode {mode!r}")
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_gb"] = (df["band_id"] * 1_000_003 + df["band_hash"]) % num_buckets
@@ -281,6 +390,10 @@ def lsh_candidate_pairs(band_rows_ds, num_buckets: int = 64,
         for key, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.unique(g["doc_id"].to_numpy())
             if len(ids) < 2:
+                continue
+            if mode == "star":
+                out_a.append(np.full(len(ids) - 1, ids[0]))
+                out_b.append(ids[1:])
                 continue
             if len(ids) > 200:
                 # hot-bucket cap: a bucket this dense means the band is
@@ -469,6 +582,20 @@ def verify_jaccard_distributed(pairs_ds, docs_ds, shingle_k: int = 7,
 
     witha = attach(pairs_ds, "doc_a", "ta",
                    {"doc_a": "i", "doc_b": "i"})
+    # Large pair sets: break the plan between the two text-carrying
+    # sort exchanges. As ONE streaming plan (union -> sort -> join ->
+    # union -> sort -> join) the executor's per-operator object-store
+    # reservations fragment across the deep DAG and execution can
+    # starve to a crawl (observed at a 5 M-pair rehearsal rung:
+    # every operator at 0-byte budget, ~300 rows/s through the second
+    # sort). Materializing the first attach gives each exchange its
+    # own execution with the full store budget; the pinned
+    # intermediate is bounded by the candidate set (pairs + one text
+    # column), never the corpus. Below the threshold the single
+    # fused plan is faster (no pin, no extra execution) — bench-scale
+    # behavior is unchanged.
+    if len(ids_pdf) >= 250_000:
+        witha = witha.materialize()
     withb = attach(witha, "doc_b", "tb",
                    {"doc_a": "i", "doc_b": "i", "ta": "s"})
 

@@ -75,11 +75,16 @@ def build_corpus(sf: str, replicate: int, out_dir: str) -> int:
                 "n_chars": pa.array([len(x) for x in salted], pa.int64()),
             })
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    want = len(base) * replicate
+    if os.path.isdir(out_dir):           # reuse a prior build (setup
+        import ray.data as _rd           # is the slow part at 1024x)
+        if _rd.read_parquet(out_dir).count() == want:
+            return want
+        shutil.rmtree(out_dir, ignore_errors=True)
     (rd.range(replicate, override_num_blocks=replicate)
        .map_batches(gen, batch_format="numpy")
        .write_parquet(out_dir))
-    return len(base) * replicate
+    return want
 
 
 class RssMonitor:

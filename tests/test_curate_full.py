@@ -112,3 +112,42 @@ def test_curate_full_checkpoint_path_equals_materialize(tmp_path):
     assert sorted(filt["doc_id"]) == [0, 1, 2, 5, 6]
     slim = catalog_read(ckpt, columns=["doc_id", "text"]).to_pandas()
     assert list(slim.columns) == ["doc_id", "text"]
+
+
+def test_exact_dup_clique_collapses_before_minhash(ray_session):
+    """Round-5 scale finding: identical texts replicated across shards
+    (boilerplate / stopword-only docs) form O(copies^2) LSH candidate
+    cliques; the exact-dedup pre-filter must collapse each clique to
+    its min-id representative BEFORE MinHash, and the funnel must
+    count the copies as removed duplicates."""
+    import ray.data as rd
+
+    from fasta_windows_ray.pipelines.curation import curate_full
+    from fasta_windows_ray.stages.dedup import drop_exact_dups
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going with plenty of distinct words to pass the filters "
+            "alpha beta gamma delta epsilon zeta eta theta")
+    rows = []
+    # one text exactly replicated 40x (the clique), plus 10 unique docs
+    for i in range(40):
+        rows.append({"doc_id": i, "text": base})
+    for i in range(40, 50):
+        rows.append({"doc_id": i,
+                     "text": base.replace("fox", f"unique{i} wolverine "
+                                          f"badger{i} ocelot{i}")})
+    ds = rd.from_items(rows)
+
+    kept = drop_exact_dups(ds).to_pandas()
+    # exactly one representative (min id) of the clique survives
+    assert (kept["text"] == base).sum() == 1
+    assert 0 in set(kept["doc_id"])
+    assert len(kept) == 11
+
+    survivors, funnel = curate_full(ds)
+    assert funnel["n_raw"] == 50
+    # the 39 exact copies are gone from n_unique (near-dup clustering
+    # may remove more among the 'unique' variants; never doc 0's slot)
+    assert funnel["n_unique"] <= funnel["n_filtered"] - 39
+    out = survivors.to_pandas()
+    assert (out["text"] == base).sum() <= 1
