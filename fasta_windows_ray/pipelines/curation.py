@@ -194,9 +194,19 @@ def curate_full(docs_ds, eval_ds=None, *, min_tokens: int = 10,
     # clustering on behalf of its copies. ONE digest pass (on the
     # pruned view) filters both views via the same winner broadcast.
     dup_ref = exact_dup_winners(slim)
-    one_view = slim is filtered          # default (materialized) path
-    filtered = apply_exact_dup_filter(filtered, dup_ref)
-    slim = filtered if one_view else apply_exact_dup_filter(slim, dup_ref)
+    if checkpoint_dir is None:
+        # re-pin the POST-dedup corpus (smaller in exactly the
+        # dup-heavy regimes this stage targets) so the four downstream
+        # consumers read it directly instead of re-running the
+        # hash+filter per consumer; the pre-dedup pin is released with
+        # `filtered`'s rebind
+        filtered = apply_exact_dup_filter(filtered, dup_ref).materialize()
+        slim = filtered
+    else:
+        # checkpoint path: the filter re-applies per pruned re-read —
+        # a searchsorted over the broadcast winner set, O(batch)
+        filtered = apply_exact_dup_filter(filtered, dup_ref)
+        slim = apply_exact_dup_filter(slim, dup_ref)
 
     # star candidate mode: curation only needs CLUSTERS (keep best per
     # near-dup group), so each LSH bucket contributes hub edges

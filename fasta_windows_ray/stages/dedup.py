@@ -38,27 +38,52 @@ def _text_hash_int64(col) -> np.ndarray:
     return (s.hash(seed=0).to_numpy().view(np.int64) >> 1) & 0x7FFFFFFFFFFFFFFF
 
 
+def _text_hash2_int64(col) -> np.ndarray:
+    """Second, independently-seeded 63-bit content hash. Together with
+    :func:`_text_hash_int64` it forms a 126-bit digest: equality-based
+    row DELETION (drop_exact_dups) and copy counting (exact_dedup)
+    require BOTH hashes to match, pushing the expected number of
+    distinct-text collisions at 10^10 docs from ~several (one 63-bit
+    hash) to ~2^-106 — a single hash as the SHUFFLE key is fine, but
+    never as the sole deletion criterion."""
+    import polars as pl
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(list(col), pa.string())
+    s = pl.Series(pl.from_arrow(col))
+    return (s.hash(seed=0x9E3779B9).to_numpy().view(np.int64) >> 1) \
+        & 0x7FFFFFFFFFFFFFFF
+
+
+def _hash_bucket_table(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, _h, _h2, _hb) digest table for the exact-dedup family:
+    the 126-bit content digest plus the 256-way shuffle bucket. Only
+    these 24 B/doc of digest columns ever travel through an exchange —
+    the text stays where it was read."""
+    h = _text_hash_int64(t[text_col])
+    h2 = _text_hash2_int64(t[text_col])
+    return pa.table({
+        id_col: t[id_col],
+        "_h": pa.array(h, pa.int64()),
+        "_h2": pa.array(h2, pa.int64()),
+        "_hb": pa.array(h % 256, pa.int64())})
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text; emit (id, n_copies).
 
     Exact dedup = hash-partition + per-group first (SURVEY.md §2.7).
-    Only (digest, id) travels through the exchange — the text column
-    is dropped after hashing, so the shuffle ships 16 B/doc, not the
-    corpus.
+    Only the (id, 126-bit digest, bucket) columns travel through the
+    exchange (24 B/doc) — the text never shuffles. Grouping is on the
+    full 126-bit digest, so distinct texts are never merged by a
+    single-hash collision.
     """
-    def add_hash_bucket(t: pa.Table) -> pa.Table:
-        h = _text_hash_int64(t[text_col])
-        return pa.table({
-            id_col: t[id_col],
-            "_h": pa.array(h, pa.int64()),
-            "_hb": pa.array(h % 256, pa.int64())})
-
-    ds = ds.map_batches(add_hash_bucket, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: _hash_bucket_table(t, text_col, id_col),
+                        batch_format="pyarrow")
 
     # one shuffle over 256 hash buckets (not one Ray group per digest);
     # per-bucket the dedup is a vectorized pandas groupby
     def first_per_digest(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("_h", sort=False)[id_col]
+        g = df.groupby(["_h", "_h2"], sort=False)[id_col]
         return pd.DataFrame({id_col: g.min().to_numpy(),
                              "n_copies": g.size().to_numpy()})
 
@@ -77,12 +102,17 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "doc_id"):
     O(copies) cost. Run this before MinHash so near-dup only ever
     sees one representative per distinct text.
 
-    Scale shape: one 256-bucket exchange of (digest, id) pairs
-    (16 B/doc — the text never shuffles), then winners for DUPLICATED
+    Scale shape: one 256-bucket exchange of (id, digest) columns
+    (24 B/doc — the text never shuffles), then winners for DUPLICATED
     digests only (bounded by the number of distinct duplicated texts,
     NOT the corpus) are broadcast via ``ray.put`` and every corpus
-    batch drops its losers with two vectorized searchsorted probes.
+    batch drops its losers with a vectorized searchsorted probe.
     Returns the filtered Dataset (lazy; corpus streams once).
+
+    Row deletion requires the FULL 126-bit digest to match (both
+    independently-seeded hashes) — a single 63-bit hash as the sole
+    deletion criterion would silently drop ~several distinct docs per
+    10^10 at the corpus sizes this engine targets.
 
     ``exact_dup_winners`` / ``apply_exact_dup_filter`` expose the two
     halves so one winner broadcast can filter several datasets (e.g.
@@ -95,58 +125,78 @@ def drop_exact_dups(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def exact_dup_winners(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Digest-only exchange -> ``ray.put`` ref of (sorted duplicated
-    digests, winner id per digest). Broadcast size is bounded by the
-    number of distinct DUPLICATED texts."""
+    126-bit digests, winner id per digest). Broadcast size is bounded
+    by the number of distinct DUPLICATED texts."""
     import ray
 
-    def add_hash_bucket(t: pa.Table) -> pa.Table:
-        h = _text_hash_int64(t[text_col])
-        return pa.table({
-            id_col: t[id_col],
-            "_h": pa.array(h, pa.int64()),
-            "_hb": pa.array(h % 256, pa.int64())})
-
-    hashed = ds.map_batches(add_hash_bucket, batch_format="pyarrow")
+    hashed = ds.map_batches(
+        lambda t: _hash_bucket_table(t, text_col, id_col),
+        batch_format="pyarrow")
 
     _empty = pd.DataFrame({"_h": pd.Series(dtype=np.int64),
+                           "_h2": pd.Series(dtype=np.int64),
                            "winner": pd.Series(dtype=np.int64)})
 
     def dup_winners(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:                     # typed empty: schema-less
             return _empty.copy()         # empty-group blocks occur
-        g = df.groupby("_h", sort=False)[id_col]
+        g = df.groupby(["_h", "_h2"], sort=False)[id_col]
         mn = g.min()
         sz = g.size()
         m = sz.to_numpy() > 1
-        return pd.DataFrame({"_h": mn.index.to_numpy()[m],
-                             "winner": mn.to_numpy()[m]})
+        idx = mn.index[m]
+        return pd.DataFrame({
+            "_h": idx.get_level_values(0).to_numpy(),
+            "_h2": idx.get_level_values(1).to_numpy(),
+            "winner": mn.to_numpy()[m]})
 
     dup_pdf = (hashed.groupby("_hb")
                      .map_groups(dup_winners, batch_format="pandas")
                      .to_pandas())
     if "_h" not in dup_pdf.columns:      # all-empty result loses names
         dup_pdf = _empty
-    order = np.argsort(dup_pdf["_h"].to_numpy(), kind="stable")
-    return ray.put((dup_pdf["_h"].to_numpy()[order].astype(np.int64),
+    h1 = dup_pdf["_h"].to_numpy().astype(np.int64)
+    h2 = dup_pdf["_h2"].to_numpy().astype(np.int64)
+    order = np.lexsort((h2, h1))
+    return ray.put((h1[order], h2[order],
                     dup_pdf["winner"].to_numpy()[order].astype(np.int64)))
 
 
 def apply_exact_dup_filter(ds, dup_ref, text_col: str = "text",
                            id_col: str = "doc_id"):
     """Stream ``ds`` once, dropping exact-duplicate losers per the
-    broadcast winner set from :func:`exact_dup_winners`."""
+    broadcast winner set from :func:`exact_dup_winners`.
+
+    Membership is probed on (h1, h2) lexicographic order: searchsorted
+    on the packed key. Both hashes must match for a row to be treated
+    as a duplicate loser."""
     import ray
 
     def keep_batch(t: pa.Table) -> pa.Table:
-        hs, winners = ray.get(dup_ref)
+        hs, hs2, winners = ray.get(dup_ref)
         if len(hs) == 0:
             return t
         h = _text_hash_int64(t[text_col])
-        pos = np.searchsorted(hs, h)
-        pos_c = np.clip(pos, 0, len(hs) - 1)
-        is_dup = hs[pos_c] == h
+        h2 = _text_hash2_int64(t[text_col])
+        # lexicographic (h1, h2) probe: both arrays are 63-bit
+        # non-negative, so the pair packs losslessly into a sorted
+        # order via lexsort; find the first position with hs >= h and
+        # scan within the (tiny) h1-tie range for the h2 match
+        pos = np.searchsorted(hs, h, side="left")
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ~is_dup | (winners[pos_c] == ids)
+        keep = np.ones(len(ids), dtype=bool)
+        n = len(hs)
+        # vectorized first-candidate check; h1 ties in the broadcast
+        # are ~n_dup^2/2^63 rare, so a bounded follow-on scan suffices
+        for off in range(8):             # covers any realistic tie run
+            p = pos + off
+            valid = (p < n)
+            pc = np.where(valid, p, 0)
+            m = valid & (hs[pc] == h) & (hs2[pc] == h2)
+            keep &= ~m | (winners[pc] == ids)
+            still = valid & (hs[pc] == h)
+            if not still.any():
+                break
         return t.filter(pa.array(keep))
 
     return ds.map_batches(keep_batch, batch_format="pyarrow")

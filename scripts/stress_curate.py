@@ -76,14 +76,30 @@ def build_corpus(sf: str, replicate: int, out_dir: str) -> int:
             })
 
     want = len(base) * replicate
-    if os.path.isdir(out_dir):           # reuse a prior build (setup
-        import ray.data as _rd           # is the slow part at 1024x)
-        if _rd.read_parquet(out_dir).count() == want:
-            return want
+    # reuse a prior build (generation is the slow part at 1024x) — but
+    # only when a metadata tag proves it came from the same base dir,
+    # row count and salting scheme; any mismatch or read failure
+    # rebuilds from scratch
+    tag = {"sf": sf, "rows": want, "salt_scheme": "token-suffix-v1"}
+    tag_path = os.path.join(out_dir, "_corpus_tag.json")
+    if os.path.isdir(out_dir):
+        try:
+            with open(tag_path) as f:
+                ok = json.load(f) == tag
+        except Exception:
+            ok = False
+        if ok:
+            try:                 # `_`-prefixed tag is ignored by the
+                if rd.read_parquet(out_dir).count() == want:  # reader
+                    return want
+            except Exception:
+                pass
         shutil.rmtree(out_dir, ignore_errors=True)
     (rd.range(replicate, override_num_blocks=replicate)
        .map_batches(gen, batch_format="numpy")
        .write_parquet(out_dir))
+    with open(tag_path, "w") as f:
+        json.dump(tag, f)
     return want
 
 

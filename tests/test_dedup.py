@@ -177,3 +177,40 @@ def test_lsh_dedup_false_verified_equal(ray_session):
     for dedup, limit in ((False, 50_000), (False, 0), (True, 0)):
         got = run(dedup, limit)
         pd.testing.assert_frame_equal(got, base)
+
+
+def test_exact_dup_filter_requires_full_digest_match(ray_session):
+    """Round-5 review (high): row DELETION must require the full
+    126-bit digest. Build the winner broadcast by hand with the real
+    h1 of a text but a WRONG h2 — the filter must keep the text (a
+    63-bit h1 match alone is not deletion-grade) — then with the real
+    h2, it must drop the loser."""
+    import ray
+    import ray.data as rd
+
+    from fasta_windows_ray.stages import dedup as dd
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "alpha"},
+        {"doc_id": 2, "text": "alpha"},
+        {"doc_id": 5, "text": "gamma"},
+    ])
+    h1 = dd._text_hash_int64(["alpha"]).astype(np.int64)
+    h2 = dd._text_hash2_int64(["alpha"]).astype(np.int64)
+    winners = np.array([0], dtype=np.int64)
+
+    # h1 matches alpha, h2 deliberately wrong -> nothing may be dropped
+    bad_ref = ray.put((h1, (h2 ^ 1).astype(np.int64), winners))
+    kept = dd.apply_exact_dup_filter(ds, bad_ref).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 5]
+
+    # full digest matches -> the non-winner copy (doc 2) is dropped
+    good_ref = ray.put((h1, h2, winners))
+    kept = dd.apply_exact_dup_filter(ds, good_ref).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 5]
+
+    # and end-to-end with real hashing: true dup collapses to min id
+    kept = dd.drop_exact_dups(ds).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 5]
+    counts = dd.exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert dict(zip(counts["doc_id"], counts["n_copies"])) == {0: 2, 5: 1}
